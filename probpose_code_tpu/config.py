@@ -1,0 +1,154 @@
+"""Python-file config system with ``_base_`` inheritance.
+
+Mirrors the semantics the reference relies on from mmengine ``Config``:
+config files are plain Python executed in an isolated namespace, a ``_base_``
+list of relative paths is recursively loaded and deep-merged (child wins;
+``_delete_=True`` in a child dict replaces instead of merging), and CLI
+overrides are dotted-key assignments (``--cfg-options model.head.out_channels=17``).
+See reference usage at ``tools/train.py:60-118`` and the ProbPose config
+``configs/body_2d_keypoint/topdown_probmap/coco/td-pm_ProbPose-small_8xb64-210e_coco-256x192.py:11``.
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import os
+from typing import Any, Dict, List, Optional, Union
+
+_DELETE_KEY = "_delete_"
+_RESERVED = ("_base_", "__builtins__")
+
+
+class Config(dict):
+    """A dict with attribute access and deep-merge config semantics."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def copy(self) -> "Config":
+        return Config(copy.deepcopy(dict(self)))
+
+    # -- loading ---------------------------------------------------------
+
+    @staticmethod
+    def fromfile(filename: Union[str, os.PathLike]) -> "Config":
+        filename = os.path.abspath(os.fspath(filename))
+        cfg_dict = _load_py(filename)
+        return Config(_wrap(cfg_dict))
+
+    @staticmethod
+    def fromdict(d: Dict[str, Any]) -> "Config":
+        return Config(_wrap(copy.deepcopy(d)))
+
+    # -- overrides -------------------------------------------------------
+
+    def merge_from_dict(self, options: Dict[str, Any]) -> None:
+        """Apply dotted-key overrides, e.g. ``{"model.head.sigma": 2.0}``."""
+        for full_key, value in options.items():
+            parts = full_key.split(".")
+            node: Any = self
+            for p in parts[:-1]:
+                if isinstance(node, (list, tuple)):
+                    node = node[int(p)]
+                else:
+                    if p not in node or not isinstance(node[p], (dict, list, tuple)):
+                        node[p] = Config()
+                    node = node[p]
+            last = parts[-1]
+            if isinstance(node, list):
+                node[int(last)] = value
+            else:
+                node[last] = value
+
+    def dump(self) -> str:
+        """Render as pretty-printed python literals (for print_config tool)."""
+        import pprint
+
+        return pprint.pformat(_unwrap(self), width=100, sort_dicts=False)
+
+
+def parse_cfg_option(kv: str) -> tuple:
+    """Parse one ``key=value`` CLI item; value via literal_eval with str fallback."""
+    key, _, raw = kv.partition("=")
+    try:
+        value = ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
+        value = raw
+    return key, value
+
+
+def _wrap(obj: Any) -> Any:
+    if isinstance(obj, dict) and not isinstance(obj, Config):
+        return Config({k: _wrap(v) for k, v in obj.items()})
+    if isinstance(obj, Config):
+        return Config({k: _wrap(v) for k, v in obj.items()})
+    if isinstance(obj, list):
+        return [_wrap(v) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_wrap(v) for v in obj)
+    return obj
+
+
+def _unwrap(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return {k: _unwrap(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_unwrap(v) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_unwrap(v) for v in obj)
+    return obj
+
+
+def _load_py(filename: str) -> Dict[str, Any]:
+    if not os.path.isfile(filename):
+        raise FileNotFoundError(filename)
+    with open(filename, "r", encoding="utf-8") as f:
+        source = f.read()
+    namespace: Dict[str, Any] = {"__file__": filename}
+    code = compile(source, filename, "exec")
+    exec(code, namespace)
+
+    cfg = {
+        k: v
+        for k, v in namespace.items()
+        if not k.startswith("__") and k not in _RESERVED and not _is_module_or_class(v)
+    }
+
+    base_files: List[str] = namespace.get("_base_", [])
+    if isinstance(base_files, str):
+        base_files = [base_files]
+    merged: Dict[str, Any] = {}
+    for base in base_files:
+        base_path = os.path.join(os.path.dirname(filename), base)
+        merged = merge_dicts(merged, _load_py(os.path.abspath(base_path)))
+    return merge_dicts(merged, cfg)
+
+
+def _is_module_or_class(v: Any) -> bool:
+    import types
+
+    return isinstance(v, (types.ModuleType, type, types.FunctionType, types.BuiltinFunctionType))
+
+
+def merge_dicts(base: Dict[str, Any], child: Dict[str, Any]) -> Dict[str, Any]:
+    """Deep merge ``child`` into ``base`` (child wins). ``_delete_`` replaces."""
+    out = copy.deepcopy(base)
+    for key, value in child.items():
+        if isinstance(value, dict):
+            if value.get(_DELETE_KEY, False):
+                value = {k: v for k, v in value.items() if k != _DELETE_KEY}
+                out[key] = copy.deepcopy(value)
+            elif key in out and isinstance(out[key], dict):
+                out[key] = merge_dicts(out[key], value)
+            else:
+                out[key] = copy.deepcopy(value)
+        else:
+            out[key] = copy.deepcopy(value)
+    return out
