@@ -7,10 +7,17 @@ the driver's compile checks.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin (sitecustomize) pins jax_platforms="axon,cpu" at
+# interpreter start, overriding the env var — force it back before any
+# backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
