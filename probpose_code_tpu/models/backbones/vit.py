@@ -1,0 +1,193 @@
+"""Vision Transformer backbone (flax, NHWC, TPU-first).
+
+The reference takes its ViT from mmpretrain (``mmpretrain.VisionTransformer``,
+see ProbPose config ``td-pm_ProbPose-small_8xb64-210e_coco-256x192.py:57``):
+embed 384 / 12 layers / 12 heads / ffn 1536, patch 16 with conv padding 2,
+no cls token, learnable pos-embed, pre-norm blocks, LN eps 1e-6, final norm,
+``out_type='featmap'``. This is a from-scratch flax implementation of that
+architecture:
+
+- NHWC end-to-end; the token grid stays (B, h, w, C) so the head's deconv
+  stack consumes it without layout shuffles.
+- ``dtype`` selects the compute precision (bfloat16 on TPU keeps the MXU
+  busy; params stay float32).
+- Stochastic depth (drop-path) linearly scaled across layers, active only
+  when ``train=True``.
+- 192 tokens (16x12 @ 256x192) — full attention in one jitted program; no
+  sequence parallelism needed (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from probpose_code_tpu.registry import MODELS
+
+# mmpretrain arch-zoo equivalents used by shipped configs
+VIT_ARCH_ZOO = {
+    "small": dict(embed_dims=384, num_layers=12, num_heads=12, feedforward_channels=1536),
+    "base": dict(embed_dims=768, num_layers=12, num_heads=12, feedforward_channels=3072),
+    "large": dict(embed_dims=1024, num_layers=24, num_heads=16, feedforward_channels=4096),
+    "huge": dict(embed_dims=1280, num_layers=32, num_heads=16, feedforward_channels=5120),
+}
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, mask_shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused qkv projection."""
+
+    embed_dims: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
+
+        scale = head_dim**-0.5
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class TransformerBlock(nn.Module):
+    embed_dims: int
+    num_heads: int
+    feedforward_channels: int
+    drop_path_rate: float = 0.0
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln1")(x)
+        h = Attention(self.embed_dims, self.num_heads, self.qkv_bias, self.dtype, name="attn")(h)
+        x = x + DropPath(self.drop_path_rate, name="drop_path1")(h, deterministic=not train)
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln2")(x)
+        h = nn.Dense(self.feedforward_channels, dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.embed_dims, dtype=self.dtype, name="mlp_fc2")(h)
+        x = x + DropPath(self.drop_path_rate, name="drop_path2")(h, deterministic=not train)
+        return x
+
+
+@MODELS.register_module()
+class VisionTransformer(nn.Module):
+    """ViT backbone emitting an NHWC feature map.
+
+    Args mirror the reference config surface; ``arch`` may be a preset name
+    or a dict with embed_dims/num_layers/num_heads/feedforward_channels.
+    ``img_size`` is (H, W) like mmpretrain.
+    """
+
+    arch: Any = "small"
+    img_size: Tuple[int, int] = (256, 192)
+    patch_size: int = 16
+    patch_padding: int = 2
+    in_channels: int = 3
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    with_cls_token: bool = False
+    out_type: str = "featmap"
+    final_norm: bool = True
+    out_indices: Sequence[int] = (-1,)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        arch = VIT_ARCH_ZOO[self.arch] if isinstance(self.arch, str) else dict(self.arch)
+        self.embed_dims = arch["embed_dims"]
+        self.num_layers = arch["num_layers"]
+        self.num_heads = arch["num_heads"]
+        self.feedforward_channels = arch["feedforward_channels"]
+
+        H, W = self.img_size
+        p, pad = self.patch_size, self.patch_padding
+        self.grid_h = (H + 2 * pad - p) // p + 1
+        self.grid_w = (W + 2 * pad - p) // p + 1
+        num_patches = self.grid_h * self.grid_w
+
+        self.patch_embed = nn.Conv(
+            self.embed_dims,
+            kernel_size=(p, p),
+            strides=(p, p),
+            padding=((pad, pad), (pad, pad)),
+            dtype=self.dtype,
+            name="patch_embed",
+        )
+        n_tokens = num_patches + (1 if self.with_cls_token else 0)
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02), (1, n_tokens, self.embed_dims)
+        )
+        if self.with_cls_token:
+            self.cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, self.embed_dims))
+
+        dpr = [self.drop_path_rate * i / max(self.num_layers - 1, 1) for i in range(self.num_layers)]
+        self.blocks = [
+            TransformerBlock(
+                self.embed_dims,
+                self.num_heads,
+                self.feedforward_channels,
+                drop_path_rate=dpr[i],
+                qkv_bias=self.qkv_bias,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        if self.final_norm:
+            self.ln_final = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln_final")
+
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        """x: (B, H, W, 3) NHWC -> tuple of (B, h, w, C) feature maps."""
+        B = x.shape[0]
+        x = self.patch_embed(x.astype(self.dtype))  # (B, gh, gw, C)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(B, gh * gw, self.embed_dims)
+
+        if self.with_cls_token:
+            cls = jnp.broadcast_to(self.cls_token.astype(self.dtype), (B, 1, self.embed_dims))
+            x = jnp.concatenate([cls, x], axis=1)
+        x = x + self.pos_embed.astype(self.dtype)
+
+        outs = []
+        out_indices = {i % self.num_layers for i in self.out_indices}
+        for i, block in enumerate(self.blocks):
+            x = block(x, train=train)
+            if i in out_indices:
+                y = x
+                if i == self.num_layers - 1 and self.final_norm:
+                    y = self.ln_final(y)
+                if self.with_cls_token:
+                    y = y[:, 1:]
+                if self.out_type == "featmap":
+                    y = y.reshape(B, gh, gw, self.embed_dims)
+                elif self.out_type == "cls_token":
+                    y = x[:, 0]
+                outs.append(y.astype(jnp.float32))
+        return tuple(outs)

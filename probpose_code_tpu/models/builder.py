@@ -1,0 +1,223 @@
+"""Model construction from config dicts + the PoseModel runtime wrapper.
+
+``build_pose_estimator(cfg)`` turns a reference-style model config
+(type/backbone/head/neck/data_preprocessor dicts) into a flax module tree.
+``PoseModel`` owns the module + variables and exposes the two device
+programs: ``predict`` (preprocess -> forward [-> flipped forward] -> decode)
+and the loss function assembled per head type — both pure and jittable.
+
+Counterpart of the reference's registry-built ``TopdownPoseEstimator`` plus
+mmengine's module wrappers; the reference resolves decoding host-side per
+sample (``base_head.py:decode:33``), here decode is part of the jitted
+program (see SURVEY §7 architecture stance).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from probpose_code_tpu.registry import KEYPOINT_CODECS, MODELS
+
+from .pose_estimators.topdown import (
+    TopdownPoseEstimator,
+    heatmap_head_loss,
+    preprocess_inputs,
+    probmap_head_loss,
+    probmap_head_predict,
+)
+
+
+def build_pose_estimator(cfg: Dict[str, Any]):
+    """Build the flax module tree from a model config dict.
+
+    Returns (module, aux) where aux carries data_preprocessor/test_cfg/head
+    configs needed by the runtime programs.
+    """
+    cfg = copy.deepcopy(dict(cfg))
+    model_type = cfg.pop("type", "TopdownPoseEstimator")
+    data_preprocessor = cfg.pop("data_preprocessor", None) or {}
+    test_cfg = cfg.pop("test_cfg", None) or {}
+    train_cfg = cfg.pop("train_cfg", None) or {}
+
+    backbone_cfg = cfg.pop("backbone")
+    head_cfg = cfg.pop("head", None)
+    neck_cfg = cfg.pop("neck", None)
+
+    backbone = MODELS.build(_adapt_backbone_cfg(backbone_cfg))
+    head = MODELS.build(head_cfg) if head_cfg else None
+    neck = MODELS.build(neck_cfg) if neck_cfg else None
+
+    if isinstance(model_type, str):
+        estimator_cls = MODELS.get(model_type)
+        if estimator_cls is None:
+            raise KeyError(f"unknown pose estimator type {model_type}")
+    else:
+        estimator_cls = model_type
+    module = estimator_cls(backbone=backbone, head=head, neck=neck)
+
+    aux = dict(
+        data_preprocessor=data_preprocessor,
+        test_cfg=test_cfg,
+        train_cfg=train_cfg,
+        head_cfg=dict(head_cfg) if head_cfg else {},
+        backbone_cfg=dict(backbone_cfg),
+    )
+    return module, aux
+
+
+def _adapt_backbone_cfg(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Map reference-style backbone configs onto our modules.
+
+    Accepts ``type='mmpretrain.VisionTransformer'`` (the ProbPose config
+    spelling) and its kwargs (patch_cfg.padding, with_cls_token, out_type...).
+    """
+    cfg = copy.deepcopy(dict(cfg))
+    t = cfg.get("type", "")
+    if t in ("mmpretrain.VisionTransformer", "VisionTransformer"):
+        cfg["type"] = "VisionTransformer"
+        patch_cfg = cfg.pop("patch_cfg", None)
+        if patch_cfg and "padding" in patch_cfg:
+            cfg["patch_padding"] = patch_cfg["padding"]
+        cfg.pop("init_cfg", None)
+        cfg.pop("frozen_stages", None)
+    return cfg
+
+
+def build_loss_modules(head_cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Resolve the head's loss config dicts into callables."""
+    defaults = dict(
+        keypoint_loss=dict(type="KeypointMSELoss", use_target_weight=True),
+        probability_loss=dict(type="BCELoss", use_target_weight=True),
+        visibility_loss=dict(type="BCELoss", use_target_weight=True),
+        oks_loss=dict(type="MSELoss", use_target_weight=True),
+        error_loss=dict(type="L1LogLoss", use_target_weight=True),
+    )
+    out = {}
+    for key, default in defaults.items():
+        loss_cfg = head_cfg.get(key, default) or default
+        out[key.replace("_loss", "")] = MODELS.build(loss_cfg)
+    return out
+
+
+class PoseModel:
+    """Runtime handle: flax module + variables + jitted programs.
+
+    This is the TPU-shaped equivalent of the reference's built
+    ``TopdownPoseEstimator``: ``predict()`` runs the whole
+    normalize->forward->TTA->decode pipeline as one device program.
+    """
+
+    def __init__(self, cfg: Dict[str, Any], metainfo: Optional[dict] = None, seed: int = 0):
+        self.cfg = copy.deepcopy(dict(cfg))
+        self.module, self.aux = build_pose_estimator(cfg)
+        self.metainfo = metainfo
+        self.loss_modules = build_loss_modules(self.aux["head_cfg"])
+        head_cfg = self.aux["head_cfg"]
+        self.head_type = head_cfg.get("type", "HeatmapHead")
+        self.decoder_cfg = head_cfg.get("decoder")
+        self.decoder = KEYPOINT_CODECS.build(self.decoder_cfg) if self.decoder_cfg else None
+        self.input_size = tuple(self.decoder_cfg["input_size"]) if self.decoder_cfg else (192, 256)
+        self.variables = None
+        self._predict_fn = None
+        self._seed = seed
+
+    # -- initialization --------------------------------------------------
+
+    def init(self, input_shape: Optional[Tuple[int, ...]] = None, seed: Optional[int] = None):
+        if input_shape is None:
+            w, h = self.input_size
+            input_shape = (1, h, w, 3)
+        rng = jax.random.PRNGKey(self._seed if seed is None else seed)
+        dummy = jnp.zeros(input_shape, jnp.float32)
+        self.variables = self.module.init({"params": rng, "dropout": rng}, dummy, train=False)
+        return self.variables
+
+    @property
+    def params(self):
+        return self.variables["params"]
+
+    def num_params(self) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params))
+
+    # -- programs --------------------------------------------------------
+
+    def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        dp = self.aux["data_preprocessor"]
+        return preprocess_inputs(
+            images,
+            mean=dp.get("mean", (0.0, 0.0, 0.0)),
+            std=dp.get("std", (1.0, 1.0, 1.0)),
+            bgr_to_rgb=dp.get("bgr_to_rgb", False),
+        )
+
+    def forward(self, variables, images, train: bool = False, rngs=None, mutable=False):
+        """tensor-mode forward (preprocess + backbone + head)."""
+        x = self.preprocess(images)
+        return self.module.apply(variables, x, train=train, rngs=rngs, mutable=mutable)
+
+    def loss_fn(self, variables, batch, rngs=None):
+        """Returns (total_loss, (loss_dict, new_mutable_state))."""
+        x = self.preprocess(batch["inputs"])
+        outputs, new_state = self.module.apply(
+            variables, x, train=True, rngs=rngs, mutable=["batch_stats"]
+        )
+        if self.head_type == "ProbMapHead":
+            losses = probmap_head_loss(
+                outputs, batch, self.loss_modules, self.aux["head_cfg"], input_size=self.input_size
+            )
+        else:
+            losses = heatmap_head_loss(outputs, batch, self.loss_modules["keypoint"])
+        total = sum(v for k, v in losses.items() if k.startswith("loss_"))
+        return total, (losses, new_state)
+
+    def make_predict(self, flip_test: Optional[bool] = None, jit: bool = True):
+        """Build the full predict program: images -> decoded predictions."""
+        test_cfg = self.aux["test_cfg"]
+        flip_test = test_cfg.get("flip_test", False) if flip_test is None else flip_test
+        shift_heatmap = test_cfg.get("shift_heatmap", False)
+        flip_indices = list(self.metainfo["flip_indices"]) if self.metainfo else list(range(17))
+        freeze_oks = self.aux["head_cfg"].get("freeze_oks", False)
+        head_type = self.head_type
+        input_size = self.input_size
+
+        def _predict(variables, images):
+            x = self.preprocess(images)
+            outputs = self.module.apply(variables, x, train=False)
+            outputs_flipped = None
+            if flip_test:
+                outputs_flipped = self.module.apply(variables, x[:, :, ::-1, :], train=False)
+            if head_type == "ProbMapHead":
+                return probmap_head_predict(
+                    outputs,
+                    outputs_flipped,
+                    flip_indices,
+                    input_size=input_size,
+                    shift_heatmap=shift_heatmap,
+                    freeze_oks=freeze_oks,
+                )
+            # plain heatmap head: UDP-style decode
+            from probpose_code_tpu.ops.decode import dark_udp_refine_batch
+            from probpose_code_tpu.ops.heatmap import heatmap_maximum_batch
+
+            heatmaps = outputs
+            if outputs_flipped is not None:
+                hm_f = flip_heatmaps_ref(outputs_flipped, flip_indices, shift_heatmap)
+                heatmaps = (heatmaps + hm_f) * 0.5
+            B, K, H, W = heatmaps.shape
+            locs, vals = heatmap_maximum_batch(heatmaps)
+            locs = dark_udp_refine_batch(locs, heatmaps, 11)
+            scale = jnp.asarray([input_size[0] / (W - 1), input_size[1] / (H - 1)], dtype=jnp.float32)
+            return dict(keypoints=locs * scale, keypoint_scores=vals, heatmaps=heatmaps)
+
+        return jax.jit(_predict) if jit else _predict
+
+
+def flip_heatmaps_ref(heatmaps, flip_indices, shift_heatmap):
+    from probpose_code_tpu.ops.tta import flip_heatmaps
+
+    return flip_heatmaps(heatmaps, flip_indices=flip_indices, flip_mode="heatmap", shift_heatmap=shift_heatmap)

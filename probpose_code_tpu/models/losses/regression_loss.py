@@ -1,0 +1,252 @@
+"""Coordinate-regression losses (JAX).
+
+Parity targets in reference ``mmpose/models/losses/regression_loss.py``:
+SmoothL1Loss:90, L1LogLoss:135 (ProbPose error branch), SoftWeightSmoothL1:183,
+WingLoss:258, SoftWingLoss:321, MPJPELoss:446, L1Loss:485, MSELoss:524,
+RLELoss:16 (residual log-likelihood with a RealNVP flow — flow lives in
+``models.utils.realnvp``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from probpose_code_tpu.registry import MODELS
+
+
+def _smooth_l1(pred, target, beta: float = 1.0):
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+
+
+def _apply_weight_product(output, target, target_weight):
+    """Reference semantics: multiply BOTH operands by the weight."""
+    w = target_weight
+    while w.ndim < output.ndim:
+        w = w[..., None]
+    return output * w, target * w
+
+
+@MODELS.register_module()
+class SmoothL1Loss:
+    def __init__(self, use_target_weight: bool = False, loss_weight: float = 1.0):
+        self.use_target_weight = use_target_weight
+        self.loss_weight = loss_weight
+
+    def __call__(self, output, target, target_weight=None):
+        if self.use_target_weight:
+            assert target_weight is not None
+            output, target = _apply_weight_product(output, target, target_weight)
+        return _smooth_l1(output, target).mean() * self.loss_weight
+
+
+@MODELS.register_module()
+class L1LogLoss:
+    """Smooth-L1 on log(1 + x) — relative error; ProbPose error branch."""
+
+    def __init__(self, use_target_weight: bool = False, loss_weight: float = 1.0):
+        self.use_target_weight = use_target_weight
+        self.loss_weight = loss_weight
+
+    def __call__(self, output, target, target_weight=None):
+        output = jnp.log1p(output)
+        target = jnp.log1p(target)
+        if self.use_target_weight:
+            assert target_weight is not None
+            output, target = _apply_weight_product(output, target, target_weight)
+        return _smooth_l1(output, target).mean() * self.loss_weight
+
+
+@MODELS.register_module()
+class L1Loss:
+    def __init__(self, reduction: str = "mean", use_target_weight: bool = False, loss_weight: float = 1.0):
+        assert reduction in ("mean", "sum", "none")
+        self.reduction = reduction
+        self.use_target_weight = use_target_weight
+        self.loss_weight = loss_weight
+
+    def __call__(self, output, target, target_weight=None):
+        if self.use_target_weight:
+            assert target_weight is not None
+            output, target = _apply_weight_product(output, target, target_weight)
+        loss = jnp.abs(output - target)
+        if self.reduction == "mean":
+            loss = loss.mean()
+        elif self.reduction == "sum":
+            loss = loss.sum()
+        return loss * self.loss_weight
+
+
+@MODELS.register_module()
+class MSELoss:
+    def __init__(self, use_target_weight: bool = False, loss_weight: float = 1.0):
+        self.use_target_weight = use_target_weight
+        self.loss_weight = loss_weight
+
+    def __call__(self, output, target, target_weight=None):
+        if self.use_target_weight:
+            assert target_weight is not None
+            output, target = _apply_weight_product(output, target, target_weight)
+        return jnp.mean((output - target) ** 2) * self.loss_weight
+
+
+@MODELS.register_module()
+class WingLoss:
+    def __init__(
+        self,
+        omega: float = 10.0,
+        epsilon: float = 2.0,
+        use_target_weight: bool = False,
+        loss_weight: float = 1.0,
+    ):
+        self.omega = omega
+        self.epsilon = epsilon
+        self.use_target_weight = use_target_weight
+        self.loss_weight = loss_weight
+        self.C = self.omega * (1.0 - jnp.log(1.0 + self.omega / self.epsilon))
+
+    def _criterion(self, pred, target):
+        delta = jnp.abs(target - pred)
+        losses = jnp.where(
+            delta < self.omega,
+            self.omega * jnp.log(1.0 + delta / self.epsilon),
+            delta - self.C,
+        )
+        return losses.mean(axis=-1).mean(axis=-1).sum()
+
+    def __call__(self, output, target, target_weight=None):
+        if self.use_target_weight:
+            assert target_weight is not None
+            output, target = _apply_weight_product(output, target, target_weight)
+        return self._criterion(output, target) * self.loss_weight
+
+
+@MODELS.register_module()
+class SoftWingLoss:
+    def __init__(
+        self,
+        omega1: float = 2.0,
+        omega2: float = 20.0,
+        epsilon: float = 0.5,
+        use_target_weight: bool = False,
+        loss_weight: float = 1.0,
+    ):
+        self.omega1 = omega1
+        self.omega2 = omega2
+        self.epsilon = epsilon
+        self.use_target_weight = use_target_weight
+        self.loss_weight = loss_weight
+        self.B = self.omega1 - self.omega2 * jnp.log(1.0 + self.omega1 / self.epsilon)
+
+    def _criterion(self, pred, target):
+        delta = jnp.abs(target - pred)
+        losses = jnp.where(
+            delta < self.omega1,
+            delta,
+            self.omega2 * jnp.log(1.0 + delta / self.epsilon) + self.B,
+        )
+        return losses.mean(axis=-1).mean(axis=-1).sum()
+
+    def __call__(self, output, target, target_weight=None):
+        if self.use_target_weight:
+            assert target_weight is not None
+            output, target = _apply_weight_product(output, target, target_weight)
+        return self._criterion(output, target) * self.loss_weight
+
+
+@MODELS.register_module()
+class MPJPELoss:
+    """Mean per-joint position error (3D pipelines)."""
+
+    def __init__(self, use_target_weight: bool = False, loss_weight: float = 1.0):
+        self.use_target_weight = use_target_weight
+        self.loss_weight = loss_weight
+
+    def __call__(self, output, target, target_weight=None):
+        if self.use_target_weight:
+            assert target_weight is not None
+            w = target_weight
+            while w.ndim < output.ndim:
+                w = w[..., None]
+            loss = jnp.mean(jnp.linalg.norm((output - target) * w, axis=-1))
+        else:
+            loss = jnp.mean(jnp.linalg.norm(output - target, axis=-1))
+        return loss * self.loss_weight
+
+
+@MODELS.register_module()
+class SoftWeightSmoothL1Loss:
+    """Smooth-L1 multiplied (not gated) by a soft weight (reference :183)."""
+
+    def __init__(
+        self,
+        use_target_weight: bool = False,
+        supervise_empty: bool = True,
+        beta: float = 1.0,
+        loss_weight: float = 1.0,
+    ):
+        self.use_target_weight = use_target_weight
+        self.supervise_empty = supervise_empty
+        self.beta = beta
+        self.loss_weight = loss_weight
+
+    def __call__(self, output, target, target_weight=None):
+        loss = _smooth_l1(output, target, beta=self.beta)
+        if self.use_target_weight:
+            assert target_weight is not None
+            w = target_weight
+            while w.ndim < loss.ndim:
+                w = w[..., None]
+            loss = loss * w
+            if not self.supervise_empty:
+                denom = jnp.maximum((w > 0).sum() * (loss.size / max(w.size, 1)), 1.0)
+                return loss.sum() / denom * self.loss_weight
+        return loss.mean() * self.loss_weight
+
+
+@MODELS.register_module()
+class RLELoss:
+    """Residual log-likelihood estimation loss (RLE, ICCV 2021).
+
+    ``pred``/``sigma`` come from a regression head with flow-based density;
+    the flow log-prob is computed by the head (models.utils.realnvp) and
+    passed as ``log_phi``. Matches the reference's Q(logQ) residual form.
+    """
+
+    def __init__(
+        self,
+        use_target_weight: bool = False,
+        size_average: bool = True,
+        residual: bool = True,
+        q_distribution: str = "laplace",
+        loss_weight: float = 1.0,
+    ):
+        assert q_distribution in ("laplace", "gaussian")
+        self.use_target_weight = use_target_weight
+        self.size_average = size_average
+        self.residual = residual
+        self.q_distribution = q_distribution
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, sigma, target, target_weight=None, log_phi=None):
+        sigma = jnp.clip(sigma, 1e-9)
+        error = (pred - target) / sigma
+        if self.q_distribution == "laplace":
+            log_q = jnp.log(sigma * 2) + jnp.abs(error)
+        else:
+            log_q = jnp.log(sigma * jnp.sqrt(2 * jnp.pi)) + 0.5 * error**2
+
+        if self.residual:
+            assert log_phi is not None, "residual RLE needs the flow log-likelihood"
+            loss = log_q - log_phi[..., None] / error.shape[-1] if log_phi.ndim < log_q.ndim else log_q - log_phi
+        else:
+            loss = log_q
+
+        if self.use_target_weight and target_weight is not None:
+            w = target_weight
+            while w.ndim < loss.ndim:
+                w = w[..., None]
+            loss = loss * w
+        if self.size_average:
+            return loss.mean() * self.loss_weight
+        return loss.sum() * self.loss_weight

@@ -1,0 +1,305 @@
+"""Top-down pose estimator: composition module + jitted loss/predict programs.
+
+Parity targets:
+- ``TopdownPoseEstimator`` (reference ``pose_estimators/topdown.py:13``):
+  backbone (+ neck) -> head; predict with flip-TTA; loss dispatch.
+- ``PoseDataPreprocessor`` (reference ``data_preprocessors/data_preprocessor.py:14``):
+  channel flip + mean/std normalize — here a pure function fused into the
+  jitted program instead of a host-side module.
+- ProbMapHead.loss (reference ``probmap_head.py:806-942``) including the
+  on-the-fly GT OKS / error targets. The reference round-trips heatmaps to
+  CPU every training step (``_error_from_heatmaps:474`` / ``_oks_from_heatmaps:510``);
+  here the fast decode (argmax + DARK-UDP) runs on device inside the same
+  jitted step (ops.decode.argmax_probmap_decode_batch).
+
+Training-time quality monitors (acc_pose PCK, balanced binary accs, MAEs —
+reference ``probmap_head.py:904-940``) are computed on device; the balanced
+accuracy uses the exact per-class mean formulation instead of the
+reference's random balanced subsample (same expectation, deterministic).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from probpose_code_tpu.codecs.utils.oks_map import COCO_KPT_SIGMAS
+from probpose_code_tpu.ops.decode import (
+    argmax_probmap_decode_batch,
+    heatmap_expected_value_batch,
+)
+from probpose_code_tpu.ops.heatmap import heatmap_maximum_batch
+from probpose_code_tpu.ops.tta import flip_heatmaps
+from probpose_code_tpu.registry import MODELS
+
+
+@MODELS.register_module()
+class TopdownPoseEstimator(nn.Module):
+    """backbone (+ neck) -> head, NHWC in, head-native outputs."""
+
+    backbone: nn.Module
+    head: nn.Module
+    neck: Optional[nn.Module] = None
+
+    def extract_feat(self, inputs: jnp.ndarray, train: bool = False):
+        feats = self.backbone(inputs, train=train)
+        if self.neck is not None:
+            feats = self.neck(feats)
+        return feats
+
+    def __call__(self, inputs: jnp.ndarray, train: bool = False):
+        feats = self.extract_feat(inputs, train=train)
+        return self.head(feats, train=train)
+
+
+def preprocess_inputs(
+    images: jnp.ndarray,
+    mean: Tuple[float, float, float],
+    std: Tuple[float, float, float],
+    bgr_to_rgb: bool = True,
+) -> jnp.ndarray:
+    """(B, H, W, 3) raw 0-255 -> normalized float32 (fused into the jit)."""
+    x = images.astype(jnp.float32)
+    if bgr_to_rgb:
+        x = x[..., ::-1]
+    mean = jnp.asarray(mean, dtype=jnp.float32)
+    std = jnp.asarray(std, dtype=jnp.float32)
+    return (x - mean) / std
+
+
+# --------------------------------------------------------------------------
+# ProbMap head: training targets + losses (all on device)
+# --------------------------------------------------------------------------
+
+
+def _fast_decode_to_input_space(heatmaps: jnp.ndarray, input_size: Tuple[int, int]) -> jnp.ndarray:
+    """ArgMaxProbMap fast decode -> input-space coords (B, K, 2)."""
+    B, K, H, W = heatmaps.shape
+    locs, _ = argmax_probmap_decode_batch(heatmaps, 11)
+    scale = jnp.asarray([input_size[0] / (W - 1), input_size[1] / (H - 1)], dtype=jnp.float32)
+    return locs * scale
+
+
+def compute_oks_targets(
+    gt_coords: jnp.ndarray,
+    dt_coords: jnp.ndarray,
+    weight: jnp.ndarray,
+    kpt_sigmas: Optional[np.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-keypoint OKS between decoded GT and prediction coordinates.
+
+    Vectorized equivalent of reference ``probmap_head.py:compute_oks:1078``
+    with its training-time constants: fixed bbox (w=64, h=48), use_area=False
+    (area = 64*48*0.53), per_kpt=True. ``weight`` (B, K) gates keypoints;
+    instances with no valid keypoint get an all-zero target and weight 0.
+    """
+    sigmas = jnp.asarray(kpt_sigmas if kpt_sigmas is not None else COCO_KPT_SIGMAS, dtype=jnp.float32)
+    K = gt_coords.shape[1]
+    sigmas = sigmas[:K]
+    vars_ = (sigmas * 2) ** 2  # (K,)
+    tmparea = 48.0 * 64.0 * 0.53
+
+    w = weight.astype(jnp.float32)
+    g = gt_coords * w[..., None]
+    d = dt_coords * w[..., None]
+    valid = w > 0  # visibility condition vg > 0 (vg = 2 * weight)
+    k1 = valid.sum(axis=1)  # (B,)
+
+    dx = d[..., 0] - g[..., 0]
+    dy = d[..., 1] - g[..., 1]
+    e = (dx**2 + dy**2) / vars_[None] / (tmparea + 1e-9) / 2.0
+    oks = jnp.exp(-e) * valid  # zero out invisible per reference per_kpt path
+    oks = jnp.where((k1 > 0)[:, None], oks, 0.0)
+    oks_weight = (k1 > 0).astype(jnp.float32)
+    return oks, oks_weight
+
+
+def _balanced_visibility_weights(annotated_in, gt_vis, gt_annotated):
+    """Reference ``probmap_head.py:883-889``: reweight annotated keypoints so
+    invisible and visible populations contribute equally."""
+    invisible_in = (gt_vis == 0) & (gt_annotated > 0.5)
+    visible_in = (gt_vis > 0) & (gt_annotated > 0.5)
+    w = annotated_in.astype(jnp.float32)
+    inv_w = 1.0 / (invisible_in.sum() + 1e-10)
+    vis_w = 1.0 / (visible_in.sum() + 1e-10)
+    w = jnp.where(invisible_in, inv_w, w)
+    w = jnp.where(visible_in, vis_w, w)
+    positive_min = jnp.min(jnp.where(w > 0, w, jnp.inf))
+    positive_min = jnp.where(jnp.isfinite(positive_min), positive_min, 1.0)
+    return w / positive_min
+
+
+def _pose_pck_accuracy(dt_heatmaps, gt_heatmaps, mask, thr: float = 0.05):
+    """Device PCK monitor (reference ``functional/keypoint_eval.py:pose_pck_accuracy``):
+    argmax coords, normalized by heatmap_size/10, threshold 0.05."""
+    B, K, H, W = dt_heatmaps.shape
+    dt_locs, _ = heatmap_maximum_batch(dt_heatmaps)
+    gt_locs, _ = heatmap_maximum_batch(gt_heatmaps)
+    norm = jnp.asarray([W, H], dtype=jnp.float32) / 10.0
+    dist = jnp.linalg.norm((dt_locs - gt_locs) / norm, axis=-1)  # (B, K)
+    valid = mask & (gt_locs[..., 0] >= 0)
+    correct = (dist < thr * 10.0) & valid
+    denom = jnp.maximum(valid.sum(), 1)
+    return correct.sum() / denom
+
+
+def _balanced_binary_accuracy(dt, gt, mask):
+    """Best-threshold balanced accuracy monitor (deterministic version of
+    reference ``get_binary_accuracy`` with force_balanced=True)."""
+    thresholds = jnp.arange(0.1, 1.0, 0.05)
+    gt_b = gt > 0.5
+    m = mask.astype(jnp.float32)
+    pos = (gt_b & (mask > 0)).astype(jnp.float32)
+    neg = ((~gt_b) & (mask > 0)).astype(jnp.float32)
+    n_pos = jnp.maximum(pos.sum(), 1.0)
+    n_neg = jnp.maximum(neg.sum(), 1.0)
+
+    preds = dt[None] > thresholds[:, None, None]  # (T, B, K)
+    tp = (preds * pos[None]).sum(axis=(1, 2))
+    tn = ((~preds) * neg[None]).sum(axis=(1, 2))
+    balanced = 0.5 * (tp / n_pos + tn / n_neg)
+    has_both = (pos.sum() > 0) & (neg.sum() > 0)
+    del m
+    return jnp.where(has_both, balanced.max(), 0.0)
+
+
+def probmap_head_loss(
+    outputs: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    loss_modules: Dict[str, Any],
+    head_cfg: Dict[str, Any],
+    input_size: Tuple[int, int] = (192, 256),
+    compute_acc: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """ProbMapHead loss dict (reference ``probmap_head.py:806-942``)."""
+    dt_heatmaps = outputs["heatmaps"]
+    B, C, H, W = dt_heatmaps.shape
+    dt_probs = outputs["probabilities"].reshape(B, C)
+    dt_vis = outputs["visibilities"].reshape(B, C)
+    dt_oks = outputs["oks"].reshape(B, C)
+    dt_errs = outputs["errors"].reshape(B, C)
+
+    gt_heatmaps = batch["heatmaps"]
+    gt_probs = batch["in_image"].astype(jnp.float32).reshape(B, C)
+    gt_annotated = batch["annotated"].astype(jnp.float32).reshape(B, C)
+    gt_vis = batch["keypoints_visibility"].astype(jnp.float32).reshape(B, C)
+    keypoint_weights = batch["keypoint_weights"].reshape(B, C)
+
+    freeze_oks = head_cfg.get("freeze_oks", False)
+    freeze_error = head_cfg.get("freeze_error", True)
+
+    # on-device GT target computation (no CPU round-trip)
+    need_decode = (not freeze_error) or (not freeze_oks)
+    if need_decode:
+        gt_coords = _fast_decode_to_input_space(jax.lax.stop_gradient(gt_heatmaps), input_size)
+        dt_coords = _fast_decode_to_input_space(jax.lax.stop_gradient(dt_heatmaps), input_size)
+    if freeze_error:
+        gt_errs = jnp.zeros((B, C))
+    else:
+        gt_errs = jnp.linalg.norm(gt_coords - dt_coords, axis=-1)
+    if freeze_oks:
+        gt_oks = jnp.zeros((B, C))
+    else:
+        oks_weight_mask = (gt_probs > 0.5) & (gt_annotated > 0.5)
+        gt_oks, _ = compute_oks_targets(gt_coords, dt_coords, oks_weight_mask)
+
+    annotated_in = (gt_annotated > 0.5) & (gt_probs > 0.5)
+
+    heatmap_weights = gt_annotated if head_cfg.get("learn_heatmaps_from_zeros", False) else keypoint_weights
+
+    losses: Dict[str, jnp.ndarray] = {}
+    heatmap_loss_pxl = loss_modules["keypoint"](dt_heatmaps, gt_heatmaps, heatmap_weights, per_pixel=True)
+    losses["loss_kpt"] = heatmap_loss_pxl.mean()
+    losses["loss_probability"] = loss_modules["probability"](dt_probs, gt_probs, gt_annotated)
+
+    vis_weights = _balanced_visibility_weights(annotated_in, gt_vis, gt_annotated)
+    losses["loss_visibility"] = loss_modules["visibility"](dt_vis, gt_vis, vis_weights)
+    losses["loss_oks"] = loss_modules["oks"](dt_oks, gt_oks, annotated_in.astype(jnp.float32))
+    losses["loss_error"] = loss_modules["error"](dt_errs, gt_errs, annotated_in.astype(jnp.float32))
+
+    if compute_acc:
+        losses["acc_pose"] = _pose_pck_accuracy(
+            jax.lax.stop_gradient(dt_heatmaps), gt_heatmaps, keypoint_weights > 0.5
+        )
+        losses["acc_prob"] = _balanced_binary_accuracy(
+            jax.lax.stop_gradient(dt_probs), gt_probs, gt_annotated > 0.5
+        )
+        losses["acc_vis"] = _balanced_binary_accuracy(jax.lax.stop_gradient(dt_vis), gt_vis, annotated_in)
+        mask_f = annotated_in.astype(jnp.float32)
+        denom = jnp.maximum(mask_f.sum(), 1.0)
+        losses["mae_oks"] = (jnp.abs(jax.lax.stop_gradient(dt_oks) - gt_oks) * mask_f).sum() / denom
+        losses["mae_err"] = (jnp.abs(jax.lax.stop_gradient(dt_errs) - gt_errs) * mask_f).sum() / denom
+    return losses
+
+
+def heatmap_head_loss(
+    heatmaps: jnp.ndarray,
+    batch: Dict[str, jnp.ndarray],
+    loss_module: Any,
+    compute_acc: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Plain HeatmapHead loss (reference ``heatmap_head.py:loss:270``)."""
+    losses = {
+        "loss_kpt": loss_module(heatmaps, batch["heatmaps"], batch["keypoint_weights"]),
+    }
+    if compute_acc:
+        losses["acc_pose"] = _pose_pck_accuracy(
+            jax.lax.stop_gradient(heatmaps), batch["heatmaps"], batch["keypoint_weights"] > 0.5
+        )
+    return losses
+
+
+# --------------------------------------------------------------------------
+# Predict program pieces
+# --------------------------------------------------------------------------
+
+
+def probmap_head_predict(
+    outputs: Dict[str, jnp.ndarray],
+    outputs_flipped: Optional[Dict[str, jnp.ndarray]],
+    flip_indices,
+    input_size: Tuple[int, int] = (192, 256),
+    shift_heatmap: bool = False,
+    freeze_oks: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Flip-TTA average + on-device expected-OKS decode
+    (reference ``probmap_head.py:predict:715-804``)."""
+    heatmaps = outputs["heatmaps"]
+    probs = outputs["probabilities"]
+    vis = outputs["visibilities"]
+    oks = outputs["oks"]
+    errs = outputs["errors"]
+
+    if outputs_flipped is not None:
+        hm_f = flip_heatmaps(
+            outputs_flipped["heatmaps"], flip_indices=flip_indices, flip_mode="heatmap", shift_heatmap=shift_heatmap
+        )
+        heatmaps = (heatmaps + hm_f) * 0.5
+        idx = jnp.asarray(flip_indices)
+        probs = (probs + outputs_flipped["probabilities"][:, idx]) * 0.5
+        vis = (vis + outputs_flipped["visibilities"][:, idx]) * 0.5
+        oks = (oks + outputs_flipped["oks"][:, idx]) * 0.5
+        errs = (errs + outputs_flipped["errors"][:, idx]) * 0.5
+
+    B, K, H, W = heatmaps.shape
+    locs, scores = heatmap_expected_value_batch(heatmaps)
+    scale = jnp.asarray([input_size[0] / (W - 1), input_size[1] / (H - 1)], dtype=jnp.float32)
+    keypoints = locs * scale
+
+    errs = errs / jnp.sqrt(jnp.asarray(H**2 + W**2, dtype=jnp.float32))
+
+    keypoint_scores = oks if not freeze_oks else scores
+    return dict(
+        keypoints=keypoints,
+        keypoint_scores=keypoint_scores,
+        keypoints_conf=scores,
+        keypoints_probs=probs,
+        keypoints_visible=vis,
+        keypoints_oks=oks,
+        keypoints_error=errs,
+        heatmaps=heatmaps,
+    )
