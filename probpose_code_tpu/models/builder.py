@@ -48,9 +48,9 @@ def build_pose_estimator(cfg: Dict[str, Any]):
     head_cfg = cfg.pop("head", None)
     neck_cfg = cfg.pop("neck", None)
 
-    backbone = MODELS.build(_adapt_backbone_cfg(backbone_cfg))
-    head = MODELS.build(head_cfg) if head_cfg else None
-    neck = MODELS.build(neck_cfg) if neck_cfg else None
+    backbone = MODELS.build(_resolve_dtype(_adapt_backbone_cfg(backbone_cfg)))
+    head = MODELS.build(_resolve_dtype(dict(head_cfg))) if head_cfg else None
+    neck = MODELS.build(_resolve_dtype(dict(neck_cfg))) if neck_cfg else None
 
     if isinstance(model_type, str):
         estimator_cls = MODELS.get(model_type)
@@ -68,6 +68,15 @@ def build_pose_estimator(cfg: Dict[str, Any]):
         backbone_cfg=dict(backbone_cfg),
     )
     return module, aux
+
+
+_DTYPE_MAP = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+
+
+def _resolve_dtype(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    if isinstance(cfg.get("dtype"), str):
+        cfg["dtype"] = _DTYPE_MAP[cfg["dtype"]]
+    return cfg
 
 
 def _adapt_backbone_cfg(cfg: Dict[str, Any]) -> Dict[str, Any]:

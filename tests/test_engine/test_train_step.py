@@ -1,0 +1,91 @@
+"""Train-step tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from probpose_code_tpu.engine.optim import build_optimizer, build_schedule, make_lr_scale_tree
+from probpose_code_tpu.parallel import create_train_state, make_mesh, make_train_step, shard_batch
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
+    from probpose_code_tpu.models import PoseModel
+    from tests.test_models.test_probpose_model import TINY_PROBPOSE_CFG
+
+    m = PoseModel(TINY_PROBPOSE_CFG, metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
+    m.init()
+    return m
+
+
+def make_batch(b):
+    rng = np.random.RandomState(0)
+    K, H, W = 17, 64, 48
+    return dict(
+        inputs=jnp.asarray(rng.rand(b, 256, 192, 3).astype(np.float32) * 255),
+        heatmaps=jnp.asarray(rng.rand(b, K, H, W).astype(np.float32)),
+        keypoint_weights=jnp.ones((b, K), jnp.float32),
+        in_image=jnp.ones((b, K), jnp.float32),
+        annotated=jnp.ones((b, K), jnp.float32),
+        keypoints_visibility=jnp.asarray((rng.rand(b, K) > 0.5).astype(np.float32)),
+    )
+
+
+def test_schedule_matches_reference_semantics():
+    scheds = [
+        dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
+        dict(type="MultiStepLR", begin=0, end=210, milestones=[170, 200], gamma=0.1, by_epoch=True),
+    ]
+    lr_fn = build_schedule(scheds, base_lr=5e-5, steps_per_epoch=100, max_epochs=210)
+    assert float(lr_fn(0)) == pytest.approx(5e-8, rel=1e-5)
+    assert float(lr_fn(250)) == pytest.approx(5e-5 * (0.001 + 0.999 * 0.5), rel=1e-4)
+    assert float(lr_fn(1000)) == pytest.approx(5e-5, rel=1e-5)
+    assert float(lr_fn(170 * 100)) == pytest.approx(5e-6, rel=1e-4)
+    assert float(lr_fn(200 * 100)) == pytest.approx(5e-7, rel=1e-4)
+
+
+def test_layer_decay_scales(tiny_model):
+    scales = make_lr_scale_tree(tiny_model.params, num_layers=2, decay_rate=0.8)
+    flat = jax.tree_util.tree_flatten_with_path(scales)[0]
+    by_name = {"/".join(str(getattr(p, "key", p)) for p in path): v for path, v in flat}
+    # head params get full LR
+    head_scales = [v for k, v in by_name.items() if k.startswith("backbone") is False]
+    assert all(abs(v - 1.0) < 1e-6 for v in head_scales)
+    # patch_embed/pos_embed get the deepest decay: 0.8 ** (2 + 2 - 0 - 1)
+    pe = [v for k, v in by_name.items() if "patch_embed" in k or "pos_embed" in k]
+    assert all(abs(v - 0.8**3) < 1e-6 for v in pe)
+    # block0 < block1 < head
+    b0 = [v for k, v in by_name.items() if "block0" in k][0]
+    b1 = [v for k, v in by_name.items() if "block1" in k][0]
+    assert b0 == pytest.approx(0.8**2) and b1 == pytest.approx(0.8**1)
+
+
+def test_sharded_train_step_runs_and_descends(tiny_model):
+    mesh = make_mesh(n_data=8)
+    tx, _ = build_optimizer(
+        tiny_model.params,
+        dict(
+            optimizer=dict(type="AdamW", lr=1e-3, betas=(0.9, 0.999), weight_decay=0.01),
+            paramwise_cfg=dict(num_layers=2, layer_decay_rate=0.8),
+            constructor="LayerDecayOptimWrapperConstructor",
+            clip_grad=dict(max_norm=1.0),
+        ),
+        param_scheduler=None,
+        steps_per_epoch=10,
+        max_epochs=10,
+    )
+    state = create_train_state(tiny_model.variables, tx)
+    step = make_train_step(tiny_model, tx, mesh=mesh)
+    batch = shard_batch(make_batch(16), mesh)
+    rng = jax.random.PRNGKey(0)
+
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"loss did not descend: {losses}"
+    assert int(state.step) == 5
