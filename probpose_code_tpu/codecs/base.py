@@ -25,18 +25,11 @@ class BaseKeypointCodec(metaclass=ABCMeta):
     auxiliary_encode_keys = set()
 
     # instance-label / dense-field mapping tables used by GenerateTarget &
-    # PackPoseInputs to route encoded entries into the data sample
+    # PackPoseInputs to route encoded entries into the data sample. Empty
+    # tables mean "use PackPoseInputs' defaults" (reference base.py:22-23).
     label_mapping_table = dict(keypoint_weights="keypoint_weights")
     field_mapping_table = dict(heatmaps="heatmaps")
-    instance_mapping_table = dict(
-        bbox="bboxes",
-        bbox_score="bbox_scores",
-        keypoints="keypoints",
-        keypoints_cam="keypoints_cam",
-        keypoints_visible="keypoints_visible",
-        keypoints_visibility="keypoints_visibility",
-        in_image="in_image",
-    )
+    instance_mapping_table = dict()
 
     # whether decode() accepts batched (B, ...) arrays directly
     support_batch_decoding: bool = False

@@ -1,0 +1,24 @@
+from .base_dataset import (
+    BaseCocoStyleDataset,
+    CocoCropDataset,
+    CocoDataset,
+    CombinedDataset,
+    Compose,
+)
+from .coco_api import COCO
+from .loader import DataLoader, collate_pose_samples
+from .metainfo import DATASET_METAINFO, parse_pose_metainfo
+from .transforms import *  # noqa: F401,F403
+
+__all__ = [
+    "COCO",
+    "BaseCocoStyleDataset",
+    "CocoCropDataset",
+    "CocoDataset",
+    "CombinedDataset",
+    "Compose",
+    "DATASET_METAINFO",
+    "DataLoader",
+    "collate_pose_samples",
+    "parse_pose_metainfo",
+]

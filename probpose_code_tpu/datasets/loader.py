@@ -1,0 +1,143 @@
+"""Batching and prefetching data loader (host side).
+
+Replaces the reference's torch DataLoader + pseudo_collate: samples from the
+pipeline are collated into one dict of dense NumPy arrays (ready for a
+single host->device transfer) plus the list of PoseDataSample metadata.
+Prefetching uses a thread pool — pipeline hot ops (cv2 warp, codec encode)
+release the GIL or are vectorized NumPy, so threads scale adequately; the
+device-side warp path can bypass most of this work entirely.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from queue import Queue
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from probpose_code_tpu.structures import PoseDataSample
+
+
+def collate_pose_samples(samples: List[dict]) -> Dict:
+    """Collate pipeline outputs into dense arrays + data_samples list.
+
+    Keys produced (when present in the samples):
+    - inputs: (B, H, W, 3) float32 image batch (BGR, 0-255)
+    - heatmaps: (B, K, Hh, Wh); keypoint_weights: (B, K)
+    - keypoint_x_labels / keypoint_y_labels for SimCC
+    - in_image / annotated / keypoints_visibility: (B, K)
+    - data_samples: list of PoseDataSample
+    """
+    samples = [s for s in samples if s is not None]
+    assert samples, "empty batch after pipeline drops"
+    batch: Dict = {}
+    batch["inputs"] = np.stack([s["inputs"] for s in samples]).astype(np.float32)
+    data_samples = [s["data_samples"] for s in samples]
+    batch["data_samples"] = data_samples
+
+    ds0: PoseDataSample = data_samples[0]
+
+    def stack_label(name):
+        vals = [np.asarray(d.gt_instance_labels[name]) for d in data_samples]
+        v = np.stack(vals)
+        # labels carry an instance dim of 1 for topdown: (B, 1, ...) -> (B, ...)
+        if v.ndim >= 3 and v.shape[1] == 1:
+            v = v[:, 0]
+        return v
+
+    for name in ("keypoint_weights", "keypoint_labels", "keypoint_x_labels", "keypoint_y_labels"):
+        if name in ds0.gt_instance_labels:
+            batch[name] = stack_label(name).astype(np.float32)
+
+    if "heatmaps" in ds0.gt_fields:
+        batch["heatmaps"] = np.stack([np.asarray(d.gt_fields.heatmaps) for d in data_samples]).astype(np.float32)
+
+    def stack_instance(name, squeeze=True):
+        vals = [np.asarray(d.gt_instances[name]) for d in data_samples]
+        v = np.stack(vals)
+        if squeeze and v.ndim >= 3 and v.shape[1] == 1:
+            v = v[:, 0]
+        return v
+
+    if "in_image" in ds0.gt_instances:
+        batch["in_image"] = stack_instance("in_image").astype(np.float32)
+    if "keypoints_visible" in ds0.gt_instances:
+        batch["annotated"] = stack_instance("keypoints_visible").astype(np.float32)
+    if "keypoints_visibility" in ds0.gt_instances:
+        batch["keypoints_visibility"] = stack_instance("keypoints_visibility").astype(np.float32)
+    return batch
+
+
+class DataLoader:
+    """Iterable over collated batches with shuffling and prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        seed: int = 0,
+        prefetch: int = 2,
+        collate_fn=collate_pose_samples,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.collate_fn = collate_fn
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        indices = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(indices)
+        batches = []
+        for i in range(0, n, self.batch_size):
+            chunk = indices[i:i + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                continue
+            batches.append(chunk)
+        return batches
+
+    def __iter__(self) -> Iterator[Dict]:
+        batches = self._index_batches()
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+
+            def load_batch(idx_chunk):
+                samples = list(pool.map(self.dataset.__getitem__, idx_chunk))
+                return self.collate_fn(samples)
+
+            # simple sliding-window prefetch
+            from collections import deque
+
+            futures = deque()
+            submitter = iter(batches)
+            with ThreadPoolExecutor(max_workers=self.prefetch) as batch_pool:
+                for _ in range(self.prefetch):
+                    chunk = next(submitter, None)
+                    if chunk is not None:
+                        futures.append(batch_pool.submit(load_batch, chunk))
+                while futures:
+                    fut = futures.popleft()
+                    chunk = next(submitter, None)
+                    if chunk is not None:
+                        futures.append(batch_pool.submit(load_batch, chunk))
+                    yield fut.result()

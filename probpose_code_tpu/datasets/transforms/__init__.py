@@ -1,0 +1,31 @@
+from .common import (
+    FilterAnnotations,
+    GenerateTarget,
+    GetBBoxCenterScale,
+    PhotometricDistortion,
+    RandomBBoxTransform,
+    RandomEdgesBlackout,
+    RandomFlip,
+    RandomHalfBody,
+    RandomPatchesBlackout,
+    YOLOXHSVRandomAug,
+)
+from .formatting import PackPoseInputs
+from .loading import LoadImage
+from .topdown import TopdownAffine
+
+__all__ = [
+    "FilterAnnotations",
+    "GenerateTarget",
+    "GetBBoxCenterScale",
+    "LoadImage",
+    "PackPoseInputs",
+    "PhotometricDistortion",
+    "RandomBBoxTransform",
+    "RandomEdgesBlackout",
+    "RandomFlip",
+    "RandomHalfBody",
+    "RandomPatchesBlackout",
+    "TopdownAffine",
+    "YOLOXHSVRandomAug",
+]

@@ -1,0 +1,133 @@
+"""PackPoseInputs: bundle pipeline results into (inputs, PoseDataSample).
+
+Parity target: reference ``datasets/transforms/formatting.py:61`` including
+the ProbPose keys (``keypoints_visibility``, ``in_image``,
+``keypoints_in_image``, ``bbox_mask``, ``bbox_xyxy_wrt_input``).
+
+Images stay NumPy (HWC uint8/float); batching to device arrays happens in
+the loader/collate step — there is no per-sample tensor conversion.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from probpose_code_tpu.registry import TRANSFORMS
+from probpose_code_tpu.structures import InstanceData, PixelData, PoseDataSample
+
+
+@TRANSFORMS.register_module()
+class PackPoseInputs:
+    instance_mapping_table = dict(
+        bbox="bboxes",
+        bbox_score="bbox_scores",
+        keypoints="keypoints",
+        keypoints_cam="keypoints_cam",
+        keypoints_visible="keypoints_visible",
+        keypoints_visibility="keypoints_visibility",
+        bbox_scale="bbox_scales",
+        head_size="head_size",
+        in_image="in_image",
+        keypoints_scaled="keypoints_scaled",
+        heatmap_keypoints="heatmap_keypoints",
+        keypoints_in_image="keypoints_in_image",
+        bbox_mask="bbox_mask",
+        out_heatmaps="out_heatmaps",
+        out_kpt_weights="out_kpt_weights",
+        bbox_xyxy_wrt_input="bbox_xyxy_wrt_input",
+    )
+
+    field_mapping_table = dict(
+        heatmaps="heatmaps",
+        instance_heatmaps="instance_heatmaps",
+        heatmap_mask="heatmap_mask",
+        heatmap_weights="heatmap_weights",
+        displacements="displacements",
+        displacement_weights="displacement_weights",
+    )
+
+    label_mapping_table = dict(
+        keypoint_labels="keypoint_labels",
+        keypoint_x_labels="keypoint_x_labels",
+        keypoint_y_labels="keypoint_y_labels",
+        keypoint_weights="keypoint_weights",
+        keypoints_visible_weights="keypoints_visible_weights",
+    )
+
+    def __init__(
+        self,
+        meta_keys=(
+            "id",
+            "img_id",
+            "img_path",
+            "category_id",
+            "crowd_index",
+            "ori_shape",
+            "img_shape",
+            "input_size",
+            "input_center",
+            "input_scale",
+            "flip",
+            "flip_direction",
+            "flip_indices",
+            "raw_ann_info",
+            "dataset_name",
+            "pad_to_contain",
+            "area",
+        ),
+        pack_transformed: bool = False,
+    ):
+        self.meta_keys = meta_keys
+        self.pack_transformed = pack_transformed
+
+    def __call__(self, results: Dict) -> Optional[dict]:
+        inputs = None
+        if "img" in results:
+            inputs = np.ascontiguousarray(results["img"])  # HWC (BGR)
+        elif "lifting_target" in results and "keypoints" in results:
+            inputs = np.asarray(results.get("keypoint_labels", results["keypoints"]))
+
+        if "in_image" in results:
+            if "keypoints_in_image" not in results:
+                results["keypoints_in_image"] = results["in_image"]
+            results["keypoints_in_image"] = np.asarray(results["keypoints_in_image"]).astype(bool) & np.asarray(
+                results["in_image"]
+            ).astype(bool)
+
+        data_sample = PoseDataSample()
+
+        gt_instances = InstanceData()
+        inst_table = results.get("instance_mapping_table", self.instance_mapping_table)
+        for key, packed_key in inst_table.items():
+            if key in results:
+                gt_instances.set_field(results[key], packed_key)
+        if self.pack_transformed and "transformed_keypoints" in results:
+            gt_instances.set_field(results["transformed_keypoints"], "transformed_keypoints")
+        data_sample.gt_instances = gt_instances
+
+        gt_instance_labels = InstanceData()
+        label_table = results.get("label_mapping_table", self.label_mapping_table)
+        for key, packed_key in label_table.items():
+            if key in results:
+                value = results[key]
+                if isinstance(value, list):
+                    value = np.stack(value)
+                gt_instance_labels.set_field(np.asarray(value), packed_key)
+        data_sample.gt_instance_labels = gt_instance_labels
+
+        gt_fields = PixelData()
+        field_table = results.get("field_mapping_table", self.field_mapping_table)
+        for key, packed_key in field_table.items():
+            if key in results:
+                value = results[key]
+                if isinstance(value, list):
+                    value = np.stack(value)
+                gt_fields.set_field(np.asarray(value), packed_key)
+        data_sample.gt_fields = gt_fields
+
+        metainfo = {k: results[k] for k in self.meta_keys if k in results}
+        data_sample.set_metainfo(metainfo)
+
+        return dict(inputs=inputs, data_samples=data_sample)

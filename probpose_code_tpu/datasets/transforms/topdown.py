@@ -1,0 +1,97 @@
+"""TopdownAffine: crop the bbox region into the model input frame.
+
+Parity target: reference ``datasets/transforms/topdown_transforms.py:14``
+(the ProbPose fork variant which re-derives center/scale from the padded
+``bbox_xyxy_wrt_input``, builds a bbox coverage mask, and records
+input_center/input_scale/input_size).
+
+Host path uses cv2.warpAffine for training-pipeline parity; the device path
+(ops.warp.warp_affine_batch) performs the same warp inside the serving
+program.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from probpose_code_tpu.registry import TRANSFORMS
+from probpose_code_tpu.structures.bbox import (
+    bbox_xyxy2cs,
+    get_udp_warp_matrix,
+    get_warp_matrix,
+)
+
+
+@TRANSFORMS.register_module()
+class TopdownAffine:
+    def __init__(self, input_size: Tuple[int, int], input_padding: float = 1.25, use_udp: bool = False):
+        assert len(input_size) == 2
+        self.input_size = input_size
+        self.use_udp = use_udp
+        self.input_padding = input_padding
+
+    @staticmethod
+    def _fix_aspect_ratio(bbox_scale: np.ndarray, aspect_ratio: float) -> np.ndarray:
+        w, h = np.hsplit(bbox_scale, [1])
+        return np.where(w > h * aspect_ratio, np.hstack([w, w / aspect_ratio]), np.hstack([h * aspect_ratio, h]))
+
+    def __call__(self, results: Dict) -> Optional[dict]:
+        w, h = self.input_size
+        warp_size = (int(w), int(h))
+        img_h, img_w = results["img"].shape[:2]
+
+        bbox_xyxy = np.asarray(results["bbox_xyxy_wrt_input"], dtype=np.float64).flatten().copy()
+        bbox_xyxy[:2] = np.maximum(bbox_xyxy[:2], 0)
+        bbox_xyxy[2:4] = np.minimum(bbox_xyxy[2:4], [img_w, img_h])
+        x0, y0, x1, y1 = bbox_xyxy[:4].astype(int)
+        bbox_mask = np.zeros((img_h, img_w), dtype=np.uint8)
+        bbox_mask[y0:y1, x0:x1] = 1
+
+        # re-derive center/scale from the (possibly cropped) activation bbox
+        _c, _s = bbox_xyxy2cs(np.asarray(results["bbox_xyxy_wrt_input"]), padding=self.input_padding)
+        results["bbox_center"] = np.asarray(_c).reshape(1, 2)
+        results["bbox_scale"] = np.asarray(_s).reshape(1, 2)
+
+        results["bbox_scale"] = self._fix_aspect_ratio(results["bbox_scale"], aspect_ratio=w / h)
+
+        assert results["bbox_center"].shape[0] == 1, "top-down affine supports single instance only"
+        center = results["bbox_center"][0]
+        scale = results["bbox_scale"][0]
+        rot = results["bbox_rotation"][0] if "bbox_rotation" in results else 0.0
+
+        if self.use_udp:
+            warp_mat = get_udp_warp_matrix(center, scale, rot, output_size=(w, h))
+        else:
+            warp_mat = get_warp_matrix(center, scale, rot, output_size=(w, h))
+        warp_mat = warp_mat.astype(np.float32)
+
+        if isinstance(results["img"], list):
+            results["img"] = [
+                cv2.warpAffine(img, warp_mat, warp_size, flags=cv2.INTER_LINEAR) for img in results["img"]
+            ]
+        else:
+            results["img"] = cv2.warpAffine(results["img"], warp_mat, warp_size, flags=cv2.INTER_LINEAR)
+            bbox_mask = cv2.warpAffine(bbox_mask, warp_mat, warp_size, flags=cv2.INTER_LINEAR)
+            results["bbox_mask"] = bbox_mask.reshape(1, h, w)
+
+        if results.get("keypoints", None) is not None:
+            if results.get("transformed_keypoints", None) is not None:
+                transformed_keypoints = results["transformed_keypoints"].copy()
+            else:
+                transformed_keypoints = results["keypoints"].copy()
+            kpts = transformed_keypoints[..., :2]
+            transformed_keypoints[..., :2] = kpts @ warp_mat[:, :2].T + warp_mat[:, 2]
+            results["transformed_keypoints"] = transformed_keypoints
+
+        if results.get("bbox_xyxy_wrt_input", None) is not None:
+            corners = np.asarray(results["bbox_xyxy_wrt_input"], dtype=np.float64).reshape(2, 2)
+            corners = corners @ warp_mat[:, :2].T.astype(np.float64) + warp_mat[:, 2]
+            results["bbox_xyxy_wrt_input"] = corners.reshape(1, 4)
+
+        results["input_size"] = (w, h)
+        results["input_center"] = center
+        results["input_scale"] = scale
+        return results

@@ -164,6 +164,7 @@ def find_min_padding_exact(
     if aspect_ratio is not None:
         bbox = fix_bbox_aspect_ratio(bbox, aspect_ratio=aspect_ratio, padding=1.0, bbox_format="xywh")
 
+    bbox = np.asarray(bbox).reshape(-1)[:4]
     x0, y0, w, h = bbox[0], bbox[1], bbox[2], bbox[3]
     x1, y1 = x0 + w, y0 + h
     x_d = np.maximum(np.clip(x0 - kpts[:, 0], 0, None), np.clip(kpts[:, 0] - x1, 0, None))
