@@ -1,0 +1,44 @@
+from .base_metric import BaseMetric, Evaluator, MultiDatasetEvaluator
+from .cocoeval import COCOeval, Params
+from .functional.keypoint_eval import (
+    keypoint_auc,
+    keypoint_epe,
+    keypoint_nme,
+    keypoint_pck_accuracy,
+    multilabel_classification_accuracy,
+    pose_pck_accuracy,
+    simcc_pck_accuracy,
+)
+from .functional.nms import (
+    bbox_nms_np,
+    bbox_overlaps_np,
+    nearby_joints_nms,
+    nms,
+    oks_iou,
+    oks_nms,
+    soft_oks_nms,
+)
+from .metrics.coco_metric import CocoMetric
+
+__all__ = [
+    "BaseMetric",
+    "COCOeval",
+    "CocoMetric",
+    "Evaluator",
+    "MultiDatasetEvaluator",
+    "Params",
+    "bbox_nms_np",
+    "bbox_overlaps_np",
+    "keypoint_auc",
+    "keypoint_epe",
+    "keypoint_nme",
+    "keypoint_pck_accuracy",
+    "multilabel_classification_accuracy",
+    "nearby_joints_nms",
+    "nms",
+    "oks_iou",
+    "oks_nms",
+    "pose_pck_accuracy",
+    "simcc_pck_accuracy",
+    "soft_oks_nms",
+]
