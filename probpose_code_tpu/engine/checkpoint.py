@@ -1,0 +1,215 @@
+"""Checkpoint save/load (orbax) + PyTorch state-dict conversion.
+
+Replaces mmengine CheckpointHook + load_checkpoint: orbax stores the
+params / batch-stats / optimizer pytrees; a sidecar ``meta.json`` carries
+epoch/step/dataset_meta (the reference packs ``meta.dataset_meta`` into the
+.pth, consumed at ``apis/inference.py:108-113``).
+
+``convert_torch_state_dict`` maps a reference ProbPose/MMPose torch
+checkpoint onto our flax parameter tree (ViT backbone + ProbMapHead /
+HeatmapHead), handling the layout differences: fused qkv stays fused, torch
+OIHW conv kernels -> flax HWIO, ConvTranspose OIHW -> flax HWOI(flipped),
+linear weights transpose.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import re
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def save_checkpoint(path: str, params, batch_stats=None, opt_state=None, meta: Optional[dict] = None) -> None:
+    import orbax.checkpoint as ocp
+
+    path = osp.abspath(path)
+    payload = {"params": params}
+    if batch_stats is not None:
+        payload["batch_stats"] = batch_stats
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path + ".orbax", payload, force=True)
+    ckptr.wait_until_finished()
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta or {}, f)
+
+
+def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    path = osp.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path + ".orbax", target)
+    meta = {}
+    if osp.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    out = dict(restored)
+    out["meta"] = meta
+    return out
+
+
+def latest_checkpoint(work_dir: str) -> Optional[str]:
+    """Find the newest ``epoch_N`` checkpoint in a work dir (auto-resume)."""
+    best = None
+    best_epoch = -1
+    if not osp.isdir(work_dir):
+        return None
+    for name in os.listdir(work_dir):
+        m = re.match(r"epoch_(\d+)\.orbax$", name)
+        if m and int(m.group(1)) > best_epoch:
+            best_epoch = int(m.group(1))
+            best = osp.join(work_dir, f"epoch_{m.group(1)}")
+    return best
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax conversion
+# ---------------------------------------------------------------------------
+
+
+def _t(x) -> np.ndarray:
+    try:
+        return x.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(x)
+
+
+def convert_torch_state_dict(state_dict: Dict[str, Any], num_layers: int = 12) -> Dict[str, Any]:
+    """Reference ProbPose torch state dict -> flax variables dict.
+
+    Returns {"params": ..., "batch_stats": ...} matching our
+    TopdownPoseEstimator(VisionTransformer + ProbMapHead) module tree.
+    """
+    sd = {k: _t(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {"backbone": {}, "head": {}}
+    stats: Dict[str, Any] = {"head": {}}
+
+    bb = params["backbone"]
+
+    def conv_kernel(w):  # OIHW -> HWIO
+        return np.transpose(w, (2, 3, 1, 0))
+
+    def deconv_kernel(w):  # torch ConvTranspose2d OIHW (in, out, kh, kw) -> flax HWIO
+        # flax ConvTranspose kernel shape (kh, kw, in, out); torch stores
+        # (in, out, kh, kw) and computes transposed conv with flipped taps
+        return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
+
+    # patch embed + pos embed
+    if "backbone.patch_embed.projection.weight" in sd:
+        bb["patch_embed"] = {
+            "kernel": conv_kernel(sd["backbone.patch_embed.projection.weight"]),
+            "bias": sd["backbone.patch_embed.projection.bias"],
+        }
+    if "backbone.pos_embed" in sd:
+        bb["pos_embed"] = sd["backbone.pos_embed"]
+
+    # transformer blocks (mmpretrain naming: backbone.layers.N.*)
+    for i in range(num_layers):
+        p = f"backbone.layers.{i}"
+        if f"{p}.ln1.weight" not in sd:
+            continue
+        blk: Dict[str, Any] = {}
+        blk["ln1"] = {"scale": sd[f"{p}.ln1.weight"], "bias": sd[f"{p}.ln1.bias"]}
+        blk["ln2"] = {"scale": sd[f"{p}.ln2.weight"], "bias": sd[f"{p}.ln2.bias"]}
+        blk["attn"] = {
+            "qkv": {
+                "kernel": sd[f"{p}.attn.qkv.weight"].T,
+                "bias": sd[f"{p}.attn.qkv.bias"],
+            },
+            "proj": {
+                "kernel": sd[f"{p}.attn.proj.weight"].T,
+                "bias": sd[f"{p}.attn.proj.bias"],
+            },
+        }
+        blk["mlp_fc1"] = {
+            "kernel": sd[f"{p}.ffn.layers.0.0.weight"].T,
+            "bias": sd[f"{p}.ffn.layers.0.0.bias"],
+        }
+        blk["mlp_fc2"] = {
+            "kernel": sd[f"{p}.ffn.layers.1.weight"].T,
+            "bias": sd[f"{p}.ffn.layers.1.bias"],
+        }
+        bb[f"block{i}"] = blk
+
+    if "backbone.ln1.weight" in sd:
+        bb["ln_final"] = {"scale": sd["backbone.ln1.weight"], "bias": sd["backbone.ln1.bias"]}
+
+    # ---- head -----------------------------------------------------------
+    head_p: Dict[str, Any] = {}
+    head_s: Dict[str, Any] = {}
+
+    # deconv stack: head.deconv_layers.{0,3}.weight convs, {1,4} BN
+    deconv_idx = 0
+    while f"head.deconv_layers.{deconv_idx * 3}.weight" in sd:
+        w = sd[f"head.deconv_layers.{deconv_idx * 3}.weight"]
+        bn_w = sd[f"head.deconv_layers.{deconv_idx * 3 + 1}.weight"]
+        bn_b = sd[f"head.deconv_layers.{deconv_idx * 3 + 1}.bias"]
+        bn_mean = sd[f"head.deconv_layers.{deconv_idx * 3 + 1}.running_mean"]
+        bn_var = sd[f"head.deconv_layers.{deconv_idx * 3 + 1}.running_var"]
+        head_p.setdefault("deconv_layers", {})[f"deconv{deconv_idx}"] = {"kernel": deconv_kernel(w)}
+        head_p["deconv_layers"][f"bn{deconv_idx}"] = {"scale": bn_w, "bias": bn_b}
+        head_s.setdefault("deconv_layers", {})[f"bn{deconv_idx}"] = {"mean": bn_mean, "var": bn_var}
+        deconv_idx += 1
+
+    if "head.final_layer.weight" in sd:
+        head_p["final_layer"] = {
+            "kernel": conv_kernel(sd["head.final_layer.weight"]),
+            "bias": sd["head.final_layer.bias"],
+        }
+
+    # scalar towers: head.<name>_layers.{0 conv,1 bn,(2 pool),(3 relu)}...
+    tower_map = {
+        "probability_layers": "probability_layers",
+        "visibility_layers": "visibility_layers",
+        "oks_layers": "oks_layers",
+        "error_layers": "error_layers",
+    }
+    for torch_name, flax_name in tower_map.items():
+        conv_i = 0
+        t_idx = 0
+        tower_p: Dict[str, Any] = {}
+        tower_s: Dict[str, Any] = {}
+        while True:
+            w_key = f"head.{torch_name}.{t_idx}.weight"
+            if w_key not in sd:
+                break
+            w = sd[w_key]
+            if w.ndim == 4 and w.shape[-1] == 1 and f"head.{torch_name}.{t_idx + 1}.weight" not in sd:
+                # trailing 1x1 conv (sequence: conv, sigmoid/relu)
+                tower_p["final"] = {"kernel": conv_kernel(w), "bias": sd[f"head.{torch_name}.{t_idx}.bias"]}
+                break
+            tower_p[f"conv{conv_i}"] = {"kernel": conv_kernel(w), "bias": sd[f"head.{torch_name}.{t_idx}.bias"]}
+            tower_p[f"bn{conv_i}"] = {
+                "scale": sd[f"head.{torch_name}.{t_idx + 1}.weight"],
+                "bias": sd[f"head.{torch_name}.{t_idx + 1}.bias"],
+            }
+            tower_s[f"bn{conv_i}"] = {
+                "mean": sd[f"head.{torch_name}.{t_idx + 1}.running_mean"],
+                "var": sd[f"head.{torch_name}.{t_idx + 1}.running_var"],
+            }
+            conv_i += 1
+            t_idx += 4  # conv, bn, pool, relu
+        if tower_p:
+            head_p[flax_name] = tower_p
+            head_s[flax_name] = tower_s
+
+    params["head"] = head_p
+    stats["head"] = head_s
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_checkpoint(path: str, num_layers: int = 12) -> Dict[str, Any]:
+    """Load a reference .pth and convert (CPU torch only for deserialization)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = ckpt.get("state_dict", ckpt)
+    variables = convert_torch_state_dict(state_dict, num_layers=num_layers)
+    meta = ckpt.get("meta", {})
+    return dict(variables=variables, meta=meta)

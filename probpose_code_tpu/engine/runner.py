@@ -1,0 +1,293 @@
+"""Training / evaluation runner (replaces mmengine Runner on the TPU stack).
+
+Orchestrates the full reference training recipe (``tools/train.py`` ->
+``Runner.from_cfg(cfg).train()``, EpochBasedTrainLoop semantics):
+
+- config-driven dataloaders / model / optimizer / schedulers
+- the jitted, mesh-sharded train step (parallel.train_step); data-parallel
+  over all visible devices by default
+- periodic validation (predict program + CocoMetric / MultiDatasetEvaluator)
+- checkpointing with best-by-metric tracking (``save_best='COCO/AP'``, auto
+  resume), via orbax
+- interval logging with loss/accuracy monitors and iteration timing
+  (IterTimerHook + LoggerHook equivalents)
+
+Host-side data feeding uses the prefetching loader; one fused device step per
+iteration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import probpose_code_tpu.evaluation  # noqa: F401  (register metrics/evaluators)
+from probpose_code_tpu.config import Config
+from probpose_code_tpu.datasets import DataLoader
+from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
+from probpose_code_tpu.engine.optim import build_optimizer
+from probpose_code_tpu.models import PoseModel
+from probpose_code_tpu.parallel import (
+    TrainState,
+    create_train_state,
+    make_mesh,
+    make_train_step,
+    shard_batch,
+)
+from probpose_code_tpu.registry import DATASETS, EVALUATORS, METRICS
+from probpose_code_tpu.structures import InstanceData
+
+
+class Runner:
+    def __init__(self, cfg: Config, work_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.work_dir = work_dir or cfg.get("work_dir", "work_dirs/default")
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.logger = _SimpleLogger(osp.join(self.work_dir, "train.log"))
+
+        # datasets ----------------------------------------------------
+        self.train_dataloader_cfg = cfg.get("train_dataloader")
+        self.val_dataloader_cfg = cfg.get("val_dataloader")
+        self.train_loader = None
+        self.val_loader = None
+        self.val_dataset = None
+
+        # model -------------------------------------------------------
+        train_ds_cfg = (self.train_dataloader_cfg or {}).get("dataset", {})
+        metainfo_cfg = train_ds_cfg.get("metainfo") or {"dataset_name": "coco"}
+        self.metainfo = parse_pose_metainfo(dict(metainfo_cfg))
+        self.model = PoseModel(cfg.model, metainfo=self.metainfo)
+
+        # parallel ----------------------------------------------------
+        mesh_cfg = cfg.get("env_cfg", {}).get("mesh", {})
+        n_model = mesh_cfg.get("model", 1)
+        n_data = mesh_cfg.get("data", -1)
+        n_data = len(jax.devices()) // n_model if n_data in (-1, None) else n_data
+        self.mesh = make_mesh(n_data=n_data, n_model=n_model)
+
+        self.max_epochs = cfg.get("train_cfg", {}).get("max_epochs", 1)
+        self.val_interval = cfg.get("train_cfg", {}).get("val_interval", 10)
+        self.log_interval = cfg.get("default_hooks", {}).get("logger", {}).get("interval", 50)
+        ckpt_cfg = cfg.get("default_hooks", {}).get("checkpoint", {})
+        self.ckpt_interval = ckpt_cfg.get("interval", 10)
+        self.save_best = ckpt_cfg.get("save_best")
+        self.best_metric = -np.inf
+        self.state: Optional[TrainState] = None
+        self.epoch = 0
+
+    # -- construction helpers ---------------------------------------------
+
+    def build_train_loader(self) -> DataLoader:
+        cfg = dict(self.train_dataloader_cfg)
+        ds = DATASETS.build(cfg["dataset"])
+        return DataLoader(
+            ds,
+            batch_size=cfg.get("batch_size", 32),
+            shuffle=cfg.get("sampler", {}).get("shuffle", True),
+            drop_last=True,
+            num_workers=cfg.get("num_workers", 4),
+        )
+
+    def build_val_loader(self) -> DataLoader:
+        cfg = dict(self.val_dataloader_cfg)
+        self.val_dataset = DATASETS.build(cfg["dataset"])
+        return DataLoader(
+            self.val_dataset,
+            batch_size=cfg.get("batch_size", 32),
+            shuffle=False,
+            drop_last=False,
+            num_workers=cfg.get("num_workers", 4),
+        )
+
+    def build_evaluator(self):
+        ev_cfg = self.cfg.get("val_evaluator")
+        if ev_cfg is None:
+            return None
+        if isinstance(ev_cfg, dict) and ev_cfg.get("type") in ("MultiDatasetEvaluator", "Evaluator"):
+            evaluator = EVALUATORS.build(ev_cfg)
+        elif isinstance(ev_cfg, (list, tuple)):
+            evaluator = EVALUATORS.build(dict(type="Evaluator", metrics=list(ev_cfg)))
+        else:
+            evaluator = EVALUATORS.build(dict(type="Evaluator", metrics=[ev_cfg]))
+        evaluator.dataset_meta = self.metainfo
+        return evaluator
+
+    # -- training ---------------------------------------------------------
+
+    def setup_training(self, steps_per_epoch: Optional[int] = None):
+        if self.model.variables is None:
+            self.model.init()
+        if steps_per_epoch is None:
+            steps_per_epoch = len(self.train_loader) if self.train_loader else 1000
+        self.tx, self.lr_fn = build_optimizer(
+            self.model.params,
+            self.cfg.get("optim_wrapper", {}),
+            param_scheduler=self.cfg.get("param_scheduler"),
+            steps_per_epoch=steps_per_epoch,
+            max_epochs=self.max_epochs,
+        )
+        self.state = create_train_state(self.model.variables, self.tx)
+        self.train_step = make_train_step(self.model, self.tx, mesh=self.mesh)
+        self.rng = jax.random.PRNGKey(self.cfg.get("seed", 0))
+
+    def train(self, max_epochs: Optional[int] = None):
+        if self.train_loader is None:
+            self.train_loader = self.build_train_loader()
+        self.setup_training()
+        if self.cfg.get("resume"):
+            self.try_resume()
+
+        max_epochs = max_epochs or self.max_epochs
+        evaluator = self.build_evaluator()
+
+        for epoch in range(self.epoch, max_epochs):
+            self.epoch = epoch
+            self.train_loader.set_epoch(epoch)
+            self._train_epoch(epoch)
+
+            if (epoch + 1) % self.ckpt_interval == 0 or epoch + 1 == max_epochs:
+                self.save_checkpoint(osp.join(self.work_dir, f"epoch_{epoch + 1}"))
+            if evaluator is not None and ((epoch + 1) % self.val_interval == 0 or epoch + 1 == max_epochs):
+                metrics = self.val(evaluator)
+                self._maybe_save_best(metrics)
+        return self.state
+
+    def _train_epoch(self, epoch: int):
+        t_data = t_step = 0.0
+        t0 = time.perf_counter()
+        for i, batch in enumerate(self.train_loader):
+            data_samples = batch.pop("data_samples", None)
+            device_batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, self.mesh)
+            t1 = time.perf_counter()
+            t_data += t1 - t0
+
+            self.state, metrics = self.train_step(self.state, device_batch, self.rng)
+            t0 = time.perf_counter()
+            t_step += t0 - t1
+
+            if (i + 1) % self.log_interval == 0:
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                step = int(self.state.step)
+                lr = float(self.lr_fn(step))
+                self.logger.log(
+                    f"Epoch [{epoch + 1}][{i + 1}/{len(self.train_loader)}] "
+                    f"lr: {lr:.2e} "
+                    + " ".join(f"{k}: {v:.4f}" for k, v in host_metrics.items())
+                    + f" data_time: {t_data / (i + 1):.3f}s step_time: {t_step / (i + 1):.3f}s"
+                )
+
+    # -- validation -------------------------------------------------------
+
+    def val(self, evaluator=None) -> Dict[str, float]:
+        if self.val_loader is None:
+            self.val_loader = self.build_val_loader()
+        if evaluator is None:
+            evaluator = self.build_evaluator()
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats} \
+            if self.state is not None else self.model.variables
+        predict = self.model.make_predict(jit=True)
+
+        for batch in self.val_loader:
+            data_samples = batch["data_samples"]
+            preds = predict(variables, jnp.asarray(batch["inputs"]))
+            preds = {k: np.asarray(v) for k, v in preds.items()}
+            attach_predictions(preds, data_samples, self.model.input_size)
+            evaluator.process(data_samples)
+        metrics = evaluator.evaluate(len(self.val_loader.dataset))
+        self.logger.log("val: " + " ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
+        return metrics
+
+    def _maybe_save_best(self, metrics: Dict[str, float]):
+        if not self.save_best or self.save_best not in metrics:
+            return
+        if metrics[self.save_best] > self.best_metric:
+            self.best_metric = metrics[self.save_best]
+            self.save_checkpoint(osp.join(self.work_dir, "best"))
+            self.logger.log(f"new best {self.save_best}: {self.best_metric:.4f}")
+
+    # -- checkpointing ----------------------------------------------------
+
+    def save_checkpoint(self, path: str):
+        from probpose_code_tpu.engine.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path,
+            params=self.state.params if self.state else self.model.params,
+            batch_stats=self.state.batch_stats if self.state else self.model.variables.get("batch_stats", {}),
+            opt_state=self.state.opt_state if self.state else None,
+            meta=dict(epoch=self.epoch + 1, step=int(self.state.step) if self.state else 0,
+                      dataset_meta={"dataset_name": self.metainfo["dataset_name"]}),
+        )
+        self.logger.log(f"checkpoint saved to {path}")
+
+    def try_resume(self):
+        from probpose_code_tpu.engine.checkpoint import latest_checkpoint, load_checkpoint
+
+        path = latest_checkpoint(self.work_dir)
+        if path is None:
+            return
+        restored = load_checkpoint(path)
+        self.state = self.state.replace(
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", self.state.batch_stats),
+            step=jnp.asarray(restored["meta"].get("step", 0), jnp.int32),
+        )
+        if restored.get("opt_state") is not None:
+            self.state = self.state.replace(opt_state=restored["opt_state"])
+        self.epoch = restored["meta"].get("epoch", 0)
+        self.logger.log(f"resumed from {path} (epoch {self.epoch})")
+
+    # -- factory ----------------------------------------------------------
+
+    @staticmethod
+    def from_cfg(cfg) -> "Runner":
+        if not isinstance(cfg, Config):
+            cfg = Config.fromdict(dict(cfg))
+        return Runner(cfg, work_dir=cfg.get("work_dir"))
+
+
+def attach_predictions(preds: Dict[str, np.ndarray], data_samples: List, input_size) -> None:
+    """Attach batched predict-program outputs to data samples, restoring
+    coordinates from model-input space to original image space (reference
+    ``topdown.py:add_pred_to_datasample:128-167``)."""
+    B = preds["keypoints"].shape[0]
+    for i in range(B):
+        sample = data_samples[i]
+        input_center = np.asarray(sample.metainfo["input_center"])
+        input_scale = np.asarray(sample.metainfo["input_scale"])
+        w_h = np.asarray(sample.metainfo.get("input_size", input_size), dtype=np.float32)
+
+        kpts = preds["keypoints"][i].copy()
+        kpts = kpts / w_h * input_scale + input_center - 0.5 * input_scale
+
+        inst = InstanceData()
+        inst.set_field(kpts[None], "keypoints")
+        inst.set_field(preds["keypoint_scores"][i][None], "keypoint_scores")
+        for name in ("keypoints_probs", "keypoints_visible", "keypoints_oks", "keypoints_error", "keypoints_conf"):
+            if name in preds:
+                inst.set_field(preds[name][i][None], name)
+        gt = sample.gt_instances
+        if "bboxes" in gt:
+            inst.set_field(np.asarray(gt.bboxes), "bboxes")
+        if "bbox_scores" in gt:
+            inst.set_field(np.asarray(gt.bbox_scores), "bbox_scores")
+        sample.pred_instances = inst
+
+
+class _SimpleLogger:
+    def __init__(self, logfile: Optional[str] = None):
+        self.logfile = logfile
+
+    def log(self, msg: str):
+        line = f"[{time.strftime('%Y-%m-%d %H:%M:%S')}] {msg}"
+        print(line, flush=True)
+        if self.logfile:
+            with open(self.logfile, "a") as f:
+                f.write(line + "\n")
