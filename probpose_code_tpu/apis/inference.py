@@ -1,0 +1,188 @@
+"""User-facing inference API.
+
+Parity targets: reference ``mmpose/apis/inference.py`` — ``init_model:66``
+(Config -> build -> load checkpoint -> dataset_meta resolution),
+``inference_topdown:133`` (bbox list -> per-bbox pipeline -> collate ->
+model predict), ``inference_bottomup:203``.
+
+The TPU twist: all crops of one call are batched into a single device
+program invocation (the reference loops ``model.test_step`` per
+pseudo-collated batch).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from probpose_code_tpu.config import Config
+from probpose_code_tpu.datasets import Compose
+from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
+from probpose_code_tpu.engine.runner import attach_predictions
+from probpose_code_tpu.models import PoseModel
+from probpose_code_tpu.structures import PoseDataSample
+
+
+def init_model(
+    config: Union[str, Config],
+    checkpoint: Optional[str] = None,
+    device: Optional[str] = None,
+    cfg_options: Optional[dict] = None,
+) -> PoseModel:
+    """Build a PoseModel from config (+ checkpoint)."""
+    if isinstance(config, (str, bytes)) or hasattr(config, "__fspath__"):
+        config = Config.fromfile(config)
+    elif not isinstance(config, Config):
+        config = Config.fromdict(dict(config))
+    if cfg_options:
+        config.merge_from_dict(cfg_options)
+
+    metainfo = None
+    dataset_cfg = config.get("test_dataloader", config.get("val_dataloader", {}))
+    ds = dataset_cfg.get("dataset", {})
+    metainfo_cfg = ds.get("metainfo")
+    if metainfo_cfg is None:
+        from probpose_code_tpu.registry import DATASETS
+
+        ds_type = ds.get("type")
+        ds_cls = DATASETS.get(ds_type) if isinstance(ds_type, str) else ds_type
+        metainfo_cfg = getattr(ds_cls, "METAINFO", {"dataset_name": "coco"}) if ds_cls else {"dataset_name": "coco"}
+    metainfo = parse_pose_metainfo(dict(metainfo_cfg))
+
+    model = PoseModel(config.model, metainfo=metainfo)
+    model.init()
+    if checkpoint is not None:
+        load_weights(model, checkpoint)
+    model.cfg_full = config
+    return model
+
+
+def load_weights(model: PoseModel, checkpoint: str) -> None:
+    if checkpoint.endswith(".pth"):
+        from probpose_code_tpu.engine.checkpoint import load_torch_checkpoint
+
+        num_layers = 12
+        arch = model.aux["backbone_cfg"].get("arch")
+        if isinstance(arch, dict):
+            num_layers = arch.get("num_layers", 12)
+        restored = load_torch_checkpoint(checkpoint, num_layers=num_layers)
+        variables = restored["variables"]
+        # keep initialized values for params missing from the torch dict
+        import jax
+
+        def merge(init_tree, loaded_tree):
+            if isinstance(init_tree, dict):
+                return {
+                    k: merge(v, loaded_tree.get(k)) if isinstance(loaded_tree, dict) else v
+                    for k, v in init_tree.items()
+                }
+            return init_tree if loaded_tree is None else loaded_tree
+
+        model.variables = {
+            "params": merge(model.variables["params"], variables["params"]),
+            "batch_stats": merge(model.variables.get("batch_stats", {}), variables.get("batch_stats", {})),
+        }
+        dataset_meta = restored.get("meta", {}).get("dataset_meta")
+        if dataset_meta:
+            model.metainfo = dataset_meta
+    else:
+        from probpose_code_tpu.engine.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(checkpoint)
+        model.variables = {
+            "params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {}),
+        }
+
+
+def _default_val_pipeline(model: PoseModel) -> List[dict]:
+    cfg = getattr(model, "cfg_full", None)
+    if cfg is not None:
+        dl = cfg.get("test_dataloader", cfg.get("val_dataloader"))
+        if dl and dl.get("dataset", {}).get("pipeline"):
+            pipeline = [t for t in dl["dataset"]["pipeline"] if t.get("type") != "LoadImage"]
+            return pipeline
+    w, h = model.input_size
+    return [
+        dict(type="GetBBoxCenterScale"),
+        dict(type="TopdownAffine", input_size=(w, h), use_udp=True, input_padding=1.25),
+        dict(type="PackPoseInputs"),
+    ]
+
+
+def inference_topdown(
+    model: PoseModel,
+    img: Union[str, np.ndarray],
+    bboxes: Optional[Union[List, np.ndarray]] = None,
+    bbox_format: str = "xyxy",
+) -> List[PoseDataSample]:
+    """Estimate poses for each bbox of one image. ``img`` path or BGR array."""
+    import cv2
+    import jax.numpy as jnp
+
+    if isinstance(img, str):
+        image = cv2.imread(img)
+        img_path = img
+        assert image is not None, f"cannot read {img}"
+    else:
+        image = img
+        img_path = None
+
+    h, w = image.shape[:2]
+    if bboxes is None or len(bboxes) == 0:
+        bboxes = np.array([[0, 0, w, h]], dtype=np.float32)
+    else:
+        bboxes = np.asarray(bboxes, dtype=np.float32)
+        assert bbox_format in ("xyxy", "xywh")
+        if bbox_format == "xywh":
+            from probpose_code_tpu.structures import bbox_xywh2xyxy
+
+            bboxes = bbox_xywh2xyxy(bboxes)
+
+    pipeline = Compose(_default_val_pipeline(model))
+    metainfo = model.metainfo or parse_pose_metainfo({"dataset_name": "coco"})
+
+    data_samples = []
+    inputs = []
+    for bbox in bboxes:
+        data_info = dict(
+            img=image.copy(),
+            img_path=img_path,
+            img_shape=(h, w),
+            ori_shape=(h, w),
+            bbox=bbox[None, :4],
+            bbox_score=np.ones(1, dtype=np.float32),
+            flip_indices=metainfo["flip_indices"],
+            upper_body_ids=metainfo["upper_body_ids"],
+            lower_body_ids=metainfo["lower_body_ids"],
+            dataset_name=metainfo["dataset_name"],
+            id=len(data_samples),
+            img_id=0,
+        )
+        K = metainfo["num_keypoints"]
+        data_info["keypoints"] = np.zeros((1, K, 2), dtype=np.float32)
+        data_info["keypoints_visible"] = np.zeros((1, K), dtype=np.float32)
+        data_info["keypoints_visibility"] = np.zeros((1, K), dtype=np.float32)
+        out = pipeline(data_info)
+        inputs.append(out["inputs"])
+        data_samples.append(out["data_samples"])
+
+    batch = jnp.asarray(np.stack(inputs).astype(np.float32))
+    predict = _cached_predict(model)
+    preds = predict(model.variables, batch)
+    preds = {k: np.asarray(v) for k, v in preds.items()}
+    attach_predictions(preds, data_samples, model.input_size)
+    return data_samples
+
+
+def inference_bottomup(model: PoseModel, img: Union[str, np.ndarray]) -> List[PoseDataSample]:
+    """Whole-image (bottom-up style) inference: single full-image crop."""
+    return inference_topdown(model, img, bboxes=None)
+
+
+def _cached_predict(model: PoseModel):
+    if not hasattr(model, "_predict_cache"):
+        model._predict_cache = model.make_predict(jit=True)
+    return model._predict_cache

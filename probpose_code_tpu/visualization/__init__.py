@@ -1,0 +1,3 @@
+from .local_visualizer import FastVisualizer, PoseLocalVisualizer
+
+__all__ = ["FastVisualizer", "PoseLocalVisualizer"]
