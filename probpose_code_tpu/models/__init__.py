@@ -1,14 +1,21 @@
 from . import losses  # noqa: F401  (registers loss modules)
+from .backbones.cspnext import CSPNeXt  # noqa: F401
+from .backbones.hrnet import HRNet  # noqa: F401
 from .backbones.vit import VisionTransformer  # noqa: F401
 from .builder import PoseModel, build_loss_modules, build_pose_estimator  # noqa: F401
 from .heads.heatmap_head import HeatmapHead  # noqa: F401
 from .heads.probmap_head import ProbMapHead  # noqa: F401
+from .heads.rtmcc_head import RTMCCHead, SimCCHead  # noqa: F401
 from .pose_estimators.topdown import TopdownPoseEstimator  # noqa: F401
 
 __all__ = [
+    "CSPNeXt",
+    "HRNet",
     "HeatmapHead",
     "PoseModel",
     "ProbMapHead",
+    "RTMCCHead",
+    "SimCCHead",
     "TopdownPoseEstimator",
     "VisionTransformer",
     "build_loss_modules",

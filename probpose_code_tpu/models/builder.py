@@ -29,6 +29,7 @@ from .pose_estimators.topdown import (
     preprocess_inputs,
     probmap_head_loss,
     probmap_head_predict,
+    simcc_head_loss,
 )
 
 
@@ -110,6 +111,9 @@ def build_loss_modules(head_cfg: Dict[str, Any]) -> Dict[str, Any]:
     for key, default in defaults.items():
         loss_cfg = head_cfg.get(key, default) or default
         out[key.replace("_loss", "")] = MODELS.build(loss_cfg)
+    # single-loss heads (HeatmapHead, SimCCHead, RTMCCHead) use the 'loss' key
+    if "loss" in head_cfg and head_cfg["loss"]:
+        out["keypoint"] = MODELS.build(head_cfg["loss"])
     return out
 
 
@@ -179,6 +183,8 @@ class PoseModel:
             losses = probmap_head_loss(
                 outputs, batch, self.loss_modules, self.aux["head_cfg"], input_size=self.input_size
             )
+        elif self.head_type in ("SimCCHead", "RTMCCHead"):
+            losses = simcc_head_loss(outputs, batch, self.loss_modules["keypoint"])
         else:
             losses = heatmap_head_loss(outputs, batch, self.loss_modules["keypoint"])
         total = sum(v for k, v in losses.items() if k.startswith("loss_"))
@@ -209,8 +215,18 @@ class PoseModel:
                     shift_heatmap=shift_heatmap,
                     freeze_oks=freeze_oks,
                 )
-            # plain heatmap head: UDP-style decode
-            from probpose_code_tpu.ops.decode import dark_udp_refine_batch
+            if head_type in ("SimCCHead", "RTMCCHead"):
+                from .pose_estimators.topdown import simcc_head_predict
+
+                ratio = (self.decoder_cfg or {}).get("simcc_split_ratio", 2.0)
+                return simcc_head_predict(outputs, outputs_flipped, flip_indices, simcc_split_ratio=ratio)
+            # plain heatmap head: decode per the decoder codec type
+            from probpose_code_tpu.ops.decode import (
+                dark_refine_batch,
+                dark_udp_refine_batch,
+                heatmap_expected_value_batch,
+                quarter_offset_refine_batch,
+            )
             from probpose_code_tpu.ops.heatmap import heatmap_maximum_batch
 
             heatmaps = outputs
@@ -218,9 +234,22 @@ class PoseModel:
                 hm_f = flip_heatmaps_ref(outputs_flipped, flip_indices, shift_heatmap)
                 heatmaps = (heatmaps + hm_f) * 0.5
             B, K, H, W = heatmaps.shape
-            locs, vals = heatmap_maximum_batch(heatmaps)
-            locs = dark_udp_refine_batch(locs, heatmaps, 11)
-            scale = jnp.asarray([input_size[0] / (W - 1), input_size[1] / (H - 1)], dtype=jnp.float32)
+            decoder_type = (self.decoder_cfg or {}).get("type", "UDPHeatmap")
+            blur = (self.decoder_cfg or {}).get("blur_kernel_size", 11)
+            if decoder_type in ("ProbMap", "UDPExpMaxHeatmap"):
+                locs, vals = heatmap_expected_value_batch(heatmaps)
+                scale = jnp.asarray([input_size[0] / (W - 1), input_size[1] / (H - 1)], dtype=jnp.float32)
+            elif decoder_type == "MSRAHeatmap":
+                locs, vals = heatmap_maximum_batch(heatmaps)
+                if (self.decoder_cfg or {}).get("unbiased", False):
+                    locs = dark_refine_batch(locs, heatmaps, blur)
+                else:
+                    locs = quarter_offset_refine_batch(locs, heatmaps)
+                scale = jnp.asarray([input_size[0] / W, input_size[1] / H], dtype=jnp.float32)
+            else:  # UDPHeatmap / ArgMaxProbMap
+                locs, vals = heatmap_maximum_batch(heatmaps)
+                locs = dark_udp_refine_batch(locs, heatmaps, blur)
+                scale = jnp.asarray([input_size[0] / (W - 1), input_size[1] / (H - 1)], dtype=jnp.float32)
             return dict(keypoints=locs * scale, keypoint_scores=vals, heatmaps=heatmaps)
 
         return jax.jit(_predict) if jit else _predict

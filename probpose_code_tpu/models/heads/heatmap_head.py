@@ -65,7 +65,9 @@ class HeatmapHead(nn.Module):
     conv_kernel_sizes: Optional[Sequence[int]] = None
     has_final_layer: bool = True
     final_layer_kernel_size: int = 1
-    keypoint_loss: Any = None  # loss config dict; resolved by the estimator
+    # loss configs are resolved by the estimator, not the module
+    keypoint_loss: Any = None
+    loss: Any = None
     decoder: Any = None
     dtype: Any = jnp.float32
 

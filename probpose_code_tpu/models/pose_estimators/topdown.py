@@ -236,6 +236,62 @@ def probmap_head_loss(
     return losses
 
 
+def simcc_head_loss(
+    outputs,
+    batch: Dict[str, jnp.ndarray],
+    loss_module: Any,
+    compute_acc: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """SimCC-head loss (reference ``rtmcc_head.py:loss`` / ``simcc_head.py``):
+    KL over (x, y) label vectors."""
+    pred_x, pred_y = outputs
+    gt_x = batch["keypoint_x_labels"]
+    gt_y = batch["keypoint_y_labels"]
+    weights = batch["keypoint_weights"]
+    losses = {"loss_kpt": loss_module((pred_x, pred_y), (gt_x, gt_y), weights)}
+    if compute_acc:
+        # PCK monitor from SimCC argmax (device version of simcc_pck_accuracy)
+        from probpose_code_tpu.ops.decode import simcc_maximum_batch
+
+        dt_locs, _ = simcc_maximum_batch(jax.lax.stop_gradient(pred_x), jax.lax.stop_gradient(pred_y))
+        gt_locs, _ = simcc_maximum_batch(gt_x, gt_y)
+        Wx = pred_x.shape[-1]
+        Wy = pred_y.shape[-1]
+        norm = jnp.asarray([Wx, Wy], dtype=jnp.float32) / 10.0 / 2.0  # /split_ratio-free monitor
+        dist = jnp.linalg.norm((dt_locs - gt_locs) / norm, axis=-1)
+        valid = (weights > 0.5) & (gt_locs[..., 0] >= 0)
+        correct = (dist < 0.5) & valid
+        losses["acc_pose"] = correct.sum() / jnp.maximum(valid.sum(), 1)
+    return losses
+
+
+def simcc_head_predict(
+    outputs,
+    outputs_flipped,
+    flip_indices,
+    simcc_split_ratio: float = 2.0,
+) -> Dict[str, jnp.ndarray]:
+    """Flip-TTA average + device SimCC decode (reference rtmcc_head.predict)."""
+    from probpose_code_tpu.ops.decode import simcc_maximum_batch
+    from probpose_code_tpu.ops.tta import flip_vectors
+
+    pred_x, pred_y = outputs
+    if outputs_flipped is not None:
+        fx, fy = outputs_flipped
+        fx, fy = flip_vectors(fx, fy, flip_indices)
+        pred_x = (pred_x + fx) * 0.5
+        pred_y = (pred_y + fy) * 0.5
+
+    locs, scores = simcc_maximum_batch(pred_x, pred_y)
+    keypoints = locs / simcc_split_ratio
+    return dict(
+        keypoints=keypoints,
+        keypoint_scores=scores,
+        keypoint_x_labels=pred_x,
+        keypoint_y_labels=pred_y,
+    )
+
+
 def heatmap_head_loss(
     heatmaps: jnp.ndarray,
     batch: Dict[str, jnp.ndarray],

@@ -156,6 +156,66 @@ def argmax_probmap_decode_batch(
     return locs, vals
 
 
+def quarter_offset_refine_batch(keypoints: jnp.ndarray, heatmaps: jnp.ndarray) -> jnp.ndarray:
+    """MSRA-style refinement: move 0.25px toward the larger neighbor
+    (device version of ``refine_keypoints``)."""
+    B, K, H, W = heatmaps.shape
+    x = keypoints[..., 0].astype(jnp.int32)
+    y = keypoints[..., 1].astype(jnp.int32)
+    xc = jnp.clip(x, 0, W - 1)
+    yc = jnp.clip(y, 0, H - 1)
+    valid_x = (x > 1) & (x < W - 1) & (y > 0) & (y < H)
+    valid_y = (y > 1) & (y < H - 1) & (x > 0) & (x < W)
+    dx = gather_hw(heatmaps, jnp.clip(x + 1, 0, W - 1), yc) - gather_hw(heatmaps, jnp.clip(x - 1, 0, W - 1), yc)
+    dy = gather_hw(heatmaps, xc, jnp.clip(y + 1, 0, H - 1)) - gather_hw(heatmaps, xc, jnp.clip(y - 1, 0, H - 1))
+    shift_x = jnp.where(valid_x, jnp.sign(dx) * 0.25, 0.0)
+    shift_y = jnp.where(valid_y, jnp.sign(dy) * 0.25, 0.0)
+    return keypoints + jnp.stack([shift_x, shift_y], axis=-1)
+
+
+def dark_refine_batch(keypoints: jnp.ndarray, heatmaps: jnp.ndarray, blur_kernel_size: int = 11) -> jnp.ndarray:
+    """DARK refinement (device version of ``refine_keypoints_dark``):
+    modulation blur -> log -> full 2x2 Newton step at interior peaks."""
+    B, K, H, W = heatmaps.shape
+    hm = gaussian_blur_batch(heatmaps, blur_kernel_size)
+    hm = jnp.log(jnp.maximum(hm, 1e-10))
+
+    x = keypoints[..., 0].astype(jnp.int32)
+    y = keypoints[..., 1].astype(jnp.int32)
+    valid = (x > 1) & (x < W - 2) & (y > 1) & (y < H - 2)
+    xc = jnp.clip(x, 2, W - 3)
+    yc = jnp.clip(y, 2, H - 3)
+
+    def v(dx_, dy_):
+        return gather_hw(hm, xc + dx_, yc + dy_)
+
+    dx = 0.5 * (v(1, 0) - v(-1, 0))
+    dy = 0.5 * (v(0, 1) - v(0, -1))
+    dxx = 0.25 * (v(2, 0) - 2 * v(0, 0) + v(-2, 0))
+    dxy = 0.25 * (v(1, 1) - v(-1, 1) - v(1, -1) + v(-1, -1))
+    dyy = 0.25 * (v(0, 2) - 2 * v(0, 0) + v(0, -2))
+    det = dxx * dyy - dxy * dxy
+    solvable = valid & (det != 0)
+    inv_det = jnp.where(det != 0, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    off_x = -(dyy * dx - dxy * dy) * inv_det
+    off_y = -(-dxy * dx + dxx * dy) * inv_det
+    shift = jnp.stack([off_x, off_y], axis=-1)
+    return keypoints + jnp.where(solvable[..., None], shift, 0.0)
+
+
+def simcc_maximum_batch(simcc_x: jnp.ndarray, simcc_y: jnp.ndarray):
+    """Device SimCC joint argmax: (B, K, Wx), (B, K, Wy) -> locs (B, K, 2)
+    float bin coords (-1 where max <= 0), vals = min(max_x, max_y)."""
+    x_locs = jnp.argmax(simcc_x, axis=-1).astype(jnp.float32)
+    y_locs = jnp.argmax(simcc_y, axis=-1).astype(jnp.float32)
+    max_x = jnp.max(simcc_x, axis=-1)
+    max_y = jnp.max(simcc_y, axis=-1)
+    vals = jnp.minimum(max_x, max_y)
+    locs = jnp.stack([x_locs, y_locs], axis=-1)
+    locs = jnp.where((vals <= 0.0)[..., None], -1.0, locs)
+    return locs, vals
+
+
 def expected_oks_decode_to_input_space(
     heatmaps: jnp.ndarray, input_size: Tuple[int, int]
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
