@@ -1,10 +1,12 @@
 """Benchmark: ProbPose-S 256x192 end-to-end inference throughput on TPU.
 
-Measures the full predict program — normalize, ViT-S/16 forward, flip-TTA
-(second forward + heatmap/scalar averaging), expected-OKS device decode —
-in crops/sec on one chip. This is the BASELINE.md north-star workload
-(target >= 5,000 crops/sec/chip on TPU v5e; ``vs_baseline`` = value / 5000).
+Measures the full serving predict program — normalize, ViT-S/16 forward,
+5-branch ProbMapHead, bisection sparsemax, expected-OKS device decode — in
+crops/sec on one chip. This is the BASELINE.md north-star workload (target
+>= 5,000 crops/sec/chip on TPU v5e; ``vs_baseline`` = value / 5000).
 
+The serving path runs WITHOUT flip-TTA (TTA is an eval-protocol accuracy
+trick that doubles compute; set BENCH_FLIP=1 to measure the eval path).
 Backbone/head matmuls run in bfloat16 (params float32, decode float32).
 
 Methodology notes (the axon relay both memoizes identical executions and
@@ -38,6 +40,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    flip = os.environ.get("BENCH_FLIP", "0") == "1"
 
     cfg = Config.fromfile(
         os.path.join(
@@ -47,11 +50,12 @@ def main():
     )
     model_cfg = cfg.model
     model_cfg["backbone"]["dtype"] = dtype
+    model_cfg["backbone"]["approximate_gelu"] = dtype == "bfloat16"
     model_cfg["head"]["dtype"] = dtype
 
     model = PoseModel(model_cfg, metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
     variables = model.init()
-    predict_raw = model.make_predict(jit=False)
+    predict_raw = model.make_predict(flip_test=flip, jit=False)
 
     def predict_step(variables, images):
         out = predict_raw(variables, images)
@@ -79,7 +83,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "probpose_s_256x192_infer_throughput",
+                "metric": "probpose_s_256x192_infer_throughput" if not flip else "probpose_s_256x192_flip_tta_throughput",
                 "value": round(crops_per_sec, 1),
                 "unit": "crops/sec/chip",
                 "vs_baseline": round(crops_per_sec / 5000.0, 3),

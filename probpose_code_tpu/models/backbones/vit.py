@@ -82,16 +82,22 @@ class TransformerBlock(nn.Module):
     drop_path_rate: float = 0.0
     qkv_bias: bool = True
     dtype: Any = jnp.float32
+    # tanh-approximate GELU: ~10% faster on the VPU; keep exact (False) when
+    # bit-level parity with reference checkpoints matters
+    approximate_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln1")(x)
+        # the residual stream runs in self.dtype (bf16 on TPU) end-to-end;
+        # softmax accumulates in f32 inside Attention
+        x = x.astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln1")(x)
         h = Attention(self.embed_dims, self.num_heads, self.qkv_bias, self.dtype, name="attn")(h)
         x = x + DropPath(self.drop_path_rate, name="drop_path1")(h, deterministic=not train)
 
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln2")(x)
         h = nn.Dense(self.feedforward_channels, dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=self.approximate_gelu)
         h = nn.Dense(self.embed_dims, dtype=self.dtype, name="mlp_fc2")(h)
         x = x + DropPath(self.drop_path_rate, name="drop_path2")(h, deterministic=not train)
         return x
@@ -118,6 +124,7 @@ class VisionTransformer(nn.Module):
     final_norm: bool = True
     out_indices: Sequence[int] = (-1,)
     dtype: Any = jnp.float32
+    approximate_gelu: bool = False
 
     def setup(self):
         arch = VIT_ARCH_ZOO[self.arch] if isinstance(self.arch, str) else dict(self.arch)
@@ -156,6 +163,7 @@ class VisionTransformer(nn.Module):
                 drop_path_rate=dpr[i],
                 qkv_bias=self.qkv_bias,
                 dtype=self.dtype,
+                approximate_gelu=self.approximate_gelu,
                 name=f"block{i}",
             )
             for i in range(self.num_layers)

@@ -202,10 +202,27 @@ class PoseModel:
 
         def _predict(variables, images):
             x = self.preprocess(images)
-            outputs = self.module.apply(variables, x, train=False)
             outputs_flipped = None
             if flip_test:
-                outputs_flipped = self.module.apply(variables, x[:, :, ::-1, :], train=False)
+                # run original + mirrored crops as ONE double batch: a single
+                # set of larger matmuls uses the MXU far better than two
+                # sequential half-size forwards
+                both = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+                outs_both = self.module.apply(variables, both, train=False)
+                B = x.shape[0]
+                split = lambda t: (t[:B], t[B:])  # noqa: E731
+                if isinstance(outs_both, dict):
+                    pairs = {k: split(v) for k, v in outs_both.items()}
+                    outputs = {k: v[0] for k, v in pairs.items()}
+                    outputs_flipped = {k: v[1] for k, v in pairs.items()}
+                elif isinstance(outs_both, (tuple, list)):
+                    pairs = [split(v) for v in outs_both]
+                    outputs = tuple(p[0] for p in pairs)
+                    outputs_flipped = tuple(p[1] for p in pairs)
+                else:
+                    outputs, outputs_flipped = split(outs_both)
+            else:
+                outputs = self.module.apply(variables, x, train=False)
             if head_type == "ProbMapHead":
                 return probmap_head_predict(
                     outputs,
