@@ -5,6 +5,13 @@ from .backbones.vit import VisionTransformer  # noqa: F401
 from .builder import PoseModel, build_loss_modules, build_pose_estimator  # noqa: F401
 from .heads.heatmap_head import HeatmapHead  # noqa: F401
 from .heads.probmap_head import ProbMapHead  # noqa: F401
+from .heads.regression_heads import (  # noqa: F401
+    DSNTHead,
+    IntegralRegressionHead,
+    RLEHead,
+    RegressionHead,
+    VisPredictHead,
+)
 from .heads.rtmcc_head import RTMCCHead, SimCCHead  # noqa: F401
 from .pose_estimators.topdown import TopdownPoseEstimator  # noqa: F401
 

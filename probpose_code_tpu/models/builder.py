@@ -29,6 +29,7 @@ from .pose_estimators.topdown import (
     preprocess_inputs,
     probmap_head_loss,
     probmap_head_predict,
+    regression_head_loss,
     simcc_head_loss,
 )
 
@@ -185,6 +186,10 @@ class PoseModel:
             )
         elif self.head_type in ("SimCCHead", "RTMCCHead"):
             losses = simcc_head_loss(outputs, batch, self.loss_modules["keypoint"])
+        elif self.head_type in ("RegressionHead", "RLEHead", "IntegralRegressionHead", "DSNTHead"):
+            losses = regression_head_loss(
+                outputs, batch, self.loss_modules["keypoint"], self.head_type, self.module, variables
+            )
         else:
             losses = heatmap_head_loss(outputs, batch, self.loss_modules["keypoint"])
         total = sum(v for k, v in losses.items() if k.startswith("loss_"))
@@ -237,6 +242,10 @@ class PoseModel:
 
                 ratio = (self.decoder_cfg or {}).get("simcc_split_ratio", 2.0)
                 return simcc_head_predict(outputs, outputs_flipped, flip_indices, simcc_split_ratio=ratio)
+            if head_type in ("RegressionHead", "RLEHead", "IntegralRegressionHead", "DSNTHead"):
+                from .pose_estimators.topdown import regression_head_predict
+
+                return regression_head_predict(outputs, outputs_flipped, flip_indices, input_size, head_type)
             # plain heatmap head: decode per the decoder codec type
             from probpose_code_tpu.ops.decode import (
                 dark_refine_batch,

@@ -292,6 +292,80 @@ def simcc_head_predict(
     )
 
 
+def regression_head_loss(
+    outputs,
+    batch: Dict[str, jnp.ndarray],
+    loss_module: Any,
+    head_type: str,
+    module=None,
+    variables=None,
+) -> Dict[str, jnp.ndarray]:
+    """Loss for the coordinate-regression heads.
+
+    RegressionHead: SmoothL1 on normalized labels. RLEHead: density loss on
+    (coords, sigmas); the plain (non-residual) RLE form is used here — the
+    RealNVP flow module exists (models.utils.realnvp) and joint flow
+    training is wired in a follow-up. Integral/DSNT: loss on soft-argmax
+    coords.
+    """
+    labels = batch["keypoint_labels"]
+    weights = batch["keypoint_weights"]
+    losses: Dict[str, jnp.ndarray] = {}
+    if head_type == "RLEHead":
+        pred = outputs
+        coords = pred[..., :2]
+        sigma = jax.nn.sigmoid(pred[..., 2:4])
+        from probpose_code_tpu.models.losses.regression_loss import RLELoss
+
+        rle = loss_module if isinstance(loss_module, RLELoss) else RLELoss(use_target_weight=True, residual=False)
+        losses["loss_kpt"] = rle(coords, sigma, labels, weights) if not getattr(rle, "residual", False) else rle(
+            coords, sigma, labels, weights, log_phi=jnp.zeros(coords.shape[:2])
+        )
+        dt_coords = coords
+    elif head_type in ("IntegralRegressionHead", "DSNTHead"):
+        coords, heatmaps = outputs
+        losses["loss_kpt"] = loss_module(coords, labels, weights)
+        dt_coords = coords
+    else:
+        coords = outputs
+        losses["loss_kpt"] = loss_module(coords, labels, weights)
+        dt_coords = coords
+
+    # normalized-distance accuracy monitor
+    dist = jnp.linalg.norm(jax.lax.stop_gradient(dt_coords) - labels, axis=-1)
+    valid = weights > 0.5
+    losses["acc_pose"] = ((dist < 0.05) & valid).sum() / jnp.maximum(valid.sum(), 1)
+    return losses
+
+
+def regression_head_predict(outputs, outputs_flipped, flip_indices, input_size, head_type: str):
+    """Flip-TTA average + denormalize (reference regression_head.predict)."""
+    from probpose_code_tpu.ops.tta import flip_coordinates
+
+    def coords_of(out):
+        if head_type in ("IntegralRegressionHead", "DSNTHead"):
+            return out[0]
+        if head_type == "RLEHead":
+            return out
+        return out
+
+    coords = coords_of(outputs)
+    if outputs_flipped is not None:
+        coords_f = coords_of(outputs_flipped)
+        coords_f = coords_f.at[..., :2].set(
+            flip_coordinates(coords_f[..., :2], flip_indices, shift_coords=True, input_size=input_size)
+        )
+        coords = (coords + coords_f) * 0.5
+
+    if head_type == "RLEHead":
+        keypoints = coords[..., :2] * jnp.asarray(input_size, dtype=jnp.float32)
+        scores = (1.0 - jax.nn.sigmoid(coords[..., 2:4])).mean(axis=-1)
+    else:
+        keypoints = coords * jnp.asarray(input_size, dtype=jnp.float32)
+        scores = jnp.ones(coords.shape[:2], jnp.float32)
+    return dict(keypoints=keypoints, keypoint_scores=scores)
+
+
 def heatmap_head_loss(
     heatmaps: jnp.ndarray,
     batch: Dict[str, jnp.ndarray],
