@@ -5,7 +5,9 @@ from .base_dataset import (
     CombinedDataset,
     Compose,
 )
+from . import zoo  # noqa: F401  (registers the dataset zoo)
 from .coco_api import COCO
+from .samplers import MultiSourceSampler
 from .loader import DataLoader, collate_pose_samples
 from .metainfo import DATASET_METAINFO, parse_pose_metainfo
 from .transforms import *  # noqa: F401,F403

@@ -9,7 +9,7 @@ also be loaded from config files via ``{"from_file": path}``.
 from __future__ import annotations
 
 import os.path as osp
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -20,6 +20,42 @@ DATASET_METAINFO: Dict[str, dict] = {
     "coco": COCO_METAINFO,
     "coco_crop": COCO_CROP_METAINFO,
 }
+
+_DATA_DIR = osp.join(osp.dirname(osp.abspath(__file__)), "data")
+
+
+def available_metainfo() -> list:
+    """All dataset metainfo names (built-in + extracted JSON tables)."""
+    names = set(DATASET_METAINFO)
+    if osp.isdir(_DATA_DIR):
+        names.update(f[:-5] for f in __import__("os").listdir(_DATA_DIR) if f.endswith(".json"))
+    return sorted(names)
+
+
+def _load_json_metainfo(name: str) -> Optional[dict]:
+    path = osp.join(_DATA_DIR, f"{name}.json")
+    if not osp.isfile(path):
+        return None
+    import json
+
+    with open(path) as f:
+        info = json.load(f)
+    # JSON round-trip stringifies int keys of keypoint_info/skeleton_info
+    for key in ("keypoint_info", "skeleton_info"):
+        if key in info:
+            info[key] = {int(k): v for k, v in info[key].items()}
+    return info
+
+
+def get_metainfo(name: str) -> dict:
+    """Raw metainfo dict by dataset name (JSON tables loaded lazily)."""
+    if name in DATASET_METAINFO:
+        return DATASET_METAINFO[name]
+    info = _load_json_metainfo(name)
+    if info is None:
+        raise KeyError(f"no metainfo table for dataset '{name}'")
+    DATASET_METAINFO[name] = info
+    return info
 
 
 def register_metainfo(name: str, metainfo: dict) -> None:
@@ -38,16 +74,13 @@ def parse_pose_metainfo(metainfo: dict) -> dict:
         if not osp.isfile(cfg_file):
             # fall back to a registered metainfo matching the file stem
             stem = osp.splitext(osp.basename(cfg_file))[0]
-            if stem in DATASET_METAINFO:
-                metainfo = DATASET_METAINFO[stem]
-            else:
-                raise FileNotFoundError(f'metainfo config file "{cfg_file}" not found')
+            metainfo = get_metainfo(stem)
         else:
             from probpose_code_tpu.config import Config
 
             metainfo = Config.fromfile(cfg_file)["dataset_info"]
-    elif set(metainfo.keys()) == {"dataset_name"} and metainfo["dataset_name"] in DATASET_METAINFO:
-        metainfo = DATASET_METAINFO[metainfo["dataset_name"]]
+    elif set(metainfo.keys()) == {"dataset_name"}:
+        metainfo = get_metainfo(metainfo["dataset_name"])
 
     for key in ("dataset_name", "keypoint_info", "skeleton_info", "joint_weights", "sigmas"):
         assert key in metainfo, f"metainfo missing required key {key}"

@@ -1,3 +1,4 @@
+from .converting import KeypointConverter
 from .common import (
     FilterAnnotations,
     GenerateTarget,
@@ -16,6 +17,7 @@ from .topdown import TopdownAffine
 
 __all__ = [
     "FilterAnnotations",
+    "KeypointConverter",
     "GenerateTarget",
     "GetBBoxCenterScale",
     "LoadImage",

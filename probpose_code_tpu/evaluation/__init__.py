@@ -19,9 +19,16 @@ from .functional.nms import (
     soft_oks_nms,
 )
 from .metrics.coco_metric import CocoMetric
+from .metrics.keypoint_2d_metrics import AUC, EPE, NME, JhmdbPCKAccuracy, MpiiPCKAccuracy, PCKAccuracy
 
 __all__ = [
+    "AUC",
     "BaseMetric",
+    "EPE",
+    "JhmdbPCKAccuracy",
+    "MpiiPCKAccuracy",
+    "NME",
+    "PCKAccuracy",
     "COCOeval",
     "CocoMetric",
     "Evaluator",

@@ -1,0 +1,231 @@
+"""2D keypoint accuracy metrics: PCK / PCKh / AUC / EPE / NME.
+
+Parity target: reference ``mmpose/evaluation/metrics/keypoint_2d_metrics.py``
+(889 LoC): PCKAccuracy with bbox/head/torso normalization, the MPII (PCKh,
+per-joint table) and JHMDB variants, AUC over thresholds, end-point error,
+and normalized mean error with keypoint- or box-based normalization.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from probpose_code_tpu.registry import METRICS
+
+from ..base_metric import BaseMetric
+from ..functional.keypoint_eval import (
+    keypoint_auc,
+    keypoint_epe,
+    keypoint_nme,
+    keypoint_pck_accuracy,
+)
+from .coco_metric import _sample_view
+
+
+def _collect(results):
+    pred = np.concatenate([r["pred_coords"] for r in results])
+    gt = np.concatenate([r["gt_coords"] for r in results])
+    mask = np.concatenate([r["mask"] for r in results])
+    return pred, gt, mask
+
+
+class _KeypointMetricBase(BaseMetric):
+    """Shared processing: per-sample pred/gt coords + visibility mask."""
+
+    norm_items: Sequence[str] = ()
+
+    def process(self, data_batch, data_samples: Sequence) -> None:
+        for raw in data_samples:
+            s = _sample_view(raw)
+            pred = np.asarray(s["pred_instances"]["keypoints"])
+            if pred.ndim == 2:
+                pred = pred[None]
+            gt_inst = s["gt_instances"]
+            gt = np.asarray(gt_inst["keypoints"])
+            mask = np.asarray(gt_inst.get("keypoints_visible", np.ones(gt.shape[:2]))).astype(bool)
+            if mask.ndim == 3:
+                mask = mask[..., 0]
+            result = dict(pred_coords=pred[..., :2], gt_coords=gt[..., :2], mask=mask)
+
+            if "bbox" in self.norm_items:
+                bboxes = np.asarray(gt_inst["bboxes"]).reshape(-1, 4)
+                bbox_size = np.max(bboxes[:, 2:] - bboxes[:, :2], axis=1)
+                result["bbox_size"] = np.tile(bbox_size[:, None], (1, 2))
+            if "head" in self.norm_items:
+                head_size = np.asarray(gt_inst["head_size"]).reshape(-1, 1)
+                result["head_size"] = np.tile(head_size, (1, 2))
+            if "torso" in self.norm_items:
+                kpts = gt.reshape(gt.shape[0], -1, 2)
+                torso = np.linalg.norm(kpts[:, 4] - kpts[:, 5], axis=-1, keepdims=True)
+                torso = np.clip(torso, 1e-6, None)
+                result["torso_size"] = np.tile(torso, (1, 2))
+            self.results.append(result)
+
+
+@METRICS.register_module()
+class PCKAccuracy(_KeypointMetricBase):
+    """PCK with bbox / head / torso normalization."""
+
+    default_prefix = "pck"
+
+    def __init__(self, thr: float = 0.05, norm_item="bbox", collect_device="cpu", prefix=None):
+        super().__init__(collect_device=collect_device, prefix=prefix)
+        self.thr = thr
+        self.norm_items = [norm_item] if isinstance(norm_item, str) else list(norm_item)
+        for item in self.norm_items:
+            assert item in ("bbox", "head", "torso"), f"invalid norm_item {item}"
+
+    def compute_metrics(self, results: list) -> Dict[str, float]:
+        pred, gt, mask = _collect(results)
+        metrics = {}
+        if "bbox" in self.norm_items:
+            norm = np.concatenate([r["bbox_size"] for r in results])
+            _, pck, _ = keypoint_pck_accuracy(pred, gt, mask, self.thr, norm)
+            metrics["PCK"] = pck
+        if "head" in self.norm_items:
+            norm = np.concatenate([r["head_size"] for r in results])
+            _, pck, _ = keypoint_pck_accuracy(pred, gt, mask, self.thr, norm)
+            metrics["PCKh"] = pck
+        if "torso" in self.norm_items:
+            norm = np.concatenate([r["torso_size"] for r in results])
+            _, pck, _ = keypoint_pck_accuracy(pred, gt, mask, self.thr, norm)
+            metrics["tPCK"] = pck
+        return metrics
+
+
+@METRICS.register_module()
+class MpiiPCKAccuracy(PCKAccuracy):
+    """MPII PCKh@0.5 with the standard per-joint breakdown."""
+
+    default_prefix = "mpii"
+
+    def __init__(self, thr: float = 0.5, norm_item="head", collect_device="cpu", prefix=None):
+        super().__init__(thr=thr, norm_item=norm_item, collect_device=collect_device, prefix=prefix)
+
+    def compute_metrics(self, results: list) -> Dict[str, float]:
+        pred, gt, mask = _collect(results)
+        norm = np.concatenate([r["head_size"] for r in results])
+        acc, pckh, _ = keypoint_pck_accuracy(pred, gt, mask, self.thr, norm)
+        # standard MPII joint groups (16-keypoint layout)
+        joints = {
+            "Head": [9], "Shoulder": [12, 13], "Elbow": [11, 14], "Wrist": [10, 15],
+            "Hip": [2, 3], "Knee": [1, 4], "Ankle": [0, 5],
+        }
+        metrics: Dict[str, float] = {}
+        if pred.shape[1] == 16:
+            for name, ids in joints.items():
+                vals = acc[ids]
+                vals = vals[vals >= 0]
+                if len(vals):
+                    metrics[name] = float(vals.mean() * 100)
+        metrics["PCKh"] = float(pckh * 100)
+        return metrics
+
+
+@METRICS.register_module()
+class JhmdbPCKAccuracy(PCKAccuracy):
+    """JHMDB PCK with bbox and torso normalization variants."""
+
+    default_prefix = "jhmdb"
+
+    def __init__(self, thr: float = 0.05, norm_item=("bbox", "torso"), collect_device="cpu", prefix=None):
+        super().__init__(thr=thr, norm_item=norm_item, collect_device=collect_device, prefix=prefix)
+
+
+@METRICS.register_module()
+class AUC(_KeypointMetricBase):
+    """Area under the PCK curve over [0, norm_factor]."""
+
+    default_prefix = "auc"
+
+    def __init__(self, norm_factor: float = 30, num_thrs: int = 20, collect_device="cpu", prefix=None):
+        super().__init__(collect_device=collect_device, prefix=prefix)
+        self.norm_factor = norm_factor
+        self.num_thrs = num_thrs
+
+    def compute_metrics(self, results: list) -> Dict[str, float]:
+        pred, gt, mask = _collect(results)
+        return {"AUC": keypoint_auc(pred, gt, mask, self.norm_factor, self.num_thrs)}
+
+
+@METRICS.register_module()
+class EPE(_KeypointMetricBase):
+    """Mean end-point error in pixels."""
+
+    default_prefix = "epe"
+
+    def compute_metrics(self, results: list) -> Dict[str, float]:
+        pred, gt, mask = _collect(results)
+        return {"EPE": keypoint_epe(pred, gt, mask)}
+
+
+@METRICS.register_module()
+class NME(_KeypointMetricBase):
+    """Normalized mean error (face benchmarks).
+
+    ``norm_mode='use_norm_item'`` divides by a per-sample size field (e.g.
+    box_size); ``'keypoint_distance'`` divides by the distance between two
+    reference keypoints (inter-ocular by default).
+    """
+
+    default_prefix = "nme"
+    DEFAULT_KEYPOINT_INDICES = {
+        "horse10": [0, 1],
+        "300w": [36, 45],
+        "coco_wholebody_face": [36, 45],
+        "cofw": [8, 9],
+        "wflw": [60, 72],
+        "lapa": [66, 79],
+    }
+
+    def __init__(
+        self,
+        norm_mode: str = "use_norm_item",
+        norm_item: str = "box_size",
+        keypoint_indices: Optional[Sequence[int]] = None,
+        collect_device="cpu",
+        prefix=None,
+    ):
+        super().__init__(collect_device=collect_device, prefix=prefix)
+        assert norm_mode in ("use_norm_item", "keypoint_distance")
+        self.norm_mode = norm_mode
+        self.norm_item = norm_item
+        self.keypoint_indices = keypoint_indices
+
+    def process(self, data_batch, data_samples: Sequence) -> None:
+        for raw in data_samples:
+            s = _sample_view(raw)
+            pred = np.asarray(s["pred_instances"]["keypoints"])
+            if pred.ndim == 2:
+                pred = pred[None]
+            gt_inst = s["gt_instances"]
+            gt = np.asarray(gt_inst["keypoints"])
+            mask = np.asarray(gt_inst.get("keypoints_visible", np.ones(gt.shape[:2]))).astype(bool)
+            if mask.ndim == 3:
+                mask = mask[..., 0]
+            result = dict(pred_coords=pred[..., :2], gt_coords=gt[..., :2], mask=mask)
+            if self.norm_mode == "use_norm_item":
+                if self.norm_item in gt_inst:
+                    size = np.asarray(gt_inst[self.norm_item]).reshape(-1, 1)
+                elif "bboxes" in gt_inst:
+                    bb = np.asarray(gt_inst["bboxes"]).reshape(-1, 4)
+                    size = np.max(bb[:, 2:] - bb[:, :2], axis=1, keepdims=True)
+                else:
+                    size = np.ones((pred.shape[0], 1), np.float32)
+                result["norm_size"] = np.tile(size, (1, 2))
+            self.results.append(result)
+
+    def compute_metrics(self, results: list) -> Dict[str, float]:
+        pred, gt, mask = _collect(results)
+        if self.norm_mode == "use_norm_item":
+            norm = np.concatenate([r["norm_size"] for r in results])
+        else:
+            indices = self.keypoint_indices
+            if indices is None:
+                name = (self.dataset_meta or {}).get("dataset_name", "")
+                indices = self.DEFAULT_KEYPOINT_INDICES.get(name, [0, 1])
+            d = np.linalg.norm(gt[:, indices[0]] - gt[:, indices[1]], axis=-1, keepdims=True)
+            norm = np.tile(np.clip(d, 1e-6, None), (1, 2))
+        return {"NME": keypoint_nme(pred, gt, mask, norm)}

@@ -1,6 +1,9 @@
 from . import losses  # noqa: F401  (registers loss modules)
+from . import necks  # noqa: F401  (registers neck modules)
 from .backbones.cspnext import CSPNeXt  # noqa: F401
 from .backbones.hrnet import HRNet  # noqa: F401
+from .backbones.mobilenet_v2 import MobileNetV2  # noqa: F401
+from .backbones.resnet import ResNet, ResNetV1d, ResNeXt  # noqa: F401
 from .backbones.vit import VisionTransformer  # noqa: F401
 from .builder import PoseModel, build_loss_modules, build_pose_estimator  # noqa: F401
 from .heads.heatmap_head import HeatmapHead  # noqa: F401

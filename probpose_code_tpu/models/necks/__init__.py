@@ -1,0 +1,3 @@
+from .necks import GAP, FPN, ChannelMapper, CSPNeXtPAFPN, FeatureMapProcessor, GlobalAveragePooling
+
+__all__ = ["ChannelMapper", "CSPNeXtPAFPN", "FPN", "FeatureMapProcessor", "GAP", "GlobalAveragePooling"]
