@@ -1,3 +1,4 @@
+from .bottomup import BottomupRandomAffine, BottomupResize
 from .converting import KeypointConverter
 from .common import (
     FilterAnnotations,
@@ -16,6 +17,8 @@ from .loading import LoadImage
 from .topdown import TopdownAffine
 
 __all__ = [
+    "BottomupRandomAffine",
+    "BottomupResize",
     "FilterAnnotations",
     "KeypointConverter",
     "GenerateTarget",

@@ -16,6 +16,11 @@ from .heads.regression_heads import (  # noqa: F401
     VisPredictHead,
 )
 from .heads.rtmcc_head import RTMCCHead, SimCCHead  # noqa: F401
+from .pose_estimators.bottomup import (  # noqa: F401
+    AssociativeEmbeddingHead,
+    BottomupPoseEstimator,
+    DEKRHead,
+)
 from .pose_estimators.topdown import TopdownPoseEstimator  # noqa: F401
 
 __all__ = [

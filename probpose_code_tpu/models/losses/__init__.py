@@ -1,3 +1,4 @@
+from .ae_loss import AssociativeEmbeddingLoss
 from .classification_loss import (
     BCELoss,
     InfoNCELoss,
@@ -28,6 +29,7 @@ from .regression_loss import (
 
 __all__ = [
     "AdaptiveWingLoss",
+    "AssociativeEmbeddingLoss",
     "BCELoss",
     "CalibrationLoss",
     "CombinedTargetMSELoss",

@@ -1,0 +1,122 @@
+"""Bottom-up pose estimation: estimator module, AE head, DEKR head.
+
+Parity targets:
+- ``BottomupPoseEstimator`` (reference ``pose_estimators/bottomup.py``):
+  whole-image multi-person estimation; predict emits dense fields, grouping
+  happens host-side in the codec (dynamic instance counts don't jit).
+- ``AssociativeEmbeddingHead`` (reference ``heads/heatmap_heads/ae_head.py``):
+  a deconv heatmap head with 2K output channels — K keypoint heatmaps + K
+  tagging maps; losses = KeypointMSE + AE push/pull.
+- ``DEKRHead`` (reference ``heads/hybrid_heads/dekr_head.py:527``,
+  simplified rescoring-free form): a heatmap branch (K+1 channels incl. the
+  instance root) + a displacement branch (K*2 channels), decoded by the SPR
+  codec.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from probpose_code_tpu.registry import MODELS
+
+from ..heads.heatmap_head import ConvStack, DeconvStack
+
+
+@MODELS.register_module()
+class BottomupPoseEstimator(nn.Module):
+    backbone: nn.Module
+    head: nn.Module
+    neck: Optional[nn.Module] = None
+
+    def extract_feat(self, inputs: jnp.ndarray, train: bool = False):
+        feats = self.backbone(inputs, train=train)
+        if self.neck is not None:
+            feats = self.neck(feats)
+        return feats
+
+    def __call__(self, inputs: jnp.ndarray, train: bool = False):
+        return self.head(self.extract_feat(inputs, train=train), train=train)
+
+
+@MODELS.register_module()
+class AssociativeEmbeddingHead(nn.Module):
+    in_channels: int
+    num_keypoints: int
+    tag_dim: int = 1
+    tag_per_keypoint: bool = True
+    deconv_out_channels: Optional[Sequence[int]] = (256,)
+    deconv_kernel_sizes: Optional[Sequence[int]] = (4,)
+    keypoint_loss: Any = None
+    tag_loss: Any = None
+    decoder: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False) -> Dict[str, jnp.ndarray]:
+        x = feats[-1] if isinstance(feats, (tuple, list)) else feats
+        if self.deconv_out_channels:
+            x = DeconvStack(self.deconv_out_channels, self.deconv_kernel_sizes, self.dtype, name="deconv_layers")(
+                x, train=train
+            )
+        tag_ch = self.num_keypoints * self.tag_dim if self.tag_per_keypoint else self.tag_dim
+        x = nn.Conv(self.num_keypoints + tag_ch, (1, 1), name="final_layer")(x)
+        x = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
+        return dict(heatmaps=x[:, : self.num_keypoints], tags=x[:, self.num_keypoints:])
+
+
+@MODELS.register_module()
+class DEKRHead(nn.Module):
+    in_channels: int
+    num_keypoints: int
+    conv_out_channels: Sequence[int] = (32,)
+    heatmap_loss: Any = None
+    displacement_loss: Any = None
+    decoder: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False) -> Dict[str, jnp.ndarray]:
+        x = feats[-1] if isinstance(feats, (tuple, list)) else feats
+        # heatmap branch: K keypoints + 1 root channel
+        h = ConvStack(self.conv_out_channels, [3] * len(self.conv_out_channels), self.dtype, name="heatmap_conv")(
+            x, train=train
+        )
+        heatmaps = nn.Conv(self.num_keypoints + 1, (1, 1), name="heatmap_final")(h)
+        # displacement branch: 2 channels per keypoint
+        d = ConvStack(self.conv_out_channels, [3] * len(self.conv_out_channels), self.dtype, name="disp_conv")(
+            x, train=train
+        )
+        displacements = nn.Conv(self.num_keypoints * 2, (1, 1), name="disp_final")(d)
+        return dict(
+            heatmaps=jnp.transpose(heatmaps.astype(jnp.float32), (0, 3, 1, 2)),
+            displacements=jnp.transpose(displacements.astype(jnp.float32), (0, 3, 1, 2)),
+        )
+
+
+def ae_head_loss(outputs, batch, keypoint_loss, tag_loss) -> Dict[str, jnp.ndarray]:
+    """AE head losses: heatmap MSE + push/pull over padded keypoint indices."""
+    losses = {
+        "loss_kpt": keypoint_loss(outputs["heatmaps"], batch["heatmaps"], batch.get("keypoint_weights"))
+    }
+    if "keypoint_indices" in batch:
+        pull, push = tag_loss(outputs["tags"], batch["keypoint_indices"])
+        losses["loss_pull"] = pull
+        losses["loss_push"] = push
+    return losses
+
+
+def dekr_head_loss(outputs, batch, heatmap_loss, displacement_loss) -> Dict[str, jnp.ndarray]:
+    """DEKR losses: weighted heatmap MSE + smooth-L1 displacement field."""
+    losses = {
+        "loss_kpt": heatmap_loss(
+            outputs["heatmaps"], batch["heatmaps"], None, mask=batch.get("heatmap_weights")
+        )
+    }
+    if "displacements" in batch:
+        losses["loss_disp"] = displacement_loss(
+            outputs["displacements"], batch["displacements"], batch.get("displacement_weights")
+        )
+    return losses
