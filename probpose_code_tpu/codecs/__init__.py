@@ -2,6 +2,7 @@ from .associative_embedding import AssociativeEmbedding
 from .base import BaseKeypointCodec
 from .decoupled_heatmap import DecoupledHeatmap
 from .double_probmap import DoubleProbMap
+from .image_pose_lifting import ImagePoseLifting, VideoPoseLifting
 from .integral_regression_label import IntegralRegressionLabel
 from .megvii_heatmap import MegviiHeatmap
 from .msra_heatmap import MSRAHeatmap
@@ -17,6 +18,8 @@ __all__ = [
     "BaseKeypointCodec",
     "DecoupledHeatmap",
     "DoubleProbMap",
+    "ImagePoseLifting",
+    "VideoPoseLifting",
     "IntegralRegressionLabel",
     "MSRAHeatmap",
     "MegviiHeatmap",

@@ -19,6 +19,7 @@ from .functional.nms import (
     soft_oks_nms,
 )
 from .metrics.coco_metric import CocoMetric
+from .metrics.keypoint_3d_metrics import MPJPE
 from .metrics.keypoint_2d_metrics import AUC, EPE, NME, JhmdbPCKAccuracy, MpiiPCKAccuracy, PCKAccuracy
 
 __all__ = [
@@ -26,6 +27,7 @@ __all__ = [
     "BaseMetric",
     "EPE",
     "JhmdbPCKAccuracy",
+    "MPJPE",
     "MpiiPCKAccuracy",
     "NME",
     "PCKAccuracy",

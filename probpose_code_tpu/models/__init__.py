@@ -4,6 +4,7 @@ from .backbones.cspnext import CSPNeXt  # noqa: F401
 from .backbones.hrnet import HRNet  # noqa: F401
 from .backbones.mobilenet_v2 import MobileNetV2  # noqa: F401
 from .backbones.resnet import ResNet, ResNetV1d, ResNeXt  # noqa: F401
+from .backbones.tcn import TCN  # noqa: F401
 from .backbones.vit import VisionTransformer  # noqa: F401
 from .builder import PoseModel, build_loss_modules, build_pose_estimator  # noqa: F401
 from .heads.heatmap_head import HeatmapHead  # noqa: F401
@@ -20,6 +21,11 @@ from .pose_estimators.bottomup import (  # noqa: F401
     AssociativeEmbeddingHead,
     BottomupPoseEstimator,
     DEKRHead,
+)
+from .pose_estimators.pose_lifter import (  # noqa: F401
+    PoseLifter,
+    TemporalRegressionHead,
+    TrajectoryRegressionHead,
 )
 from .pose_estimators.topdown import TopdownPoseEstimator  # noqa: F401
 
