@@ -1,3 +1,12 @@
 from .inference import inference_bottomup, inference_topdown, init_model, load_weights
+from .inference_tracking import _track_by_iou, _track_by_oks
+from .inferencers import MMPoseInferencer, Pose2DInferencer
 
-__all__ = ["inference_bottomup", "inference_topdown", "init_model", "load_weights"]
+__all__ = [
+    "MMPoseInferencer",
+    "Pose2DInferencer",
+    "inference_bottomup",
+    "inference_topdown",
+    "init_model",
+    "load_weights",
+]

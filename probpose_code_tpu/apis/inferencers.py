@@ -1,0 +1,173 @@
+"""High-level inferencers: file/folder/video/array inputs -> predictions.
+
+Parity targets: reference ``mmpose/apis/inferencers/`` —
+``BaseMMPoseInferencer`` (input enumeration, chunked inference, visualization
++ json dump), ``Pose2DInferencer:125`` (optional detector -> per-bbox
+pipeline -> batched forward -> pose NMS), ``MMPoseInferencer`` facade.
+
+Detector integration: the reference uses an mmdet model; here the detector
+is pluggable — any callable ``img -> (N, 5) xyxy+score`` — with whole-image
+fallback, and detection-bbox json files are supported via ``bboxes=``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import os.path as osp
+from typing import Any, Callable, Dict, Generator, List, Optional, Sequence, Union
+
+import numpy as np
+
+from probpose_code_tpu.evaluation.functional.nms import nearby_joints_nms
+from probpose_code_tpu.registry import INFERENCERS
+from probpose_code_tpu.structures import merge_data_samples
+
+from .inference import inference_topdown, init_model
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def _enumerate_inputs(inputs) -> Generator:
+    """Yield (name, BGR image) from path / folder / video / arrays."""
+    import cv2
+
+    if isinstance(inputs, np.ndarray):
+        yield "array_0", inputs
+        return
+    if isinstance(inputs, (list, tuple)):
+        for i, item in enumerate(inputs):
+            if isinstance(item, np.ndarray):
+                yield f"array_{i}", item
+            else:
+                yield osp.splitext(osp.basename(item))[0], cv2.imread(item)
+        return
+    if isinstance(inputs, str):
+        if osp.isdir(inputs):
+            for path in sorted(glob.glob(osp.join(inputs, "*"))):
+                if path.lower().endswith(IMG_EXTS):
+                    yield osp.splitext(osp.basename(path))[0], cv2.imread(path)
+            return
+        if inputs.lower().endswith(IMG_EXTS):
+            yield osp.splitext(osp.basename(inputs))[0], cv2.imread(inputs)
+            return
+        # treat as video
+        cap = cv2.VideoCapture(inputs)
+        idx = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            yield f"frame_{idx:06d}", frame
+            idx += 1
+        cap.release()
+        return
+    raise ValueError(f"Unsupported inputs {type(inputs)}")
+
+
+@INFERENCERS.register_module()
+class Pose2DInferencer:
+    def __init__(
+        self,
+        model: Union[str, dict],
+        weights: Optional[str] = None,
+        device: Optional[str] = None,
+        detector: Optional[Callable] = None,
+        det_cat_ids: Sequence[int] = (0,),
+        **kwargs,
+    ):
+        self.model = init_model(model, weights, device)
+        self.detector = detector
+        self.det_cat_ids = det_cat_ids
+        self.visualizer = None
+
+    def _get_visualizer(self):
+        if self.visualizer is None:
+            from probpose_code_tpu.visualization import PoseLocalVisualizer
+
+            self.visualizer = PoseLocalVisualizer()
+            self.visualizer.set_dataset_meta(self.model.metainfo)
+        return self.visualizer
+
+    def __call__(
+        self,
+        inputs,
+        bboxes: Optional[Dict[str, np.ndarray]] = None,
+        bbox_thr: float = 0.3,
+        nms_thr: float = 0.05,
+        use_nms: bool = True,
+        return_vis: bool = False,
+        vis_out_dir: Optional[str] = None,
+        pred_out_dir: Optional[str] = None,
+        kpt_thr: float = 0.3,
+    ) -> List[dict]:
+        outputs = []
+        for name, img in _enumerate_inputs(inputs):
+            if img is None:
+                continue
+            img_bboxes = None
+            if bboxes is not None:
+                img_bboxes = np.asarray(bboxes.get(name, bboxes.get("*", None)))
+            elif self.detector is not None:
+                dets = np.asarray(self.detector(img))
+                if dets.size:
+                    dets = dets[dets[:, 4] >= bbox_thr][:, :4]
+                img_bboxes = dets if dets is not None and len(dets) else None
+
+            results = inference_topdown(self.model, img, img_bboxes)
+            merged = merge_data_samples(results)
+
+            if use_nms and len(results) > 1:
+                inst = merged.pred_instances
+                kpts_db = [
+                    dict(keypoints=np.asarray(inst.keypoints)[i],
+                         score=float(np.asarray(inst.keypoint_scores)[i].mean()))
+                    for i in range(len(np.asarray(inst.keypoints)))
+                ]
+                keep = nearby_joints_nms(kpts_db, dist_thr=nms_thr, score_per_joint=False)
+                merged.pred_instances = inst[np.asarray(keep, dtype=int)]
+
+            record: Dict[str, Any] = dict(predictions=merged)
+            if return_vis or vis_out_dir:
+                vis = self._get_visualizer().add_datasample(
+                    name, img, merged, kpt_thr=kpt_thr,
+                    out_file=osp.join(vis_out_dir, f"{name}.jpg") if vis_out_dir else None,
+                )
+                if return_vis:
+                    record["visualization"] = vis
+            if pred_out_dir:
+                os.makedirs(pred_out_dir, exist_ok=True)
+                import json
+
+                inst = merged.pred_instances
+                preds = [
+                    dict(
+                        keypoints=np.asarray(inst.keypoints)[i].tolist(),
+                        keypoint_scores=np.asarray(inst.keypoint_scores)[i].tolist(),
+                    )
+                    for i in range(len(np.asarray(inst.keypoints)))
+                ]
+                with open(osp.join(pred_out_dir, f"{name}.json"), "w") as f:
+                    json.dump(preds, f)
+            outputs.append(record)
+        return outputs
+
+
+@INFERENCERS.register_module()
+class MMPoseInferencer:
+    """Facade dispatching to 2D (and later 3D) inferencers
+    (reference ``apis/inferencers/mmpose_inferencer.py``)."""
+
+    def __init__(
+        self,
+        pose2d: Optional[Union[str, dict]] = None,
+        pose2d_weights: Optional[str] = None,
+        pose3d: Optional[Union[str, dict]] = None,
+        device: Optional[str] = None,
+        **kwargs,
+    ):
+        assert pose2d is not None, "pose2d config is required"
+        self.inferencer = Pose2DInferencer(pose2d, pose2d_weights, device, **kwargs)
+
+    def __call__(self, inputs, **kwargs):
+        return self.inferencer(inputs, **kwargs)

@@ -5,6 +5,15 @@ from .checkpoint import (
     load_torch_checkpoint,
     save_checkpoint,
 )
+from .hooks import (
+    BadCaseAnalysisHook,
+    ExpMomentumEMA,
+    Hook,
+    PoseVisualizationHook,
+    RTMOModeSwitchHook,
+    SyncBuffersHook,
+    YOLOXPoseModeSwitchHook,
+)
 from .optim import build_optimizer, build_schedule
 from .runner import Runner, attach_predictions
 

@@ -1,0 +1,171 @@
+"""Training hooks (EMA, mode switching, bad-case analysis, visualization).
+
+Parity targets in reference ``mmpose/engine/hooks/``:
+- ``ExpMomentumEMA`` (``ema_hook.py:14``): exponential-moving-average of the
+  parameters with momentum warmup; here a pure-pytree EMA the runner keeps
+  next to the train state (TPU-friendly: one fused tree-map per step).
+- ``YOLOXPoseModeSwitchHook`` / ``RTMOModeSwitchHook``
+  (``mode_switch_hooks.py:14,69``): switch augmentation pipeline / loss
+  weights at a given epoch.
+- ``BadCaseAnalysisHook`` (``badcase_hook.py:23``): collect the worst-N val
+  samples by a metric and dump them for inspection.
+- ``PoseVisualizationHook`` (``visualization_hook.py:20``): render val
+  predictions at an interval.
+
+Hooks implement any of: before_run, before_train_epoch, after_train_iter,
+after_val_epoch, after_run (called by the Runner when registered).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import os.path as osp
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from probpose_code_tpu.registry import HOOKS
+
+
+class Hook:
+    def before_run(self, runner):  # noqa: D102
+        pass
+
+    def before_train_epoch(self, runner, epoch: int):
+        pass
+
+    def after_train_iter(self, runner, step: int, metrics: Dict[str, Any]):
+        pass
+
+    def after_val_epoch(self, runner, metrics: Dict[str, float]):
+        pass
+
+    def after_run(self, runner):
+        pass
+
+
+@HOOKS.register_module()
+class ExpMomentumEMA(Hook):
+    """EMA of params with exponentially-warmed momentum
+    ``m_t = m * (1 - e^{-t/gamma}) `` (reference ema_hook semantics)."""
+
+    def __init__(self, momentum: float = 0.0002, gamma: int = 2000):
+        self.momentum = momentum
+        self.gamma = gamma
+        self.ema_params = None
+
+    def after_train_iter(self, runner, step: int, metrics):
+        params = runner.state.params
+        if self.ema_params is None:
+            self.ema_params = params
+            return
+        m = (1 - self.momentum) * math.exp(-(1 + step) / self.gamma) + self.momentum
+        self.ema_params = jax.tree_util.tree_map(
+            lambda e, p: e * (1 - m) + p * m, self.ema_params, params
+        )
+
+    def swap_into(self, runner):
+        """Replace the live params with the EMA copy (for eval/export)."""
+        if self.ema_params is not None:
+            runner.state = runner.state.replace(params=self.ema_params)
+
+
+@HOOKS.register_module()
+class YOLOXPoseModeSwitchHook(Hook):
+    """Disable strong augmentations for the last N epochs
+    (reference mode_switch_hooks.py:14)."""
+
+    def __init__(self, num_last_epochs: int = 20, new_train_pipeline: Optional[list] = None):
+        self.num_last_epochs = num_last_epochs
+        self.new_train_pipeline = new_train_pipeline
+        self._switched = False
+
+    def before_train_epoch(self, runner, epoch: int):
+        if self._switched or epoch < runner.max_epochs - self.num_last_epochs:
+            return
+        self._switched = True
+        if self.new_train_pipeline and runner.train_loader is not None:
+            from probpose_code_tpu.datasets.base_dataset import Compose
+
+            runner.train_loader.dataset.pipeline = Compose(self.new_train_pipeline)
+            runner.logger.log(f"mode switch at epoch {epoch}: train pipeline replaced")
+
+
+@HOOKS.register_module()
+class RTMOModeSwitchHook(Hook):
+    """Change head attribute values at scheduled epochs
+    (reference mode_switch_hooks.py:69): ``epoch_attributes`` maps epoch ->
+    {attr: value} applied to the runner's head config (consumed by losses)."""
+
+    def __init__(self, epoch_attributes: Dict[int, Dict[str, Any]]):
+        self.epoch_attributes = {int(k): v for k, v in epoch_attributes.items()}
+
+    def before_train_epoch(self, runner, epoch: int):
+        if epoch in self.epoch_attributes:
+            for attr, value in self.epoch_attributes[epoch].items():
+                runner.model.aux["head_cfg"][attr] = value
+            runner.logger.log(f"RTMO mode switch at epoch {epoch}: {self.epoch_attributes[epoch]}")
+
+
+@HOOKS.register_module()
+class BadCaseAnalysisHook(Hook):
+    """Collect the worst-N validation samples by keypoint error."""
+
+    def __init__(self, enable: bool = True, out_dir: str = "badcase", max_cases: int = 20, metric: str = "error"):
+        self.enable = enable
+        self.out_dir = out_dir
+        self.max_cases = max_cases
+        self.cases: List[dict] = []
+
+    def observe(self, data_sample, error: float):
+        if not self.enable:
+            return
+        self.cases.append(dict(id=data_sample.metainfo.get("id"), error=float(error)))
+        self.cases.sort(key=lambda c: -c["error"])
+        del self.cases[self.max_cases:]
+
+    def after_run(self, runner):
+        if not self.enable or not self.cases:
+            return
+        import json
+
+        os.makedirs(osp.join(runner.work_dir, self.out_dir), exist_ok=True)
+        with open(osp.join(runner.work_dir, self.out_dir, "badcases.json"), "w") as f:
+            json.dump(self.cases, f, indent=2)
+
+
+@HOOKS.register_module()
+class PoseVisualizationHook(Hook):
+    """Render every Nth validation sample's prediction."""
+
+    def __init__(self, enable: bool = False, interval: int = 50, out_dir: Optional[str] = None, kpt_thr: float = 0.3):
+        self.enable = enable
+        self.interval = interval
+        self.out_dir = out_dir
+        self.kpt_thr = kpt_thr
+        self._count = 0
+
+    def visualize(self, runner, image: np.ndarray, data_sample):
+        if not self.enable:
+            return
+        self._count += 1
+        if self._count % self.interval:
+            return
+        from probpose_code_tpu.visualization import PoseLocalVisualizer
+
+        vis = PoseLocalVisualizer()
+        vis.set_dataset_meta(runner.metainfo)
+        out_dir = self.out_dir or osp.join(runner.work_dir, "vis")
+        vis.add_datasample(
+            f"val_{self._count}", image, data_sample, kpt_thr=self.kpt_thr,
+            out_file=osp.join(out_dir, f"val_{self._count}.jpg"),
+        )
+
+
+@HOOKS.register_module()
+class SyncBuffersHook(Hook):
+    """No-op on TPU: buffers (BN stats) are computed over the global batch
+    inside the jitted step, so there is nothing to synchronize
+    (reference sync-buffer semantics are subsumed — see parallel/train_step)."""

@@ -82,6 +82,12 @@ class Runner:
         self.state: Optional[TrainState] = None
         self.epoch = 0
 
+        # hooks (EMA, mode switches, ...) from cfg.custom_hooks
+        from probpose_code_tpu.engine.hooks import Hook  # noqa: F401
+        from probpose_code_tpu.registry import HOOKS
+
+        self.hooks = [HOOKS.build(h) for h in cfg.get("custom_hooks", [])]
+
     # -- construction helpers ---------------------------------------------
 
     def build_train_loader(self) -> DataLoader:
@@ -147,8 +153,12 @@ class Runner:
         max_epochs = max_epochs or self.max_epochs
         evaluator = self.build_evaluator()
 
+        for hook in self.hooks:
+            hook.before_run(self)
         for epoch in range(self.epoch, max_epochs):
             self.epoch = epoch
+            for hook in self.hooks:
+                hook.before_train_epoch(self, epoch)
             self.train_loader.set_epoch(epoch)
             self._train_epoch(epoch)
 
@@ -156,7 +166,11 @@ class Runner:
                 self.save_checkpoint(osp.join(self.work_dir, f"epoch_{epoch + 1}"))
             if evaluator is not None and ((epoch + 1) % self.val_interval == 0 or epoch + 1 == max_epochs):
                 metrics = self.val(evaluator)
+                for hook in self.hooks:
+                    hook.after_val_epoch(self, metrics)
                 self._maybe_save_best(metrics)
+        for hook in self.hooks:
+            hook.after_run(self)
         return self.state
 
     def _train_epoch(self, epoch: int):
@@ -169,6 +183,8 @@ class Runner:
             t_data += t1 - t0
 
             self.state, metrics = self.train_step(self.state, device_batch, self.rng)
+            for hook in self.hooks:
+                hook.after_train_iter(self, int(self.state.step), metrics)
             t0 = time.perf_counter()
             t_step += t0 - t1
 

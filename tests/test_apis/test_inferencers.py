@@ -1,0 +1,83 @@
+"""Inferencer + tracking tests."""
+
+import numpy as np
+import pytest
+
+from probpose_code_tpu.apis.inference_tracking import _track_by_iou, _track_by_oks
+from probpose_code_tpu.config import Config
+from probpose_code_tpu.structures import InstanceData
+
+
+@pytest.fixture(scope="module")
+def pose2d_cfg():
+    from tests.test_models.test_probpose_model import TINY_PROBPOSE_CFG
+
+    return Config.fromdict(dict(model=TINY_PROBPOSE_CFG))
+
+
+def test_pose2d_inferencer_folder(pose2d_cfg, tmp_path):
+    import cv2
+
+    from probpose_code_tpu.apis.inferencers import Pose2DInferencer
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        cv2.imwrite(str(img_dir / f"img{i}.jpg"), (rng.rand(240, 320, 3) * 255).astype(np.uint8))
+
+    inferencer = Pose2DInferencer(pose2d_cfg)
+    outputs = inferencer(
+        str(img_dir),
+        vis_out_dir=str(tmp_path / "vis"),
+        pred_out_dir=str(tmp_path / "preds"),
+    )
+    assert len(outputs) == 2
+    assert (tmp_path / "vis" / "img0.jpg").exists()
+    assert (tmp_path / "preds" / "img0.json").exists()
+    inst = outputs[0]["predictions"].pred_instances
+    assert np.asarray(inst.keypoints).shape[-2:] == (17, 2)
+
+
+def test_pose2d_inferencer_with_bboxes(pose2d_cfg):
+    from probpose_code_tpu.apis.inferencers import Pose2DInferencer
+
+    rng = np.random.RandomState(1)
+    img = (rng.rand(300, 400, 3) * 255).astype(np.uint8)
+    inferencer = Pose2DInferencer(pose2d_cfg)
+    outputs = inferencer(img, bboxes={"*": np.array([[10, 10, 150, 250], [200, 20, 380, 280]])})
+    inst = outputs[0]["predictions"].pred_instances
+    assert np.asarray(inst.keypoints).shape[0] <= 2  # may be NMS-merged
+
+
+def _make_result(bbox, kpts, track_id=None):
+    r = InstanceData()
+    r.set_field(np.asarray(bbox, np.float32)[None], "bboxes")
+    r.set_field(np.asarray(kpts, np.float32)[None], "keypoints")
+    r.set_field(np.ones((1, len(kpts)), np.float32), "keypoint_scores")
+    if track_id is not None:
+        r.set_field(track_id, "track_id")
+    return r
+
+
+def test_track_by_iou():
+    rng = np.random.RandomState(0)
+    kpts = rng.rand(17, 2) * 100
+    last = [_make_result([0, 0, 100, 100], kpts, track_id=7)]
+    cur = _make_result([5, 5, 105, 105], kpts)
+    track_id, remaining, iou = _track_by_iou(cur, last, thr=0.3)
+    assert track_id == 7 and len(remaining) == 0 and iou > 0.7
+
+    last = [_make_result([0, 0, 100, 100], kpts, track_id=7)]
+    far = _make_result([500, 500, 600, 600], kpts + 500)
+    track_id, remaining, iou = _track_by_iou(far, last, thr=0.3)
+    assert track_id == -1 and len(remaining) == 1
+
+
+def test_track_by_oks():
+    rng = np.random.RandomState(0)
+    kpts = rng.rand(17, 2) * 100
+    last = [_make_result([0, 0, 100, 100], kpts, track_id=3)]
+    cur = _make_result([0, 0, 100, 100], kpts + 1.0)
+    track_id, remaining, oks = _track_by_oks(cur, last, thr=0.3)
+    assert track_id == 3 and oks > 0.5
