@@ -310,8 +310,13 @@ class COCOeval:
             return []
         inds = np.argsort([-d[self.score_key] for d in dt], kind="mergesort")
         dt = [dt[i] for i in inds][: p.maxDets[-1]]
-        if p.iouType != "bbox":
-            raise NotImplementedError("segmentation IoU is not supported (RLE masks out of scope)")
+        if p.iouType == "segm":
+            from .functional import mask as maskUtils
+
+            g_rles = [g_["segmentation"] for g_ in gt]
+            d_rles = [d_["segmentation"] for d_ in dt]
+            iscrowd_flags = [int(o.get("iscrowd", 0)) for o in gt]
+            return [maskUtils.iou(d_rles, g_rles, iscrowd_flags)]
 
         g = np.array([g_["bbox"] for g_ in gt], dtype=np.float64)
         d = np.array([d_["bbox"] for d_ in dt], dtype=np.float64)
