@@ -103,6 +103,40 @@ def build_oks_kernels(
     return kernels
 
 
+def separable_oks_operators(
+    K: int, H: int, W: int, kpt_sigmas: Optional[np.ndarray] = None
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Banded matmul operators for the expected-OKS convolution.
+
+    The OKS kernels are isotropic gaussians, hence exactly separable:
+    ``conv2d(x, k2d) == A_y @ pad(x) @ A_x^T`` with banded (out, padded-in)
+    matrices built from the normalized 1-D factors. This turns the decode's
+    depthwise convolution into two MXU matmuls.
+
+    Returns (Ay (K, H, H+2R), Ax (K, W, W+2R), R) where R is the shared
+    padding radius (kernels are zero-extended to the max diameter; with
+    reflect padding this is numerically identical to per-kernel radii).
+    """
+    kernels = build_oks_kernels(K, H, W, kpt_sigmas)
+    dmax = max(k.shape[0] for k in kernels)
+    R = dmax // 2
+    Ay = np.zeros((K, H, H + 2 * R), dtype=np.float32)
+    Ax = np.zeros((K, W, W + 2 * R), dtype=np.float32)
+    for k, kern in enumerate(kernels):
+        d = kern.shape[0]
+        # factor the normalized 2D gaussian as f f^T: the center row equals
+        # g/Z with peak 1/Z, so f = row / sqrt(peak) reproduces it exactly
+        f = kern[d // 2] / np.sqrt(kern[d // 2, d // 2])
+        off = (dmax - d) // 2
+        fk = np.zeros(dmax, dtype=np.float64)
+        fk[off:off + d] = f
+        for i in range(H):
+            Ay[k, i, i:i + dmax] = fk
+        for i in range(W):
+            Ax[k, i, i:i + dmax] = fk
+    return Ay, Ax, R
+
+
 def padded_oks_kernels(
     K: int, H: int, W: int, kpt_sigmas: Optional[np.ndarray] = None
 ) -> Tuple[np.ndarray, int]:

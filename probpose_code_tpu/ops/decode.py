@@ -38,6 +38,13 @@ def _oks_kernel_bank(K: int, H: int, W: int) -> Tuple[np.ndarray, int]:
     return padded_oks_kernels(K, H, W)
 
 
+@lru_cache(maxsize=8)
+def _oks_separable_bank(K: int, H: int, W: int):
+    from probpose_code_tpu.codecs.utils.oks_map import separable_oks_operators
+
+    return separable_oks_operators(K, H, W)
+
+
 def _depthwise_conv(heatmaps: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
     """Depthwise VALID conv of (B, K, Hp, Wp) with per-channel (K, D, D)."""
     K = heatmaps.shape[1]
@@ -74,20 +81,33 @@ def subpixel_refine_batch(maps: jnp.ndarray, locs: jnp.ndarray) -> jnp.ndarray:
 
 
 def heatmap_expected_value_batch(
-    heatmaps: jnp.ndarray, kernels: Optional[jnp.ndarray] = None, radius: Optional[int] = None
+    heatmaps: jnp.ndarray,
+    kernels: Optional[jnp.ndarray] = None,
+    radius: Optional[int] = None,
+    method: str = "separable",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Expected-OKS decode of (B, K, H, W) -> locs (B, K, 2), vals (B, K).
 
     Equivalent of reference ``get_heatmap_expected_value`` with
     scipy.ndimage 'reflect' boundary (== jnp.pad mode='symmetric').
+
+    ``method='separable'`` (default) exploits the isotropy of the OKS
+    kernels: the 19x19 depthwise convolution factors exactly into two banded
+    matmuls that run on the MXU. ``'depthwise'`` keeps the direct conv.
     """
     B, K, H, W = heatmaps.shape
-    if kernels is None:
-        kernels, radius = _oks_kernel_bank(K, H, W)
-    r = int(radius)
-
-    padded = jnp.pad(heatmaps, ((0, 0), (0, 0), (r, r), (r, r)), mode="symmetric")
-    convolved = _depthwise_conv(padded, kernels)
+    if method == "separable" and kernels is None:
+        Ay, Ax, r = _oks_separable_bank(K, H, W)
+        padded = jnp.pad(heatmaps, ((0, 0), (0, 0), (r, r), (r, r)), mode="symmetric")
+        # rows: (K, H, H+2R) x (B, K, H+2R, W+2R) -> (B, K, H, W+2R)
+        rowed = jnp.einsum("khp,bkpw->bkhw", jnp.asarray(Ay), padded)
+        convolved = jnp.einsum("bkhw,kxw->bkhx", rowed, jnp.asarray(Ax))
+    else:
+        if kernels is None:
+            kernels, radius = _oks_kernel_bank(K, H, W)
+        r = int(radius)
+        padded = jnp.pad(heatmaps, ((0, 0), (0, 0), (r, r), (r, r)), mode="symmetric")
+        convolved = _depthwise_conv(padded, kernels)
 
     flat = convolved.reshape(B, K, H * W)
     idx = jnp.argmax(flat, axis=-1)
