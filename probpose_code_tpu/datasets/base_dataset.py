@@ -289,7 +289,13 @@ class BaseCocoStyleDataset:
         return self.prepare_data(idx)
 
     def prepare_data(self, idx: int) -> Optional[dict]:
-        return self.pipeline(self.get_data_info(idx))
+        info = self.get_data_info(idx)
+        if getattr(self, "data_mode", "topdown") == "bottomup":
+            info["dataset"] = self  # mix transforms sample aux images
+        out = self.pipeline(info)
+        if isinstance(out, dict):
+            out.pop("dataset", None)
+        return out
 
 
 @DATASETS.register_module()

@@ -1,4 +1,4 @@
-from .bottomup import BottomupRandomAffine, BottomupResize
+from .bottomup import BottomupGetHeatmapMask, BottomupRandomAffine, BottomupResize
 from .converting import KeypointConverter
 from .common import (
     FilterAnnotations,
@@ -12,11 +12,13 @@ from .common import (
     RandomPatchesBlackout,
     YOLOXHSVRandomAug,
 )
-from .formatting import PackPoseInputs
+from .formatting import PackOneStageInputs, PackPoseInputs, collate_onestage
+from .mix_img_transforms import Mosaic, YOLOXMixUp
 from .loading import LoadImage
 from .topdown import TopdownAffine
 
 __all__ = [
+    "BottomupGetHeatmapMask",
     "BottomupRandomAffine",
     "BottomupResize",
     "FilterAnnotations",
@@ -24,7 +26,11 @@ __all__ = [
     "GenerateTarget",
     "GetBBoxCenterScale",
     "LoadImage",
+    "Mosaic",
+    "PackOneStageInputs",
     "PackPoseInputs",
+    "YOLOXMixUp",
+    "collate_onestage",
     "PhotometricDistortion",
     "RandomBBoxTransform",
     "RandomEdgesBlackout",

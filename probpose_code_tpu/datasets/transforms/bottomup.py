@@ -16,11 +16,26 @@ import cv2
 import numpy as np
 
 from probpose_code_tpu.registry import TRANSFORMS
-from probpose_code_tpu.structures.bbox import get_udp_warp_matrix, get_warp_matrix
+from probpose_code_tpu.structures.bbox import (
+    bbox_clip_border,
+    get_pers_warp_matrix,
+    get_udp_warp_matrix,
+    get_warp_matrix,
+)
+from probpose_code_tpu.structures.keypoint import keypoint_clip_border
 
 
 @TRANSFORMS.register_module()
 class BottomupRandomAffine:
+    """Whole-image random affine/perspective into a fixed input size.
+
+    Behavioral parity with reference ``bottomup_transforms.py:147-400``:
+    trunc-norm or uniform jitter of shift/scale/rotate (+shear in
+    perspective mode), aspect-fixed scale, pad_val border, keypoints/bbox
+    transformed through the same matrix, ``area`` scaled by the matrix
+    determinant, ``warp_mat`` recorded for mask generation.
+    """
+
     def __init__(
         self,
         input_size: Tuple[int, int],
@@ -31,8 +46,17 @@ class BottomupRandomAffine:
         scale_type: str = "short",
         rotate_factor: float = 30.0,
         rotate_prob: float = 1.0,
+        shear_factor: float = 2.0,
+        shear_prob: float = 1.0,
         use_udp: bool = False,
+        pad_val: object = 0,
+        distribution: str = "trunc_norm",
+        transform_mode: str = "affine",
+        bbox_keep_corner: bool = True,
+        clip_border: bool = False,
     ):
+        assert transform_mode in ("affine", "affine_udp", "perspective")
+        assert distribution in ("trunc_norm", "uniform")
         self.input_size = input_size
         self.shift_factor = shift_factor
         self.shift_prob = shift_prob
@@ -41,47 +65,112 @@ class BottomupRandomAffine:
         self.scale_type = scale_type
         self.rotate_factor = rotate_factor
         self.rotate_prob = rotate_prob
-        self.use_udp = use_udp
+        self.shear_factor = shear_factor
+        self.shear_prob = shear_prob
+        self.distribution = distribution
+        self.transform_mode = "affine_udp" if use_udp and transform_mode == "affine" else transform_mode
+        self.bbox_keep_corner = bbox_keep_corner
+        self.clip_border = clip_border
+        if isinstance(pad_val, (int, float)):
+            pad_val = (pad_val, pad_val, pad_val)
+        self.pad_val = tuple(pad_val)
+
+    def _random(self, size=(1,)):
+        if self.distribution == "trunc_norm":
+            # normal clipped to [-1, 1]
+            return np.clip(np.random.randn(*size).astype(np.float32) * 0.5, -1, 1)
+        return (np.random.rand(*size).astype(np.float32) * 2 - 1)
+
+    def _fix_aspect_ratio(self, scale: np.ndarray, aspect_ratio: float) -> np.ndarray:
+        w, h = scale
+        if w / h > aspect_ratio:
+            if self.scale_type == "long":
+                _w, _h = w, w / aspect_ratio
+            else:
+                _w, _h = h * aspect_ratio, h
+        else:
+            if self.scale_type == "short":
+                _w, _h = w, w / aspect_ratio
+            else:
+                _w, _h = h * aspect_ratio, h
+        return np.array([_w, _h], dtype=np.float32)
 
     def __call__(self, results: Dict) -> Optional[dict]:
         img_h, img_w = results["img"].shape[:2]
         w, h = self.input_size
 
-        center = np.array([img_w / 2, img_h / 2], dtype=np.float32)
-        if self.scale_type == "long":
-            base = max(img_h / h, img_w / w)
-        else:  # 'short'
-            base = min(img_h / h, img_w / w)
-        scale = np.array([w * base, h * base], dtype=np.float32)
-
+        offset_rate = (
+            self._random(size=(2,)) * self.shift_factor
+            if np.random.rand() < self.shift_prob
+            else np.zeros(2, np.float32)
+        )
         if np.random.rand() < self.scale_prob:
-            scale = scale * np.random.uniform(*self.scale_factor)
-        if np.random.rand() < self.shift_prob:
-            center = center + (np.random.rand(2) * 2 - 1) * self.shift_factor * scale
-        rot = 0.0
-        if np.random.rand() < self.rotate_prob:
-            rot = np.random.uniform(-self.rotate_factor, self.rotate_factor)
-
-        if self.use_udp:
-            warp_mat = get_udp_warp_matrix(center, scale, rot, output_size=(w, h))
+            smin, smax = self.scale_factor
+            scale_rate = smin + (smax - smin) * (self._random(size=(1,)) + 1) / 2
         else:
-            warp_mat = get_warp_matrix(center, scale, rot, output_size=(w, h))
+            scale_rate = np.ones(1, np.float32)
+        rotate = float(self._random()[0] * self.rotate_factor) if np.random.rand() < self.rotate_prob else 0.0
+        if "perspective" in self.transform_mode and np.random.rand() < self.shear_prob:
+            shear = self._random(size=(2,)) * self.shear_factor
+        else:
+            shear = np.zeros(2, np.float32)
+
+        if "affine" in self.transform_mode:
+            offset = offset_rate * [img_w, img_h]
+            scale = self._fix_aspect_ratio(scale_rate * [img_w, img_h], aspect_ratio=w / h)
+            if self.transform_mode == "affine_udp":
+                center = np.array([(img_w - 1.0) / 2, (img_h - 1.0) / 2], np.float32)
+                warp_mat = get_udp_warp_matrix(center + offset, scale, rotate, output_size=(w, h))
+            else:
+                center = np.array([img_w / 2, img_h / 2], np.float32)
+                warp_mat = get_warp_matrix(center + offset, scale, rotate, output_size=(w, h))
+            results["img"] = cv2.warpAffine(
+                results["img"], warp_mat, (int(w), int(h)), flags=cv2.INTER_LINEAR, borderValue=self.pad_val
+            )
+        else:
+            offset = offset_rate * [w, h]
+            center = np.array([w / 2, h / 2], np.float32)
+            warp_mat = get_pers_warp_matrix(center, offset, float(scale_rate[0]), rotate, shear)
+            results["img"] = cv2.warpPerspective(
+                results["img"], warp_mat, (int(w), int(h)), borderValue=self.pad_val
+            )
         warp_mat = warp_mat.astype(np.float32)
 
-        results["img"] = cv2.warpAffine(results["img"], warp_mat, (int(w), int(h)), flags=cv2.INTER_LINEAR)
+        def _apply(points):
+            pts = np.asarray(points, np.float32)
+            out = pts @ warp_mat[:2, :2].T + warp_mat[:2, 2]
+            if warp_mat.shape[0] == 3:
+                z = pts @ warp_mat[2, :2].T + warp_mat[2, 2]
+                out = out / z[..., None]
+            return out
+
         if results.get("keypoints", None) is not None:
             kpts = results["keypoints"].copy()
-            kpts[..., :2] = kpts[..., :2] @ warp_mat[:, :2].T + warp_mat[:, 2]
+            kpts[..., :2] = _apply(kpts[..., :2])
             results["keypoints"] = kpts
+            if self.clip_border and results.get("keypoints_visible", None) is not None:
+                results["keypoints"], results["keypoints_visible"] = keypoint_clip_border(
+                    results["keypoints"], results["keypoints_visible"], (w, h)
+                )
         if results.get("bbox", None) is not None:
-            bbox = np.asarray(results["bbox"]).reshape(-1, 2, 2)
-            bbox = bbox @ warp_mat[:, :2].T + warp_mat[:, 2]
-            results["bbox"] = bbox.reshape(-1, 4)
+            bbox = np.asarray(results["bbox"], np.float32).reshape(-1, 4)
+            corners = np.stack(
+                [bbox[:, [0, 1]], bbox[:, [2, 1]], bbox[:, [2, 3]], bbox[:, [0, 3]]], axis=1
+            )  # (N, 4, 2)
+            corners = _apply(corners)
+            bbox = np.concatenate([corners.min(1), corners.max(1)], axis=-1)
+            if self.clip_border:
+                bbox = bbox_clip_border(bbox, (w, h))
+            results["bbox"] = bbox
+        if results.get("area", None) is not None:
+            m = warp_mat if warp_mat.shape[0] == 3 else np.concatenate(
+                [warp_mat, np.array([[0.0, 0.0, 1.0]], np.float32)]
+            )
+            results["area"] = np.asarray(results["area"], np.float32) * float(np.linalg.det(m))
 
         results["input_size"] = (w, h)
-        results["input_center"] = center
-        results["input_scale"] = scale
-        results["img_shape"] = (h, w)
+        results["warp_mat"] = warp_mat
+        results["img_shape"] = (int(h), int(w))
         return results
 
 
@@ -133,4 +222,54 @@ class BottomupResize:
         results["input_center"] = center
         results["input_scale"] = scale
         results["img_shape"] = results["img"].shape[:2]
+        return results
+
+
+@TRANSFORMS.register_module()
+class BottomupGetHeatmapMask:
+    """Valid-region mask from (invalid) segmentations, warped to input space.
+
+    Behavioral parity with reference ``bottomup_transforms.py:27-146``: decode
+    the COCO segmentations in ``invalid_segs`` to a binary mask, apply the
+    recorded ``warp_mat`` and flip, and store ``heatmap_mask`` at input
+    resolution (1 = ignore when ``get_invalid``).
+    """
+
+    def __init__(self, get_invalid: bool = False):
+        self.get_invalid = get_invalid
+
+    def _segs_to_mask(self, segs, img_shape) -> np.ndarray:
+        h, w = img_shape
+        mask = np.zeros((h, w), dtype=np.uint8)
+        try:
+            from probpose_code_tpu.evaluation.functional.mask import decode as rle_decode, frPoly
+        except Exception:
+            return mask
+        for seg in segs or []:
+            try:
+                if isinstance(seg, (tuple, list)):
+                    for r in frPoly(list(seg), h, w):
+                        mask |= rle_decode(r).astype(np.uint8)
+                elif isinstance(seg, dict):
+                    mask |= rle_decode(seg).astype(np.uint8)
+            except Exception:
+                continue
+        return mask
+
+    def __call__(self, results: Dict) -> Optional[dict]:
+        invalid_segs = results.get("invalid_segs", [])
+        img_shape = results.get("ori_shape") or results["img"].shape[:2]
+        mask = self._segs_to_mask(invalid_segs, img_shape)
+        if not self.get_invalid:
+            mask = 1 - mask  # valid-region convention
+        warp_mat = results.get("warp_mat")
+        w, h = results.get("input_size", (mask.shape[1], mask.shape[0]))
+        if warp_mat is not None:
+            if warp_mat.shape[0] == 2:
+                mask = cv2.warpAffine(mask, warp_mat, (int(w), int(h)))
+            else:
+                mask = cv2.warpPerspective(mask, warp_mat, (int(w), int(h)))
+        if results.get("flip", False):
+            mask = mask[:, ::-1]
+        results["heatmap_mask"] = mask.astype(np.float32)
         return results

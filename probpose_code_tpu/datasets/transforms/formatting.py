@@ -131,3 +131,81 @@ class PackPoseInputs:
         data_sample.set_metainfo(metainfo)
 
         return dict(inputs=inputs, data_samples=data_sample)
+
+
+@TRANSFORMS.register_module()
+class PackOneStageInputs:
+    """Pack a bottomup sample for one-stage (YOLOX-Pose / RTMO) training.
+
+    Instead of building a ``PoseDataSample`` (the reference packs
+    ``gt_instance_labels`` consumed per-image in Python,
+    ``yoloxpose_head.py:465-630``), this emits the flat arrays the jitted
+    dense loss consumes; :func:`collate_onestage` pads them to a static
+    ``max_gt`` so target assignment traces once.
+    """
+
+    def __call__(self, results: dict) -> dict:
+        img = results["img"]
+        kpts = np.asarray(results.get("keypoints", np.zeros((0, 17, 2))), np.float32)
+        kvis = np.asarray(results.get("keypoints_visible", np.zeros(kpts.shape[:2])), np.float32)
+        if kvis.ndim == 3:  # (N, K, 2) with weights in last dim
+            kvis_w = kvis[..., 1]
+            kvis = kvis[..., 0]
+        else:
+            kvis_w = np.ones_like(kvis)
+        n = len(kpts)
+        bbox = np.asarray(results.get("bbox", np.zeros((0, 4))), np.float32).reshape(n, 4) if n else np.zeros((0, 4), np.float32)
+        area = results.get("area")
+        if area is None or len(np.asarray(area).reshape(-1)) != n:
+            area = np.clip((bbox[:, 2] - bbox[:, 0]) * (bbox[:, 3] - bbox[:, 1]) * 0.53, 1, None)
+        packed = dict(
+            inputs=img.astype(np.float32),
+            gt_bboxes=bbox,
+            gt_labels=np.zeros(n, np.int32),
+            gt_keypoints=kpts,
+            gt_keypoints_visible=kvis,
+            gt_vis_weights=kvis_w.astype(np.float32),
+            gt_areas=np.asarray(area, np.float32).reshape(-1),
+            img_meta=dict(
+                img_id=results.get("img_id", 0),
+                ori_shape=results.get("ori_shape"),
+                input_size=results.get("input_size"),
+                input_center=results.get("input_center"),
+                input_scale=results.get("input_scale"),
+                flip_indices=results.get("flip_indices"),
+            ),
+        )
+        if results.get("heatmap_mask") is not None:
+            packed["heatmap_mask"] = np.asarray(results["heatmap_mask"], np.float32)
+        return packed
+
+
+def collate_onestage(samples, max_gt: int = 50):
+    """Pad per-image GT to static ``max_gt`` and stack (see PackOneStageInputs)."""
+    samples = [s for s in samples if s is not None]
+    B = len(samples)
+    K = max((s["gt_keypoints"].shape[1] if len(s["gt_keypoints"]) else 0) for s in samples) or 17
+    out = dict(
+        inputs=np.stack([s["inputs"] for s in samples]),
+        gt_bboxes=np.zeros((B, max_gt, 4), np.float32),
+        gt_labels=np.zeros((B, max_gt), np.int32),
+        gt_keypoints=np.zeros((B, max_gt, K, 2), np.float32),
+        gt_keypoints_visible=np.zeros((B, max_gt, K), np.float32),
+        gt_vis_weights=np.ones((B, max_gt, K), np.float32),
+        gt_areas=np.ones((B, max_gt), np.float32),
+        gt_valid=np.zeros((B, max_gt), bool),
+    )
+    metas = []
+    for b, s in enumerate(samples):
+        n = min(len(s["gt_bboxes"]), max_gt)
+        if n:
+            out["gt_bboxes"][b, :n] = s["gt_bboxes"][:n]
+            out["gt_labels"][b, :n] = s["gt_labels"][:n]
+            out["gt_keypoints"][b, :n] = s["gt_keypoints"][:n]
+            out["gt_keypoints_visible"][b, :n] = s["gt_keypoints_visible"][:n]
+            out["gt_vis_weights"][b, :n] = s["gt_vis_weights"][:n]
+            out["gt_areas"][b, :n] = s["gt_areas"][:n]
+            out["gt_valid"][b, :n] = True
+        metas.append(s.get("img_meta", {}))
+    out["img_metas"] = metas
+    return out

@@ -1,5 +1,6 @@
 from . import losses  # noqa: F401  (registers loss modules)
 from . import necks  # noqa: F401  (registers neck modules)
+from .backbones.csp_darknet import CSPDarknet  # noqa: F401
 from .backbones.cspnext import CSPNeXt  # noqa: F401
 from .backbones.hrnet import HRNet  # noqa: F401
 from .backbones.mobilenet_v2 import MobileNetV2  # noqa: F401
@@ -17,6 +18,10 @@ from .heads.regression_heads import (  # noqa: F401
     VisPredictHead,
 )
 from .heads.rtmcc_head import RTMCCHead, SimCCHead  # noqa: F401
+from .heads.rtmo_head import DCC, RTMOHead, RTMOHeadModule  # noqa: F401
+from .heads.yoloxpose_head import YOLOXPoseHead, YOLOXPoseHeadModule  # noqa: F401
+from .necks.hybrid_encoder import HybridEncoder, YOLOXPAFPN  # noqa: F401
+from . import task_modules  # noqa: F401  (registers assigners/prior generators)
 from .pose_estimators.bottomup import (  # noqa: F401
     AssociativeEmbeddingHead,
     BottomupPoseEstimator,

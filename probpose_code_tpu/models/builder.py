@@ -51,7 +51,17 @@ def build_pose_estimator(cfg: Dict[str, Any]):
     neck_cfg = cfg.pop("neck", None)
 
     backbone = MODELS.build(_resolve_dtype(_adapt_backbone_cfg(backbone_cfg)))
-    head = MODELS.build(_resolve_dtype(dict(head_cfg))) if head_cfg else None
+    head_module_cfg = dict(head_cfg) if head_cfg else None
+    if head_module_cfg and head_module_cfg.get("type") in ("YOLOXPoseHead", "RTMOHead"):
+        # assigner/prior/losses configure the runtime loss program, not the
+        # flax module tree
+        for key in list(head_module_cfg):
+            if key.startswith("loss_") or key in (
+                "assigner", "prior_generator", "overlaps_power", "use_aux_loss",
+                "proxy_target_cc", "decoder",
+            ):
+                head_module_cfg.pop(key)
+    head = MODELS.build(_resolve_dtype(head_module_cfg)) if head_cfg else None
     neck = MODELS.build(_resolve_dtype(dict(neck_cfg))) if neck_cfg else None
 
     if isinstance(model_type, str):
@@ -135,7 +145,13 @@ class PoseModel:
         self.head_type = head_cfg.get("type", "HeatmapHead")
         self.decoder_cfg = head_cfg.get("decoder")
         self.decoder = KEYPOINT_CODECS.build(self.decoder_cfg) if self.decoder_cfg else None
-        self.input_size = tuple(self.decoder_cfg["input_size"]) if self.decoder_cfg else (192, 256)
+        if self.decoder_cfg:
+            self.input_size = tuple(self.decoder_cfg["input_size"])
+        elif "input_size" in self.aux["test_cfg"]:
+            self.input_size = tuple(self.aux["test_cfg"]["input_size"])
+        else:
+            self.input_size = (192, 256)
+        self.onestage = self.head_type in ("YOLOXPoseHead", "RTMOHead")
         self.variables = None
         self._predict_fn = None
         self._seed = seed
@@ -148,7 +164,20 @@ class PoseModel:
             input_shape = (1, h, w, 3)
         rng = jax.random.PRNGKey(self._seed if seed is None else seed)
         dummy = jnp.zeros(input_shape, jnp.float32)
-        self.variables = self.module.init({"params": rng, "dropout": rng}, dummy, train=False)
+        if self.head_type == "RTMOHead":
+            # the DCC only runs on assigned positives, so __call__ never
+            # touches it — drive it once at init so its params exist
+            def init_fn(module, x):
+                out = module(x, train=False)
+                pf = out["pose_vecs"][:, :2]
+                cs = jnp.ones((x.shape[0], 2, 4), jnp.float32)
+                gr = jnp.zeros((x.shape[0], 2, 2), jnp.float32)
+                module.head.dcc(pf, cs, gr, mask=None, train=False)
+                return out
+
+            self.variables = self.module.init({"params": rng, "dropout": rng}, dummy, method=init_fn)
+        else:
+            self.variables = self.module.init({"params": rng, "dropout": rng}, dummy, train=False)
         return self.variables
 
     @property
@@ -174,8 +203,84 @@ class PoseModel:
         x = self.preprocess(images)
         return self.module.apply(variables, x, train=train, rngs=rngs, mutable=mutable)
 
+    def _onestage_static_cfg(self):
+        head_cfg = self.aux["head_cfg"]
+        assigner_cfg = dict(head_cfg.get("assigner") or {})
+        assigner_cfg.pop("type", None)
+        oks_cal = assigner_cfg.pop("oks_calculator", None)
+        assigner_cfg.pop("iou_calculator", None)
+        from probpose_code_tpu.models.task_modules import PoseOKS
+
+        oks_sigmas = PoseOKS(**({k: v for k, v in dict(oks_cal or {}).items() if k != "type"})).sigmas
+        loss_oks_cfg = dict(head_cfg.get("loss_oks") or {"type": "OKSLoss"})
+        loss_oks_cfg["reduction"] = "none"
+        loss_oks = MODELS.build(loss_oks_cfg)
+        return assigner_cfg, oks_sigmas, loss_oks
+
+    def _onestage_loss(self, variables, batch, rngs=None):
+        head_cfg = self.aux["head_cfg"]
+        assigner_cfg, oks_sigmas, loss_oks = self._onestage_static_cfg()
+        x = self.preprocess(batch["inputs"])
+        head_type = self.head_type
+
+        def _w(key, default=1.0):
+            return float((head_cfg.get(key) or {}).get("loss_weight", default))
+
+        if head_type == "RTMOHead":
+            from probpose_code_tpu.models.heads.rtmo_head import rtmo_loss
+
+            loss_cls_cfg = dict(head_cfg.get("loss_cls") or {"type": "VariFocalLoss"})
+            loss_cls_cfg.setdefault("reduction", "sum")
+            loss_cls = MODELS.build(loss_cls_cfg)
+            mode_cfg = self.aux["train_cfg"]
+
+            def fn(module, x, batch):
+                outputs = module(x, train=True)
+                return rtmo_loss(
+                    outputs, batch,
+                    dcc_apply=lambda pf, cs, gr, m, tr: module.head.dcc(pf, cs, gr, mask=m, train=tr),
+                    dcc_target_heatmap=lambda kt, cs, gr, sg, ar: module.head.dcc.generate_target_heatmap(
+                        kt, cs, gr, sg, ar
+                    ),
+                    assigner_cfg=assigner_cfg,
+                    oks_sigmas=oks_sigmas,
+                    loss_oks=loss_oks,
+                    loss_mle_weight=_w("loss_mle"),
+                    loss_cls=loss_cls,
+                    loss_bbox_weight=_w("loss_bbox", 5.0),
+                    loss_vis_weight=_w("loss_vis"),
+                    overlaps_power=float(head_cfg.get("overlaps_power", 1.0)),
+                    bbox_padding=float(head_cfg.get("bbox_padding", 1.25)),
+                    proxy_target_cc=bool(mode_cfg.get("proxy_target_cc", head_cfg.get("proxy_target_cc", False))),
+                )
+        else:
+            from probpose_code_tpu.models.heads.yoloxpose_head import yolox_pose_loss
+
+            def fn(module, x, batch):
+                outputs = module(x, train=True)
+                return yolox_pose_loss(
+                    outputs, batch, outputs["priors"],
+                    assigner_cfg=assigner_cfg,
+                    oks_sigmas=oks_sigmas,
+                    loss_oks=loss_oks,
+                    num_classes=int(head_cfg.get("num_classes", 1)),
+                    overlaps_power=float(head_cfg.get("overlaps_power", 1.0)),
+                    loss_cls_weight=_w("loss_cls"),
+                    loss_obj_weight=_w("loss_obj"),
+                    loss_bbox_weight=_w("loss_bbox", 5.0),
+                    loss_vis_weight=_w("loss_vis"),
+                )
+
+        losses, new_state = self.module.apply(
+            variables, x, batch, method=fn, rngs=rngs, mutable=["batch_stats"]
+        )
+        total = sum(v for k, v in losses.items() if k.startswith("loss_"))
+        return total, (losses, new_state)
+
     def loss_fn(self, variables, batch, rngs=None):
         """Returns (total_loss, (loss_dict, new_mutable_state))."""
+        if self.onestage:
+            return self._onestage_loss(variables, batch, rngs=rngs)
         x = self.preprocess(batch["inputs"])
         outputs, new_state = self.module.apply(
             variables, x, train=True, rngs=rngs, mutable=["batch_stats"]
@@ -198,6 +303,32 @@ class PoseModel:
     def make_predict(self, flip_test: Optional[bool] = None, jit: bool = True):
         """Build the full predict program: images -> decoded predictions."""
         test_cfg = self.aux["test_cfg"]
+        if self.onestage:
+            head_type = self.head_type
+            nms_pre = int(test_cfg.get("nms_pre", 300))
+            bbox_padding = float(self.aux["head_cfg"].get("bbox_padding", 1.25))
+
+            def _predict_onestage(variables, images):
+                x = self.preprocess(images)
+
+                def fn(module, x):
+                    outputs = module(x, train=False)
+                    if head_type == "RTMOHead":
+                        from probpose_code_tpu.models.heads.rtmo_head import rtmo_device_predict
+
+                        return rtmo_device_predict(
+                            outputs,
+                            lambda pf, cs, gr, m, tr: module.head.dcc(pf, cs, gr, mask=m, train=tr),
+                            nms_pre=nms_pre,
+                            bbox_padding=bbox_padding,
+                        )
+                    from probpose_code_tpu.models.heads.yoloxpose_head import yolox_device_predict
+
+                    return yolox_device_predict(outputs, nms_pre=nms_pre)
+
+                return self.module.apply(variables, x, method=fn)
+
+            return jax.jit(_predict_onestage) if jit else _predict_onestage
         flip_test = test_cfg.get("flip_test", False) if flip_test is None else flip_test
         shift_heatmap = test_cfg.get("shift_heatmap", False)
         flip_indices = list(self.metainfo["flip_indices"]) if self.metainfo else list(range(17))

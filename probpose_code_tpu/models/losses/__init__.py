@@ -1,4 +1,5 @@
 from .ae_loss import AssociativeEmbeddingLoss
+from .bbox_loss import IoULoss
 from .classification_loss import (
     BCELoss,
     InfoNCELoss,
@@ -13,10 +14,12 @@ from .heatmap_loss import (
     FocalHeatmapLoss,
     KeypointMSELoss,
     KeypointOHKMMSELoss,
+    MLECCLoss,
     OKSHeatmapLoss,
 )
 from .regression_loss import (
     L1Loss,
+    OKSLoss,
     L1LogLoss,
     MPJPELoss,
     MSELoss,
@@ -29,6 +32,9 @@ from .regression_loss import (
 
 __all__ = [
     "AdaptiveWingLoss",
+    "IoULoss",
+    "MLECCLoss",
+    "OKSLoss",
     "AssociativeEmbeddingLoss",
     "BCELoss",
     "CalibrationLoss",

@@ -303,3 +303,51 @@ class CalibrationLoss:
             denom = jnp.maximum(_mask.sum(), 1.0)
             return bce.sum() / denom * self.loss_weight
         return bce.mean() * self.loss_weight
+
+
+@MODELS.register_module()
+class MLECCLoss:
+    """Maximum-likelihood loss for coordinate classification (RTMO DCC;
+    reference ``heatmap_loss.py:432-510``).
+
+    ``prob = prod_axes sum(output * target, -1)`` over the (x, y) 1-D heatmap
+    pairs; loss = 1-prob / 1-prob^2 / -log(prob + 1e-4). NaNs zeroed, then
+    per-sample sum/mean over keypoints.
+    """
+
+    def __init__(
+        self,
+        reduction: str = "mean",
+        mode: str = "log",
+        use_target_weight: bool = False,
+        loss_weight: float = 1.0,
+    ):
+        assert reduction in ("mean", "sum", "none")
+        assert mode in ("linear", "square", "log")
+        self.reduction = reduction
+        self.mode = mode
+        self.use_target_weight = use_target_weight
+        self.loss_weight = loss_weight
+
+    def __call__(self, outputs, targets, target_weight=None):
+        assert len(outputs) == len(targets)
+        prob = 1.0
+        for o, t in zip(outputs, targets):
+            prob = prob * (o * t).sum(axis=-1)
+        if self.mode == "linear":
+            loss = 1.0 - prob
+        elif self.mode == "square":
+            loss = 1.0 - prob**2
+        else:
+            loss = -jnp.log(prob + 1e-4)
+        loss = jnp.where(jnp.isnan(loss), 0.0, loss)
+        if self.use_target_weight and target_weight is not None:
+            w = target_weight
+            while w.ndim < loss.ndim:
+                w = w[..., None]
+            loss = loss * w
+        if self.reduction == "sum":
+            loss = loss.reshape(loss.shape[0], -1).sum(axis=1)
+        elif self.reduction == "mean":
+            loss = loss.reshape(loss.shape[0], -1).mean(axis=1)
+        return loss * self.loss_weight

@@ -10,6 +10,7 @@ RLELoss:16 (residual log-likelihood with a RealNVP flow — flow lives in
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from probpose_code_tpu.registry import MODELS
 
@@ -250,3 +251,71 @@ class RLELoss:
         if self.size_average:
             return loss.mean() * self.loss_weight
         return loss.sum() * self.loss_weight
+
+
+@MODELS.register_module()
+class OKSLoss:
+    """OKS similarity loss (YOLO-Pose; reference ``regression_loss.py:688-790``).
+
+    ``oks = sum_k w_k exp(-(d_k / sqrt(area) / (2 sigma_k))^2 / 2)``; loss is
+    ``1-oks`` / ``1-oks^2`` / ``-log(oks)``. ``target_weight`` defaults to a
+    uniform 1/K normalization unless ``norm_target_weight`` renormalizes by
+    the visible count.
+    """
+
+    def __init__(
+        self,
+        metainfo=None,
+        reduction: str = "mean",
+        mode: str = "linear",
+        eps: float = 1e-8,
+        norm_target_weight: bool = False,
+        loss_weight: float = 1.0,
+    ):
+        assert reduction in ("mean", "sum", "none")
+        assert mode in ("linear", "square", "log")
+        self.reduction = reduction
+        self.mode = mode
+        self.eps = eps
+        self.norm_target_weight = norm_target_weight
+        self.loss_weight = loss_weight
+        self.sigmas = None
+        if metainfo is not None:
+            from probpose_code_tpu.datasets.metainfo import get_metainfo
+
+            name = str(metainfo).split("/")[-1].replace(".py", "")
+            try:
+                info = get_metainfo(name)
+                if info.get("sigmas") is not None:
+                    self.sigmas = np.asarray(info["sigmas"], dtype=np.float32)
+            except Exception:
+                pass
+
+    def __call__(self, output, target, target_weight=None, areas=None):
+        dist = jnp.linalg.norm(output - target, axis=-1)
+        if areas is not None:
+            dist = dist / jnp.clip(jnp.sqrt(areas), self.eps, None)[..., None]
+        if self.sigmas is not None:
+            sigmas = jnp.asarray(self.sigmas).reshape(*((1,) * (dist.ndim - 1)), -1)
+            dist = dist / (sigmas * 2)
+        oks = jnp.exp(-(dist**2) / 2)
+        if target_weight is not None:
+            if self.norm_target_weight:
+                target_weight = target_weight / jnp.clip(
+                    target_weight.sum(axis=-1, keepdims=True), self.eps, None
+                )
+            else:
+                target_weight = target_weight / target_weight.shape[-1]
+            oks = oks * target_weight
+        oks = oks.sum(axis=-1)
+        if self.mode == "linear":
+            loss = 1 - oks
+        elif self.mode == "square":
+            loss = 1 - oks**2
+        else:
+            loss = -jnp.log(jnp.clip(oks, self.eps, None))
+        if self.reduction == "sum":
+            loss = loss.sum()
+        elif self.reduction == "mean":
+            loss = loss.mean()
+        return loss * self.loss_weight

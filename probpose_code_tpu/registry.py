@@ -95,3 +95,4 @@ OPTIMIZERS = Registry("optimizers")
 PARAM_SCHEDULERS = Registry("param_schedulers")
 VISUALIZERS = Registry("visualizers")
 INFERENCERS = Registry("inferencers")
+TASK_UTILS = Registry("task_utils")

@@ -1,0 +1,290 @@
+"""One-stage (YOLOX-Pose / RTMO) tests: SimOTA parity, heads, loss, predict."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import probpose_code_tpu.models  # noqa: F401  (register)
+from probpose_code_tpu.models.task_modules import MlvlPointGenerator, simota_assign
+from probpose_code_tpu.models.task_modules.assigners import bbox_overlaps
+
+INF = 1e5
+EPS = 1e-7
+
+
+def _reference_simota_numpy(priors, scores, bboxes, kpts, kvis, gt_bboxes, gt_labels,
+                            gt_kpts, gt_kvis, gt_areas, sigmas,
+                            center_radius=2.5, candidate_topk=10, iou_w=3.0, cls_w=1.0,
+                            oks_w=3.0, indicator="oks", use_kpts_center=True):
+    """Line-by-line NumPy port of the reference assignment semantics
+    (sim_ota_assigner.py:68-276) used as the parity oracle."""
+    N, G = priors.shape[0], gt_bboxes.shape[0]
+    px, py, sx, sy = priors[:, 0], priors[:, 1], priors[:, 2], priors[:, 3]
+    l = px[:, None] - gt_bboxes[None, :, 0]
+    t = py[:, None] - gt_bboxes[None, :, 1]
+    r = gt_bboxes[None, :, 2] - px[:, None]
+    b = gt_bboxes[None, :, 3] - py[:, None]
+    in_gt = np.stack([l, t, r, b], 1).min(1) > 0
+    cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2
+    cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2
+    if use_kpts_center:
+        denom = np.clip(gt_kvis.sum(-1, keepdims=True), 0, None)
+        cts = (gt_kpts * gt_kvis[..., None]).sum(-2) / np.clip(denom, 1e-12, None)
+        m = gt_kvis.sum(-1) > 0
+        cx = np.where(m, cts[:, 0], cx)
+        cy = np.where(m, cts[:, 1], cy)
+    cl = px[:, None] - (cx[None] - center_radius * sx[:, None])
+    ct = py[:, None] - (cy[None] - center_radius * sy[:, None])
+    cr = (cx[None] + center_radius * sx[:, None]) - px[:, None]
+    cb = (cy[None] + center_radius * sy[:, None]) - py[:, None]
+    in_ct = np.stack([cl, ct, cr, cb], 1).min(1) > 0
+    valid = in_gt.any(1) | in_ct.any(1)
+    in_both = in_gt[valid] & in_ct[valid]
+
+    vb, vs, vk, vv = bboxes[valid], scores[valid], kpts[valid], kvis[valid]
+    V = vb.shape[0]
+    # iou
+    ious = np.asarray(bbox_overlaps(jnp.asarray(vb), jnp.asarray(gt_bboxes)))
+    cost = (~in_both) * INF
+    cost = cost + (-np.log(ious + EPS)) * iou_w
+    # oks
+    d = np.linalg.norm(vk[:, None] - gt_kpts[None], axis=-1)
+    d = d / np.clip(np.sqrt(gt_areas)[None, :, None], 1e-8, None) / (sigmas[None, None] * 2)
+    w = gt_kvis / np.clip(gt_kvis.sum(-1, keepdims=True), 1e-8, None)
+    oks = (np.exp(-(d**2) / 2) * w[None]).sum(-1)
+    cost = cost + (-np.log(oks + EPS)) * oks_w
+    # cls
+    onehot = np.eye(scores.shape[-1])[gt_labels]
+    s = np.clip(vs[:, None], EPS, 1 - EPS)
+    bce = -(onehot[None] * np.log(s) + (1 - onehot[None]) * np.log(1 - s)).sum(-1)
+    cost = cost + bce * cls_w
+
+    metric = oks if indicator == "oks" else ious
+    topk = np.sort(metric, axis=0)[::-1][: min(candidate_topk, V)]
+    dynamic_k = np.clip(topk.sum(0).astype(int), 1, None)
+    matching = np.zeros_like(cost, dtype=np.uint8)
+    for g in range(G):
+        pos = np.argsort(cost[:, g], kind="stable")[: dynamic_k[g]]
+        matching[pos, g] = 1
+    conflict = matching.sum(1) > 1
+    if conflict.any():
+        am = cost[conflict].argmin(1)
+        matching[conflict] = 0
+        matching[np.where(conflict)[0], am] = 1
+    fg_in = matching.sum(1) > 0
+    fg = np.zeros(N, bool)
+    fg[np.where(valid)[0][fg_in]] = True
+    matched = np.full(N, -1, np.int64)
+    matched[np.where(valid)[0][fg_in]] = matching[fg_in].argmax(1)
+    mm = np.zeros(N)
+    mm[np.where(valid)[0][fg_in]] = (matching * metric).sum(1)[fg_in]
+    return fg, matched, mm
+
+
+@pytest.fixture
+def random_case():
+    rng = np.random.RandomState(7)
+    gen = MlvlPointGenerator(strides=[16, 32], centralize_points=True)
+    priors = gen.flat_priors([(8, 8), (4, 4)], with_stride=True)
+    N, K, G = priors.shape[0], 17, 3
+    scores = rng.rand(N, 1).astype(np.float32)
+    bboxes = np.stack([rng.rand(N) * 60, rng.rand(N) * 60, 60 + rng.rand(N) * 60, 60 + rng.rand(N) * 60], -1).astype(np.float32)
+    kpts = (rng.rand(N, K, 2) * 128).astype(np.float32)
+    kvis = rng.rand(N, K).astype(np.float32)
+    gt_bboxes = np.array([[10, 10, 90, 110], [40, 30, 120, 120], [5, 60, 70, 127]], np.float32)
+    gt_kpts = (rng.rand(G, K, 2) * 100 + 10).astype(np.float32)
+    gt_kvis = (rng.rand(G, K) > 0.3).astype(np.float32)
+    gt_areas = np.array([6000.0, 5200.0, 4100.0], np.float32)
+    gt_labels = np.zeros(G, np.int64)
+    from probpose_code_tpu.datasets.metainfo import get_metainfo
+
+    sigmas = np.asarray(get_metainfo("coco")["sigmas"], np.float32)
+    return dict(priors=priors, scores=scores, bboxes=bboxes, kpts=kpts, kvis=kvis,
+                gt_bboxes=gt_bboxes, gt_kpts=gt_kpts, gt_kvis=gt_kvis, gt_areas=gt_areas,
+                gt_labels=gt_labels, sigmas=sigmas)
+
+
+def test_simota_matches_reference_semantics(random_case):
+    c = random_case
+    fg_ref, matched_ref, mm_ref = _reference_simota_numpy(
+        c["priors"], c["scores"], c["bboxes"], c["kpts"], c["kvis"],
+        c["gt_bboxes"], c["gt_labels"], c["gt_kpts"], c["gt_kvis"], c["gt_areas"], c["sigmas"],
+    )
+    r = simota_assign(
+        jnp.asarray(c["priors"]), jnp.asarray(c["scores"]), jnp.asarray(c["bboxes"]),
+        jnp.asarray(c["kpts"]), jnp.asarray(c["kvis"]),
+        jnp.asarray(c["gt_bboxes"]), jnp.asarray(c["gt_labels"]), jnp.asarray(c["gt_kpts"]),
+        jnp.asarray(c["gt_kvis"]), jnp.asarray(c["gt_areas"]), jnp.ones(3, bool),
+        dynamic_k_indicator="oks", use_keypoints_for_center=True, oks_sigmas=c["sigmas"],
+    )
+    np.testing.assert_array_equal(np.asarray(r.fg_mask), fg_ref)
+    np.testing.assert_array_equal(np.asarray(r.matched_gt), matched_ref)
+    np.testing.assert_allclose(np.asarray(r.matched_metric), mm_ref, atol=1e-5)
+
+
+def test_simota_no_gt():
+    gen = MlvlPointGenerator(strides=[16], centralize_points=True)
+    priors = jnp.asarray(gen.flat_priors([(4, 4)], with_stride=True))
+    N, K, G = 16, 17, 2
+    z = jnp.zeros
+    r = simota_assign(
+        priors, z((N, 1)), z((N, 4)), z((N, K, 2)), z((N, K)),
+        z((G, 4)), z((G,), jnp.int32), z((G, K, 2)), z((G, K)), z((G,)),
+        jnp.zeros(G, bool), oks_sigmas=None,
+    )
+    assert int(r.num_fg) == 0
+    assert not bool(np.asarray(r.fg_mask).any())
+
+
+def _tiny_rtmo_cfg():
+    return dict(
+        type="BottomupPoseEstimator",
+        data_preprocessor=dict(mean=[0, 0, 0], std=[1, 1, 1]),
+        backbone=dict(type="CSPDarknet", deepen_factor=0.33, widen_factor=0.25, out_indices=(2, 3, 4)),
+        neck=dict(type="HybridEncoder", in_channels=[64, 128, 256], deepen_factor=0.33, widen_factor=0.5,
+                  hidden_dim=64, output_indices=[1, 2], feedforward_channels=128, num_heads=4,
+                  projector_channels=64),
+        head=dict(type="RTMOHead", num_keypoints=17, featmap_strides=(16, 32),
+                  head_module_cfg=dict(num_classes=1, in_channels=64, cls_feat_channels=64,
+                                       channels_per_group=36, pose_vec_channels=64,
+                                       widen_factor=0.5, stacked_convs=2),
+                  assigner=dict(type="SimOTAAssigner", dynamic_k_indicator="oks",
+                                oks_calculator=dict(type="PoseOKS", metainfo="coco"),
+                                use_keypoints_for_center=True),
+                  prior_generator=dict(type="MlvlPointGenerator", centralize_points=True, strides=[16, 32]),
+                  dcc_cfg=dict(in_channels=64, feat_channels=32, num_bins=(24, 32), spe_channels=32,
+                               gau_cfg=dict(s=32, expansion_factor=2)),
+                  overlaps_power=0.5,
+                  loss_cls=dict(type="VariFocalLoss", reduction="sum", use_target_weight=True, loss_weight=1.0),
+                  loss_bbox=dict(type="IoULoss", mode="square", eps=1e-16, reduction="sum", loss_weight=5.0),
+                  loss_oks=dict(type="OKSLoss", reduction="none", metainfo="coco", loss_weight=30.0),
+                  loss_vis=dict(type="BCELoss", use_target_weight=True, reduction="mean", loss_weight=1.0),
+                  loss_mle=dict(type="MLECCLoss", use_target_weight=True, loss_weight=1.0)),
+        test_cfg=dict(input_size=(128, 128), score_thr=0.1, nms_thr=0.65, nms_pre=50),
+    )
+
+
+def _synthetic_batch(rng, B=2, G=3, K=17, size=128):
+    return dict(
+        inputs=jnp.asarray(rng.rand(B, size, size, 3).astype(np.float32) * 255),
+        gt_bboxes=jnp.asarray(np.array([[[10, 10, 90, 110], [40, 30, 120, 120], [0, 0, 0, 0]],
+                                        [[20, 15, 100, 100], [0, 0, 0, 0], [0, 0, 0, 0]]], np.float32)),
+        gt_labels=jnp.zeros((B, G), jnp.int32),
+        gt_keypoints=jnp.asarray(rng.rand(B, G, K, 2).astype(np.float32) * 100 + 10),
+        gt_keypoints_visible=jnp.asarray((rng.rand(B, G, K) > 0.3).astype(np.float32)),
+        gt_areas=jnp.asarray(np.array([[6000, 5000, 1], [5500, 1, 1]], np.float32)),
+        gt_valid=jnp.asarray(np.array([[1, 1, 0], [1, 0, 0]], bool)),
+    )
+
+
+def test_rtmo_loss_and_grads():
+    from probpose_code_tpu.models import PoseModel
+
+    model = PoseModel(_tiny_rtmo_cfg(), metainfo=None)
+    model.init(input_shape=(2, 128, 128, 3))
+    batch = _synthetic_batch(np.random.RandomState(0))
+
+    def scalar_loss(params):
+        variables = {**model.variables, "params": params}
+        total, _ = model.loss_fn(variables, batch)
+        return total
+
+    total, grads = jax.value_and_grad(scalar_loss)(model.variables["params"])
+    assert np.isfinite(float(total))
+    gnorm = jnp.sqrt(sum((g**2).sum() for g in jax.tree_util.tree_leaves(grads)))
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+    # DCC branch must receive gradient
+    dcc_leaves = jax.tree_util.tree_leaves(grads["head"]["dcc"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in dcc_leaves)
+
+
+def test_rtmo_predict_shapes():
+    from probpose_code_tpu.models import PoseModel
+    from probpose_code_tpu.models.heads.yoloxpose_head import postprocess_onestage
+
+    model = PoseModel(_tiny_rtmo_cfg(), metainfo=None)
+    model.init(input_shape=(2, 128, 128, 3))
+    imgs = jnp.asarray(np.random.RandomState(1).rand(2, 128, 128, 3).astype(np.float32) * 255)
+    out = model.make_predict(jit=False)(model.variables, imgs)
+    assert out["keypoints"].shape == (2, 50, 17, 2)
+    res = postprocess_onestage(out, score_thr=0.0, nms_thr=0.65, input_size=(128, 128))
+    assert len(res) == 2 and res[0]["keypoints"].ndim == 3
+
+
+def test_yoloxpose_loss():
+    from probpose_code_tpu.models import PoseModel
+
+    cfg = dict(
+        type="BottomupPoseEstimator",
+        data_preprocessor=dict(mean=[0, 0, 0], std=[1, 1, 1]),
+        backbone=dict(type="CSPDarknet", deepen_factor=0.33, widen_factor=0.25, out_indices=(2, 3, 4)),
+        neck=dict(type="YOLOXPAFPN", in_channels=[64, 128, 256], out_channels=32, num_csp_blocks=1),
+        head=dict(type="YOLOXPoseHead", num_keypoints=17, featmap_strides=(8, 16, 32),
+                  head_module_cfg=dict(num_classes=1, in_channels=32, feat_channels=32,
+                                       widen_factor=1.0, stacked_convs=1),
+                  assigner=dict(type="SimOTAAssigner", dynamic_k_indicator="oks",
+                                oks_calculator=dict(type="PoseOKS", metainfo="coco")),
+                  prior_generator=dict(type="MlvlPointGenerator", offset=0, strides=[8, 16, 32]),
+                  loss_cls=dict(type="BCELoss", reduction="sum", loss_weight=1.0),
+                  loss_obj=dict(type="BCELoss", reduction="sum", loss_weight=1.0),
+                  loss_bbox=dict(type="IoULoss", mode="square", eps=1e-16, reduction="sum", loss_weight=5.0),
+                  loss_oks=dict(type="OKSLoss", metainfo="coco", loss_weight=30.0),
+                  loss_vis=dict(type="BCELoss", use_target_weight=True, loss_weight=1.0)),
+        test_cfg=dict(input_size=(128, 128), score_thr=0.01, nms_thr=0.65, nms_pre=50),
+    )
+    model = PoseModel(cfg, metainfo=None)
+    model.init(input_shape=(2, 128, 128, 3))
+    batch = _synthetic_batch(np.random.RandomState(3))
+    total, (losses, _) = jax.jit(model.loss_fn)(model.variables, batch)
+    assert np.isfinite(float(total))
+    assert set(losses) >= {"loss_obj", "loss_bbox", "loss_kpt", "loss_vis", "loss_cls"}
+    out = model.make_predict(jit=False)(model.variables, batch["inputs"])
+    assert out["keypoints"].shape == (2, 50, 17, 2)
+
+
+class _FakeDataset:
+    """Minimal dataset for mix transforms."""
+
+    def __init__(self, n=8, K=17):
+        rng = np.random.RandomState(0)
+        self.items = []
+        for i in range(n):
+            m = rng.randint(1, 4)
+            self.items.append(dict(
+                img=(rng.rand(120, 160, 3) * 255).astype(np.uint8),
+                bbox=np.stack([rng.rand(m) * 50, rng.rand(m) * 40,
+                               60 + rng.rand(m) * 90, 50 + rng.rand(m) * 60], -1).astype(np.float32),
+                keypoints=(rng.rand(m, K, 2) * np.array([160, 120])).astype(np.float32),
+                keypoints_visible=(rng.rand(m, K) > 0.3).astype(np.float32),
+                flip_indices=list(range(K)),
+                img_id=i,
+            ))
+
+    def __len__(self):
+        return len(self.items)
+
+    def get_data_info(self, idx):
+        import copy as _copy
+
+        return _copy.deepcopy(self.items[idx])
+
+
+def test_mosaic_mixup_pack_collate():
+    from probpose_code_tpu.datasets.transforms import (
+        Mosaic, YOLOXMixUp, PackOneStageInputs, collate_onestage,
+    )
+
+    ds = _FakeDataset()
+    sample = ds.get_data_info(0)
+    sample["dataset"] = ds
+    out = Mosaic(img_scale=(160, 120))(sample)
+    assert out["img"].shape == (240, 320, 3)
+    assert len(out["bbox"]) >= len(ds.items[0]["bbox"])  # 4 images merged
+    out = YOLOXMixUp(img_scale=(160, 120))({**ds.get_data_info(1), "dataset": ds})
+    assert out["img"].shape[2] == 3
+    packed = PackOneStageInputs()(out)
+    batch = collate_onestage([packed, PackOneStageInputs()(ds.get_data_info(2))], max_gt=20)
+    assert batch["gt_bboxes"].shape == (2, 20, 4)
+    assert batch["gt_valid"][0].sum() == len(packed["gt_bboxes"])
