@@ -1,6 +1,17 @@
 from . import losses  # noqa: F401  (registers loss modules)
 from . import necks  # noqa: F401  (registers neck modules)
+from .backbones.classic import (  # noqa: F401
+    AlexNet,
+    MobileNetV3,
+    RegNet,
+    SCNet,
+    SEResNet,
+    ShuffleNetV1,
+    ShuffleNetV2,
+    VGG,
+)
 from .backbones.csp_darknet import CSPDarknet  # noqa: F401
+from .backbones.multistage import CPM, MSPN, RSN, HourglassNet  # noqa: F401
 from .backbones.cspnext import CSPNeXt  # noqa: F401
 from .backbones.hrnet import HRNet  # noqa: F401
 from .backbones.mobilenet_v2 import MobileNetV2  # noqa: F401
@@ -9,6 +20,7 @@ from .backbones.tcn import TCN  # noqa: F401
 from .backbones.vit import VisionTransformer  # noqa: F401
 from .builder import PoseModel, build_loss_modules, build_pose_estimator  # noqa: F401
 from .heads.heatmap_head import HeatmapHead  # noqa: F401
+from .heads.multistage_heads import CPMHead, MSPNHead, ViPNASHead  # noqa: F401
 from .heads.probmap_head import ProbMapHead  # noqa: F401
 from .heads.regression_heads import (  # noqa: F401
     DSNTHead,

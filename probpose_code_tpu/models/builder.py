@@ -295,6 +295,17 @@ class PoseModel:
             losses = regression_head_loss(
                 outputs, batch, self.loss_modules["keypoint"], self.head_type, self.module, variables
             )
+        elif self.head_type == "CPMHead":
+            from .heads.multistage_heads import cpm_head_loss
+
+            losses = cpm_head_loss(outputs, batch, self.loss_modules["keypoint"])
+        elif self.head_type == "MSPNHead":
+            from .heads.multistage_heads import mspn_head_loss
+
+            losses = mspn_head_loss(
+                outputs, batch, self.loss_modules["keypoint"],
+                list(self.aux["head_cfg"].get("level_indices", [])),
+            )
         else:
             losses = heatmap_head_loss(outputs, batch, self.loss_modules["keypoint"])
         total = sum(v for k, v in losses.items() if k.startswith("loss_"))
@@ -387,6 +398,11 @@ class PoseModel:
             from probpose_code_tpu.ops.heatmap import heatmap_maximum_batch
 
             heatmaps = outputs
+            if head_type in ("CPMHead", "MSPNHead"):
+                # decode the final stage/unit (reference cpm_head.py:224)
+                heatmaps = heatmaps[-1]
+                if outputs_flipped is not None:
+                    outputs_flipped = outputs_flipped[-1]
             if outputs_flipped is not None:
                 hm_f = flip_heatmaps_ref(outputs_flipped, flip_indices, shift_heatmap)
                 heatmaps = (heatmaps + hm_f) * 0.5
