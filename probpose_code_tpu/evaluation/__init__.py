@@ -21,6 +21,12 @@ from .functional.nms import (
 from .metrics.coco_metric import CocoMetric
 from .metrics.keypoint_3d_metrics import MPJPE
 from .metrics.keypoint_2d_metrics import AUC, EPE, NME, JhmdbPCKAccuracy, MpiiPCKAccuracy, PCKAccuracy
+from .metrics.wholebody_and_more import (
+    CocoWholeBodyMetric,
+    InterHandMetric,
+    KeypointPartitionMetric,
+    PoseTrack18Metric,
+)
 
 __all__ = [
     "AUC",
@@ -33,6 +39,10 @@ __all__ = [
     "PCKAccuracy",
     "COCOeval",
     "CocoMetric",
+    "CocoWholeBodyMetric",
+    "InterHandMetric",
+    "KeypointPartitionMetric",
+    "PoseTrack18Metric",
     "Evaluator",
     "MultiDatasetEvaluator",
     "Params",

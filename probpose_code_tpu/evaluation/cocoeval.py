@@ -47,9 +47,34 @@ def _extract_keypoints(ann: dict, iou_type: str) -> np.ndarray:
             vals = vals + list(ann[part])
         return np.array(vals, dtype=np.float64)
     if iou_type.startswith("keypoints_") and iou_type != "keypoints_crowd":
-        part = iou_type[len("keypoints_"):] + "_kpts"
-        return np.array(ann[part], dtype=np.float64)
+        part = iou_type[len("keypoints_"):]
+        if part == "body":  # the body part is the standard 'keypoints' field
+            return np.array(ann["keypoints"], dtype=np.float64).flatten()[: 17 * 3]
+        return np.array(ann[part + "_kpts"], dtype=np.float64)
     return np.array(ann["keypoints"], dtype=np.float64).flatten()
+
+
+def _set_keypoint_vis(ann: dict, iou_type: str, vis: np.ndarray) -> None:
+    """Write normalized visibilities back into the field(s) read by
+    :func:`_extract_keypoints`."""
+    vis = vis.astype(int).tolist()
+    if iou_type == "keypoints_wholebody":
+        off = 0
+        for part in _WHOLEBODY_PARTS:
+            arr = list(ann[part])
+            n = len(arr) // 3
+            arr[2::3] = vis[off:off + n]
+            ann[part] = arr
+            off += n
+        return
+    if iou_type.startswith("keypoints_") and iou_type != "keypoints_crowd":
+        part = iou_type[len("keypoints_"):]
+        field = "keypoints" if part == "body" else part + "_kpts"
+    else:
+        field = "keypoints"
+    arr = list(np.array(ann[field]).flatten())
+    arr[2::3] = vis[: len(arr) // 3]
+    ann[field] = arr
 
 
 def _score_key_for(iou_type: str) -> str:
@@ -176,7 +201,7 @@ class COCOeval:
                 vis[out_mask] = 3
 
             vis_levels.update(np.unique(vis.astype(int)).tolist())
-            gt[p.iouType if p.iouType in gt else "keypoints"][2::3] = vis.astype(int).tolist()
+            _set_keypoint_vis(gt, p.iouType, vis)
 
         self.gt_visibilities = sorted(v for v in vis_levels if v > 0)
         self._log(f"Evaluating {len(self.gt_visibilities) + 1} levels of visibility: {self.gt_visibilities}")

@@ -11,7 +11,19 @@ from .backbones.classic import (  # noqa: F401
     VGG,
 )
 from .backbones.csp_darknet import CSPDarknet  # noqa: F401
+from .backbones.litehrnet import LiteHRNet, ResNeSt  # noqa: F401
 from .backbones.multistage import CPM, MSPN, RSN, HourglassNet  # noqa: F401
+from .backbones.nas_and_3d import (  # noqa: F401
+    HRFormer,
+    V2VNet,
+    ViPNAS_MobileNetV3,
+    ViPNAS_ResNet,
+)
+from .backbones.transformers import (  # noqa: F401
+    DSTFormer,
+    PyramidVisionTransformer,
+    SwinTransformer,
+)
 from .backbones.cspnext import CSPNeXt  # noqa: F401
 from .backbones.hrnet import HRNet  # noqa: F401
 from .backbones.mobilenet_v2 import MobileNetV2  # noqa: F401

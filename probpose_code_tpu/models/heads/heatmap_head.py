@@ -65,6 +65,7 @@ class HeatmapHead(nn.Module):
     conv_kernel_sizes: Optional[Sequence[int]] = None
     has_final_layer: bool = True
     final_layer_kernel_size: int = 1
+    final_layer: Any = None  # reference-style dict(kernel_size=...) or None/False
     # loss configs are resolved by the estimator, not the module
     keypoint_loss: Any = None
     loss: Any = None
@@ -82,7 +83,10 @@ class HeatmapHead(nn.Module):
             x = ConvStack(self.conv_out_channels, self.conv_kernel_sizes, self.dtype, name="conv_layers")(
                 x, train=train
             )
-        if self.has_final_layer:
+        has_final = self.has_final_layer and self.final_layer is not False
+        if has_final:
             k = self.final_layer_kernel_size
+            if isinstance(self.final_layer, dict):
+                k = self.final_layer.get("kernel_size", k)
             x = nn.Conv(self.out_channels, kernel_size=(k, k), padding="SAME", name="final_layer")(x)
         return jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))  # (B, K, H, W)

