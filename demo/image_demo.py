@@ -6,6 +6,12 @@ Counterpart of reference ``demo/image_demo.py``:
         --out-file vis.jpg [--bboxes x1,y1,x2,y2 ...] [--kpt-thr 0.3]
 """
 
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))  # repo root
+
 import argparse
 
 import numpy as np

@@ -4,6 +4,12 @@
         [--pose2d-weights CKPT] [--vis-out-dir vis] [--pred-out-dir preds]
 """
 
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))  # repo root
+
 import argparse
 
 

@@ -8,6 +8,12 @@ detector is pluggable here, detections come from a COCO-format bbox json
         --det-file dets.json --out-dir vis/
 """
 
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))  # repo root
+
 import argparse
 import json
 import os

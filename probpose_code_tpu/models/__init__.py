@@ -1,3 +1,4 @@
+from . import data_preprocessors  # noqa: F401  (registers batch augs)
 from . import losses  # noqa: F401  (registers loss modules)
 from . import necks  # noqa: F401  (registers neck modules)
 from .backbones.classic import (  # noqa: F401
@@ -31,6 +32,7 @@ from .backbones.resnet import ResNet, ResNetV1d, ResNeXt  # noqa: F401
 from .backbones.tcn import TCN  # noqa: F401
 from .backbones.vit import VisionTransformer  # noqa: F401
 from .builder import PoseModel, build_loss_modules, build_pose_estimator  # noqa: F401
+from .distillers import DWPoseDistiller, FeaLoss, KDLoss  # noqa: F401
 from .heads.heatmap_head import HeatmapHead  # noqa: F401
 from .heads.multistage_heads import CPMHead, MSPNHead, ViPNASHead  # noqa: F401
 from .heads.probmap_head import ProbMapHead  # noqa: F401

@@ -7,6 +7,12 @@ compiled forward program — the number XLA actually schedules.
 Usage: python tools/analysis_tools/get_flops.py CONFIG [--shape H W]
 """
 
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.dirname(_osp.abspath(__file__)))))  # repo root
+
 import argparse
 
 

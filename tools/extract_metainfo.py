@@ -10,6 +10,12 @@ not code: the framework loads these tables at runtime via
 Usage: python tools/extract_metainfo.py
 """
 
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))  # repo root
+
 import json
 import os
 import os.path as osp

@@ -8,6 +8,12 @@ test of our rewrite.
 Usage: python tools/make_golden_cocoeval.py
 """
 
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))  # repo root
+
 import importlib.util
 import json
 import os

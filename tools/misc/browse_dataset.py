@@ -5,6 +5,12 @@ Counterpart of reference ``tools/misc/browse_dataset.py``.
 Usage: python tools/misc/browse_dataset.py CONFIG --out-dir vis --max 20 [--phase train]
 """
 
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.dirname(_osp.abspath(__file__)))))  # repo root
+
 import argparse
 import os
 

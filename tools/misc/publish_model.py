@@ -7,6 +7,12 @@ suffix.
 Usage: python tools/misc/publish_model.py IN_CKPT OUT_PREFIX
 """
 
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.dirname(_osp.abspath(__file__)))))  # repo root
+
 import argparse
 import hashlib
 import json

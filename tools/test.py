@@ -6,6 +6,12 @@ TPU-native counterpart of the reference ``tools/test.py``:
                          [--cfg-options K=V ...]
 """
 
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))  # repo root
+
 import argparse
 
 from probpose_code_tpu.config import Config, parse_cfg_option

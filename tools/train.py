@@ -11,6 +11,12 @@ under `jax.distributed` auto-init; the mesh spans all visible devices
 (cfg.env_cfg.mesh controls the data/model axis split).
 """
 
+
+import os.path as _osp
+import sys as _sys
+
+_sys.path.insert(0, _osp.dirname(_osp.dirname(_osp.abspath(__file__))))  # repo root
+
 import argparse
 import os.path as osp
 
