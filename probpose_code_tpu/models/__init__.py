@@ -34,6 +34,7 @@ from .backbones.vit import VisionTransformer  # noqa: F401
 from .builder import PoseModel, build_loss_modules, build_pose_estimator  # noqa: F401
 from .distillers import DWPoseDistiller, FeaLoss, KDLoss  # noqa: F401
 from .heads.heatmap_head import HeatmapHead  # noqa: F401
+from .heads.cid_head import CIDHead  # noqa: F401
 from .heads.multistage_heads import CPMHead, MSPNHead, ViPNASHead  # noqa: F401
 from .heads.probmap_head import ProbMapHead  # noqa: F401
 from .heads.regression_heads import (  # noqa: F401
@@ -43,7 +44,7 @@ from .heads.regression_heads import (  # noqa: F401
     RegressionHead,
     VisPredictHead,
 )
-from .heads.rtmcc_head import RTMCCHead, SimCCHead  # noqa: F401
+from .heads.rtmcc_head import RTMCCHead, RTMWHead, SimCCHead  # noqa: F401
 from .heads.rtmo_head import DCC, RTMOHead, RTMOHeadModule  # noqa: F401
 from .heads.yoloxpose_head import YOLOXPoseHead, YOLOXPoseHeadModule  # noqa: F401
 from .necks.hybrid_encoder import HybridEncoder, YOLOXPAFPN  # noqa: F401

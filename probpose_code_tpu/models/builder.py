@@ -289,7 +289,7 @@ class PoseModel:
             losses = probmap_head_loss(
                 outputs, batch, self.loss_modules, self.aux["head_cfg"], input_size=self.input_size
             )
-        elif self.head_type in ("SimCCHead", "RTMCCHead"):
+        elif self.head_type in ("SimCCHead", "RTMCCHead", "RTMWHead"):
             losses = simcc_head_loss(outputs, batch, self.loss_modules["keypoint"])
         elif self.head_type in ("RegressionHead", "RLEHead", "IntegralRegressionHead", "DSNTHead"):
             losses = regression_head_loss(
@@ -379,7 +379,7 @@ class PoseModel:
                     shift_heatmap=shift_heatmap,
                     freeze_oks=freeze_oks,
                 )
-            if head_type in ("SimCCHead", "RTMCCHead"):
+            if head_type in ("SimCCHead", "RTMCCHead", "RTMWHead"):
                 from .pose_estimators.topdown import simcc_head_predict
 
                 ratio = (self.decoder_cfg or {}).get("simcc_split_ratio", 2.0)

@@ -108,3 +108,68 @@ class RTMCCHead(nn.Module):
         pred_x = nn.Dense(Wx, use_bias=False, name="cls_x")(x)
         pred_y = nn.Dense(Wy, use_bias=False, name="cls_y")(x)
         return pred_x, pred_y
+
+
+def _pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """NHWC pixel shuffle: (B, H, W, C) -> (B, rH, rW, C/r^2)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, r, r, c // (r * r))
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * r, w * r, c // (r * r))
+
+
+@MODELS.register_module()
+class RTMWHead(nn.Module):
+    """RTMPose-Wholebody head (reference
+    ``heads/coord_cls_heads/rtmw_head.py:24-196``): two-resolution feature
+    fusion — the top level is pixel-shuffled up and concatenated with the
+    bottom level — then per-keypoint token MLPs, one GAU, and SimCC x/y
+    classifiers."""
+
+    in_channels: int
+    out_channels: int
+    input_size: Tuple[int, int]
+    in_featuremap_size: Tuple[int, int]
+    simcc_split_ratio: float = 2.0
+    final_layer_kernel_size: int = 1
+    gau_cfg: Any = None
+    loss: Any = None
+    decoder: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        from probpose_code_tpu.models.backbones.cspnext import ConvModule
+
+        enc_b, enc_t = feats[-2], feats[-1]  # (B, 2h, 2w, C/2), (B, h, w, C)
+        gau_cfg = dict(self.gau_cfg or {})
+        hidden = gau_cfg.get("hidden_dims", 256)
+        flat = self.in_featuremap_size[0] * self.in_featuremap_size[1]
+
+        ft = ConvModule(self.out_channels, self.final_layer_kernel_size, dtype=self.dtype,
+                        name="final_layer")(enc_t, train=train)
+        ft = ft.reshape(ft.shape[0], -1, self.out_channels).transpose(0, 2, 1)  # (B, K, h*w)
+        ft = ScaleNorm(name="mlp_norm")(ft)
+        ft = nn.Dense(hidden // 2, use_bias=False, dtype=self.dtype, name="mlp")(ft)
+
+        dec = _pixel_shuffle(enc_t, 2)
+        dec = ConvModule(self.in_channels // 4, self.final_layer_kernel_size, dtype=self.dtype,
+                         name="conv_dec")(dec, train=train)
+        eb = jnp.concatenate([dec, enc_b], axis=-1)
+        fb = ConvModule(self.out_channels, self.final_layer_kernel_size, dtype=self.dtype,
+                        name="final_layer2")(eb, train=train)
+        fb = fb.reshape(fb.shape[0], -1, self.out_channels).transpose(0, 2, 1)  # (B, K, 4*h*w)
+        fb = ScaleNorm(name="mlp2_norm")(fb)
+        fb = nn.Dense(hidden // 2, use_bias=False, dtype=self.dtype, name="mlp2")(fb)
+
+        tokens = jnp.concatenate([ft, fb], axis=-1)  # (B, K, hidden)
+        tokens = RTMCCBlock(
+            num_token=self.out_channels, in_token_dims=hidden, out_token_dims=hidden,
+            s=gau_cfg.get("s", 128), expansion_factor=gau_cfg.get("expansion_factor", 2),
+            act_fn=gau_cfg.get("act_fn", "ReLU"), use_rel_bias=gau_cfg.get("use_rel_bias", False),
+            pos_enc=gau_cfg.get("pos_enc", False), dtype=self.dtype, name="gau",
+        )(tokens, train=train)
+        Wx = int(self.input_size[0] * self.simcc_split_ratio)
+        Wy = int(self.input_size[1] * self.simcc_split_ratio)
+        pred_x = nn.Dense(Wx, use_bias=False, dtype=self.dtype, name="cls_x")(tokens).astype(jnp.float32)
+        pred_y = nn.Dense(Wy, use_bias=False, dtype=self.dtype, name="cls_y")(tokens).astype(jnp.float32)
+        return pred_x, pred_y

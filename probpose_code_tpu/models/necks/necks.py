@@ -156,7 +156,8 @@ class CSPNeXtPAFPN(nn.Module):
     """Path-aggregation FPN with CSPNeXt blocks (RTMDet / RTMO neck)."""
 
     in_channels: Sequence[int]
-    out_channels: int
+    out_channels: Optional[int] = None  # None keeps per-level channels (reference)
+    out_indices: Optional[Sequence[int]] = None
     num_csp_blocks: int = 3
     expand_ratio: float = 0.5
     dtype: Any = jnp.float32
@@ -195,6 +196,14 @@ class CSPNeXtPAFPN(nn.Module):
             )(merged, train=train)
             outs.append(merged)
 
+        if self.out_indices is not None:
+            outs = [outs[i] for i in self.out_indices]
+        if self.out_channels is None:
+            # keep per-level channels (reference out_channels=None form)
+            return tuple(
+                ConvModule(o.shape[-1], 3, dtype=self.dtype, name=f"out_conv{i}")(o, train=train).astype(jnp.float32)
+                for i, o in enumerate(outs)
+            )
         return tuple(
             ConvModule(self.out_channels, 3, dtype=self.dtype, name=f"out_conv{i}")(o, train=train).astype(
                 jnp.float32

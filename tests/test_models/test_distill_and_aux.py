@@ -77,3 +77,53 @@ def test_stopwatch_and_env():
     assert rep["x"] > 0
     env = collect_env()
     assert "JAX" in env and "NumPy" in env
+
+
+def test_rtmw_model_from_config():
+    from probpose_code_tpu.config import Config
+    from probpose_code_tpu.models import PoseModel
+
+    cfg = Config.fromfile(
+        "configs/wholebody_2d_keypoint/rtmpose/cocktail14/rtmw-m_8xb1024-270e_cocktail14-256x192.py"
+    )
+    model = PoseModel(cfg["model"], metainfo=None)
+    model.init(input_shape=(1, 256, 192, 3))
+    px, py = model.forward(model.variables, jnp.zeros((1, 256, 192, 3)))
+    assert px.shape == (1, 133, 384) and py.shape == (1, 133, 512)
+
+
+def test_cid_head_loss_and_predict():
+    import jax.random as jr
+
+    from probpose_code_tpu.models.heads.cid_head import cid_device_predict, cid_head_loss
+    from probpose_code_tpu.models.losses import FocalHeatmapLoss, InfoNCELoss
+
+    bb = M.ResNet(depth=18, out_indices=(1,))
+    head = M.CIDHead(in_channels=128, gfd_channels=32, num_keypoints=17)
+    est = M.BottomupPoseEstimator(backbone=bb, head=head)
+    x = jnp.zeros((2, 128, 128, 3))
+
+    def init_fn(module, xx):
+        out = module(xx, train=False)
+        module.head.forward_instances(out["feats"], jnp.zeros((4, 2), jnp.int32), jnp.zeros(4, jnp.int32))
+        return out
+
+    vs = est.init(jr.PRNGKey(0), x, method=init_fn)
+    out = est.apply(vs, x)
+    H, W = out["heatmaps"].shape[2:]
+    rng = np.random.RandomState(0)
+    Mi, K = 4, 17
+    batch = dict(
+        heatmaps=jnp.asarray(rng.rand(2, K + 1, H, W).astype(np.float32)),
+        instance_coords=jnp.asarray(rng.randint(0, min(H, W), (2, Mi, 2)), jnp.int32),
+        instance_valid=jnp.asarray(np.array([[1, 1, 0, 0], [1, 0, 0, 0]], bool)),
+        instance_heatmaps=jnp.asarray(rng.rand(2, Mi, K, H, W).astype(np.float32)),
+        keypoint_weights=jnp.ones((2, Mi, K), jnp.float32),
+    )
+    fwd = lambda f, c, i: est.apply(vs, f, c, i, method=lambda m, ff, cc, ii: m.head.forward_instances(ff, cc, ii))
+    losses = cid_head_loss(out, batch, fwd, dict(
+        coupled=FocalHeatmapLoss(), decoupled=FocalHeatmapLoss(use_target_weight=True),
+        contrastive=InfoNCELoss(temperature=0.05, loss_weight=1.0)))
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    pred = cid_device_predict(out, fwd, max_instances=5)
+    assert pred["keypoints"].shape == (2, 5, 17, 2)
