@@ -1,3 +1,4 @@
+from .mocap import BaseMocapDataset, Human36mDataset  # noqa: F401
 from .base_dataset import (
     BaseCocoStyleDataset,
     CocoCropDataset,

@@ -40,6 +40,7 @@ from .heads.probmap_head import ProbMapHead  # noqa: F401
 from .heads.regression_heads import (  # noqa: F401
     DSNTHead,
     IntegralRegressionHead,
+    MotionRegressionHead,
     RLEHead,
     RegressionHead,
     VisPredictHead,

@@ -145,13 +145,14 @@ class PoseModel:
         self.head_type = head_cfg.get("type", "HeatmapHead")
         self.decoder_cfg = head_cfg.get("decoder")
         self.decoder = KEYPOINT_CODECS.build(self.decoder_cfg) if self.decoder_cfg else None
-        if self.decoder_cfg:
+        if self.decoder_cfg and "input_size" in self.decoder_cfg:
             self.input_size = tuple(self.decoder_cfg["input_size"])
         elif "input_size" in self.aux["test_cfg"]:
             self.input_size = tuple(self.aux["test_cfg"]["input_size"])
         else:
             self.input_size = (192, 256)
         self.onestage = self.head_type in ("YOLOXPoseHead", "RTMOHead")
+        self.is_lifter = self.cfg.get("type") == "PoseLifter"
         self.variables = None
         self._predict_fn = None
         self._seed = seed
@@ -190,6 +191,9 @@ class PoseModel:
     # -- programs --------------------------------------------------------
 
     def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        if self.is_lifter:
+            # lifter inputs are keypoint sequences, not images
+            return jnp.asarray(images, jnp.float32)
         dp = self.aux["data_preprocessor"]
         return preprocess_inputs(
             images,

@@ -134,3 +134,24 @@ class VisPredictHead(nn.Module):
         vis = nn.sigmoid(self.vis_fc(jnp.mean(x, axis=(1, 2))).astype(jnp.float32))
         pose_out = self.pose_head(feats, train=train)
         return pose_out, vis
+
+
+@MODELS.register_module()
+class MotionRegressionHead(nn.Module):
+    """MotionBERT regression head (reference
+    ``heads/regression_heads/motion_regression_head.py:18-81``): per-token
+    pre-logits (Dense + tanh) then a 3D-coordinate FC over DSTFormer
+    embeddings (B, T, K, C) -> (B, T, K, 3)."""
+
+    in_channels: int = 256
+    out_channels: int = 3
+    embedding_size: int = 512
+    loss: Any = None
+    decoder: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x = feats[-1] if isinstance(feats, (tuple, list)) else feats
+        x = jnp.tanh(nn.Dense(self.embedding_size, dtype=self.dtype, name="pre_logits")(x))
+        return nn.Dense(self.out_channels, dtype=self.dtype, name="fc")(x).astype(jnp.float32)
