@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-import probpose_code_tpu.models  # noqa: F401  (register)
+import probpose_code_tpu.models as M  # noqa: F401  (register)
 from probpose_code_tpu.models.task_modules import MlvlPointGenerator, simota_assign
 from probpose_code_tpu.models.task_modules.assigners import bbox_overlaps
 
@@ -288,3 +288,40 @@ def test_mosaic_mixup_pack_collate():
     batch = collate_onestage([packed, PackOneStageInputs()(ds.get_data_info(2))], max_gt=20)
     assert batch["gt_bboxes"].shape == (2, 20, 4)
     assert batch["gt_valid"][0].sum() == len(packed["gt_bboxes"])
+
+
+def test_edpose_forward_loss_predict():
+    import jax.random as jr
+
+    from probpose_code_tpu.models.heads.edpose_head import edpose_device_predict, edpose_loss
+
+    bb = M.ResNet(depth=18, out_indices=(3,))
+    head = M.EDPoseHead(in_channels=512, num_keypoints=17, embed_dims=64, num_queries=20,
+                        num_human_layers=1, num_keypoint_layers=1, num_heads=4, ffn_dim=128)
+    est = M.BottomupPoseEstimator(backbone=bb, head=head)
+    x = jnp.zeros((2, 128, 128, 3))
+    vs = est.init(jr.PRNGKey(0), x, train=False)
+    out = est.apply(vs, x)
+    assert out["keypoints"].shape[2:] == (17, 2)
+
+    rng = np.random.RandomState(0)
+    G, K = 3, 17
+    batch = dict(
+        gt_bboxes=jnp.asarray(np.array([[[10, 10, 90, 110], [40, 30, 120, 120], [0, 0, 0, 0]],
+                                        [[20, 15, 100, 100], [0, 0, 0, 0], [0, 0, 0, 0]]], np.float32)),
+        gt_keypoints=jnp.asarray(rng.rand(2, G, K, 2).astype(np.float32) * 100 + 10),
+        gt_keypoints_visible=jnp.asarray((rng.rand(2, G, K) > 0.3).astype(np.float32)),
+        gt_valid=jnp.asarray(np.array([[1, 1, 0], [1, 0, 0]], bool)),
+    )
+
+    def loss_fn(params):
+        o = est.apply({**vs, "params": params}, x)
+        losses = edpose_loss(o, batch, input_size=(128, 128))
+        return sum(losses.values())
+
+    total, grads = jax.value_and_grad(loss_fn)(vs["params"])
+    assert np.isfinite(float(total))
+    gn = sum(float(jnp.abs(t).sum()) for t in jax.tree_util.tree_leaves(grads))
+    assert gn > 0
+    pred = edpose_device_predict(out, (128, 128))
+    assert pred["bboxes"].shape[-1] == 4
