@@ -36,6 +36,7 @@ from .distillers import DWPoseDistiller, FeaLoss, KDLoss  # noqa: F401
 from .heads.heatmap_head import HeatmapHead  # noqa: F401
 from .heads.cid_head import CIDHead  # noqa: F401
 from .heads.edpose_head import EDPoseHead  # noqa: F401
+from .heads.internet_head import InternetHead, PoseWarperNeck  # noqa: F401
 from .heads.multistage_heads import CPMHead, MSPNHead, ViPNASHead  # noqa: F401
 from .heads.probmap_head import ProbMapHead  # noqa: F401
 from .heads.regression_heads import (  # noqa: F401

@@ -1,0 +1,127 @@
+"""InternetHead (InterHand 3D) and PoseWarperNeck.
+
+Behavioral parity targets:
+- InternetHead: reference ``mmpose/models/heads/heatmap_heads/
+  internet_head.py:176+`` — Heatmap3DHead (deconv stack reshaped to K x D
+  3D heatmaps), Heatmap1DHead (soft-argmax relative root depth) and a
+  MultilabelClassificationHead for handedness.
+- PoseWarperNeck: reference ``mmpose/models/necks/posewarper_neck.py`` —
+  warps support-frame features toward the key frame using predicted
+  offsets from the frame difference.
+
+TPU-native deviation (PoseWarperNeck): the reference's deformable
+convolution (per-tap offsets, gather-heavy) is replaced by
+offset-field bilinear warping over a small set of learned dilation
+scales — the same warp-by-predicted-offset computation expressed as
+dense resampling, which XLA vectorizes without per-tap gathers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from probpose_code_tpu.registry import MODELS
+from .heatmap_head import DeconvStack
+
+
+@MODELS.register_module()
+class InternetHead(nn.Module):
+    """3D interacting-hand head: 42x64 3D heatmaps + root depth + handedness."""
+
+    in_channels: int = 2048
+    num_keypoints: int = 42
+    depth_size: int = 64
+    deconv_out_channels: Sequence[int] = (256, 256, 256)
+    root_heatmap_size: int = 64
+    hidden_dims: Sequence[int] = (512,)
+    loss: Any = None
+    decoder: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False) -> Dict[str, jnp.ndarray]:
+        x = feats[-1] if isinstance(feats, (tuple, list)) else feats  # (B, h, w, C)
+        B = x.shape[0]
+        # 3D heatmap branch (right + left hands concatenated like the reference)
+        h = DeconvStack(self.deconv_out_channels, (4,) * len(self.deconv_out_channels), self.dtype,
+                        name="deconv")(x, train=train)
+        hm = nn.Conv(self.num_keypoints * self.depth_size, (1, 1), name="final_layer")(h)
+        Hh, Ww = hm.shape[1:3]
+        hm = jnp.transpose(hm, (0, 3, 1, 2)).reshape(B, self.num_keypoints, self.depth_size, Hh, Ww)
+
+        # global feature for the scalar branches
+        g = x.mean(axis=(1, 2))
+        # 1D root-depth heatmap -> soft-argmax (reference Heatmap1DHead)
+        r = g
+        for i, d in enumerate(self.hidden_dims):
+            r = nn.relu(nn.Dense(d, dtype=self.dtype, name=f"root_fc{i}")(r))
+        root_hm = nn.Dense(self.root_heatmap_size, dtype=self.dtype, name="root_out")(r)
+        probs = jax.nn.softmax(root_hm.astype(jnp.float32), axis=-1)
+        root_depth = (probs * jnp.arange(self.root_heatmap_size)).sum(-1, keepdims=True)
+
+        # handedness classification (right, left)
+        t = g
+        for i, d in enumerate(self.hidden_dims):
+            t = nn.relu(nn.Dense(d, dtype=self.dtype, name=f"type_fc{i}")(t))
+        hand_type = nn.Dense(2, dtype=self.dtype, name="type_out")(t)
+
+        return dict(
+            heatmaps=hm.astype(jnp.float32),
+            root_depth=root_depth.astype(jnp.float32),
+            hand_type=hand_type.astype(jnp.float32),
+        )
+
+
+def _bilinear_warp(feat: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
+    """Warp (B, H, W, C) by per-pixel (dy, dx) offsets with bilinear taps."""
+    B, H, W, C = feat.shape
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    sy = jnp.clip(yy[None] + offset[..., 0], 0, H - 1)
+    sx = jnp.clip(xx[None] + offset[..., 1], 0, W - 1)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = (sy - y0)[..., None]
+    wx = (sx - x0)[..., None]
+
+    def gather(yi, xi):
+        return jax.vmap(lambda f, y, x: f[y, x])(feat, yi, xi)
+
+    out = (gather(y0, x0) * (1 - wy) * (1 - wx) + gather(y0, x1) * (1 - wy) * wx
+           + gather(y1, x0) * wy * (1 - wx) + gather(y1, x1) * wy * wx)
+    return out
+
+
+@MODELS.register_module()
+class PoseWarperNeck(nn.Module):
+    """Temporal feature alignment (reference ``posewarper_neck.py``).
+
+    Predicts offset fields from concat(key, support) features at several
+    dilation scales and aggregates the warped support features.
+    """
+
+    in_channels: int = 48
+    out_channels: int = 48
+    inner_channels: int = 128
+    dilations: Sequence[int] = (3, 6, 12, 18, 24)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, key_feat, support_feats, train: bool = False):
+        key = nn.Conv(self.out_channels, (1, 1), name="key_proj")(key_feat)
+        outs = []
+        for s, sup in enumerate(support_feats):
+            sup = nn.Conv(self.out_channels, (1, 1), name="support_proj")(sup) if s == 0 else sup
+            diff = jnp.concatenate([key, sup], axis=-1)
+            h = nn.relu(nn.Conv(self.inner_channels, (3, 3), padding="SAME", name=f"offset_feat")(diff))
+            warped_sum = 0.0
+            for d in self.dilations:
+                off = nn.Conv(2, (3, 3), padding="SAME", kernel_dilation=(d, d), name=f"offset_d{d}")(h)
+                warped_sum = warped_sum + _bilinear_warp(sup, off)
+            outs.append(warped_sum / len(self.dilations))
+        return key + sum(outs) / max(len(outs), 1)

@@ -1,0 +1,64 @@
+"""MotionBERTLabel, EDPoseLabel, Hand3DHeatmap codecs + InternetHead/PoseWarper."""
+
+import numpy as np
+
+from probpose_code_tpu.registry import KEYPOINT_CODECS
+import probpose_code_tpu.codecs  # noqa: F401
+
+
+def test_motionbert_label_encode():
+    mb = KEYPOINT_CODECS.build(dict(type="MotionBERTLabel", num_keypoints=17, mode="test"))
+    rng = np.random.RandomState(0)
+    k2d = rng.rand(9, 17, 2) * 1000
+    t3d = rng.rand(9, 17, 3) * 0.5 + np.array([0, 0, 3.0])
+    cam = dict(w=1000, h=1000, f=[1145.0, 1144.0], c=[512.0, 515.0])
+    enc = mb.encode(k2d, None, t3d, None, cam)
+    assert enc["keypoint_labels"].shape == (9, 17, 2)
+    assert np.abs(enc["keypoint_labels"]).max() <= 1.0 + 1e-6  # normalized
+    # root-centered
+    root = enc["lifting_target_label"][:, 0]
+    np.testing.assert_allclose(root, 0, atol=1e-4)
+
+
+def test_edpose_label_roundtrip():
+    ed = KEYPOINT_CODECS.build(dict(type="EDPoseLabel", num_select=5))
+    rng = np.random.RandomState(1)
+    enc = ed.encode((640, 480), rng.rand(3, 17, 2) * 400, None,
+                    np.array([1000.0, 900, 800]),
+                    np.array([[10, 10, 100, 200], [50, 50, 200, 300], [5, 5, 50, 60]], np.float32))
+    assert enc["bbox"].max() <= 1.0
+    dec = ed.decode((640, 480), rng.randn(20), rng.rand(20, 4), rng.rand(20, 17, 2))
+    assert dec["keypoints"].shape == (5, 17, 2)
+    assert (np.diff(dec["scores"]) <= 1e-9).all()  # sorted desc
+
+
+def test_hand3d_heatmap_roundtrip():
+    h3d = KEYPOINT_CODECS.build(dict(type="Hand3DHeatmap", heatmap_size=(16, 16, 16), image_size=(64, 64)))
+    rng = np.random.RandomState(2)
+    kpts = np.concatenate([rng.rand(1, 42, 2) * 64, (rng.rand(1, 42, 1) - 0.5) * 300], -1)
+    enc = h3d.encode(kpts, np.ones((1, 42)), hand_type=np.array([1, 0]), hand_type_valid=1)
+    assert enc["heatmaps"].shape == (42 * 16, 16, 16)
+    dk, ds = h3d.decode(enc["heatmaps"])
+    err = np.abs(dk[0, :, :2] - kpts[0, :, :2])[enc["keypoint_weights"][0] > 0]
+    assert err.mean() < 4.0  # within one heatmap cell (64/16 px)
+
+
+def test_internet_head_and_posewarper():
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    import probpose_code_tpu.models as M
+
+    h = M.InternetHead(in_channels=256, num_keypoints=42, depth_size=16, deconv_out_channels=(64, 64))
+    f = jnp.zeros((2, 8, 8, 256))
+    vs = h.init(jr.PRNGKey(0), (f,), train=False)
+    out = h.apply(vs, (f,))
+    assert out["heatmaps"].shape == (2, 42, 16, 32, 32)
+    assert out["root_depth"].shape == (2, 1) and out["hand_type"].shape == (2, 2)
+
+    n = M.PoseWarperNeck(in_channels=32, out_channels=32, inner_channels=32, dilations=(1, 2))
+    key = jnp.zeros((2, 16, 16, 32))
+    sup = [jnp.ones((2, 16, 16, 32))]
+    nv = n.init(jr.PRNGKey(0), key, sup, train=False)
+    assert n.apply(nv, key, sup).shape == (2, 16, 16, 32)
