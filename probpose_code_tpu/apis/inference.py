@@ -51,7 +51,9 @@ def init_model(
         metainfo_cfg = getattr(ds_cls, "METAINFO", {"dataset_name": "coco"}) if ds_cls else {"dataset_name": "coco"}
     metainfo = parse_pose_metainfo(dict(metainfo_cfg))
 
-    model = PoseModel(config.model, metainfo=metainfo)
+    # accept either a full file config or a bare model section
+    model_cfg = config["model"] if "model" in config else config
+    model = PoseModel(model_cfg, metainfo=metainfo)
     model.init()
     if checkpoint is not None:
         load_weights(model, checkpoint)

@@ -171,3 +171,58 @@ class MMPoseInferencer:
 
     def __call__(self, inputs, **kwargs):
         return self.inferencer(inputs, **kwargs)
+
+
+@INFERENCERS.register_module()
+class Pose3DInferencer:
+    """2D-to-3D lifting inferencer (reference
+    ``apis/inferencers/pose3d_inferencer.py``): runs a 2D pose model per
+    frame, buffers keypoint sequences per track, and lifts them with a
+    PoseLifter model.
+    """
+
+    def __init__(
+        self,
+        model: Union[str, dict],
+        weights: Optional[str] = None,
+        pose2d_model: Union[str, dict, None] = None,
+        pose2d_weights: Optional[str] = None,
+        device: Optional[str] = None,
+        seq_len: int = 27,
+        **kwargs,
+    ):
+        self.lifter = init_model(model, weights, device)
+        self.pose2d = (
+            Pose2DInferencer(pose2d_model, pose2d_weights, device) if pose2d_model is not None else None
+        )
+        self.seq_len = seq_len
+        self._buffer: List[np.ndarray] = []
+
+    def _lift(self, seq: np.ndarray) -> np.ndarray:
+        """(T, K, 2) keypoint sequence -> (K, 3)."""
+        import jax.numpy as jnp
+
+        T, K, _ = seq.shape
+        inputs = jnp.asarray(seq.reshape(1, T, K * 2), jnp.float32)
+        out = self.lifter.forward(self.lifter.variables, inputs)
+        return np.asarray(out)[0]
+
+    def __call__(self, inputs, bboxes=None, **kwargs) -> List[dict]:
+        outputs = []
+        for item in inputs if isinstance(inputs, (list, tuple)) else [inputs]:
+            if self.pose2d is not None:
+                res2d = self.pose2d(item, bboxes=bboxes, **kwargs)
+                kpts2d = np.asarray(res2d[0]["predictions"][0]["keypoints"]) if res2d else None
+            else:
+                kpts2d = np.asarray(item, np.float32)  # direct (K, 2) keypoints
+            if kpts2d is None:
+                continue
+            kpts2d = kpts2d.reshape(-1, kpts2d.shape[-1])[:, :2]
+            self._buffer.append(kpts2d)
+            self._buffer = self._buffer[-self.seq_len:]
+            seq = np.stack(
+                [self._buffer[0]] * (self.seq_len - len(self._buffer)) + self._buffer
+            )
+            kpts3d = self._lift(seq)
+            outputs.append(dict(keypoints_3d=kpts3d, keypoints_2d=kpts2d))
+        return outputs

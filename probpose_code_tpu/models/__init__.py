@@ -32,6 +32,7 @@ from .backbones.resnet import ResNet, ResNetV1d, ResNeXt  # noqa: F401
 from .backbones.tcn import TCN  # noqa: F401
 from .backbones.vit import VisionTransformer  # noqa: F401
 from .builder import PoseModel, build_loss_modules, build_pose_estimator  # noqa: F401
+from .detectors import RTMDet, RTMDetSepBNHead  # noqa: F401
 from .distillers import DWPoseDistiller, FeaLoss, KDLoss  # noqa: F401
 from .heads.heatmap_head import HeatmapHead  # noqa: F401
 from .heads.cid_head import CIDHead  # noqa: F401

@@ -161,8 +161,15 @@ class PoseModel:
 
     def init(self, input_shape: Optional[Tuple[int, ...]] = None, seed: Optional[int] = None):
         if input_shape is None:
-            w, h = self.input_size
-            input_shape = (1, h, w, 3)
+            if self.is_lifter:
+                bb = self.aux["backbone_cfg"]
+                if bb.get("type") == "DSTFormer":
+                    input_shape = (1, 9, bb.get("num_joints", 17), bb.get("in_channels", 3))
+                else:  # TCN-style (B, T, K*2)
+                    input_shape = (1, 27, bb.get("in_channels", 34))
+            else:
+                w, h = self.input_size
+                input_shape = (1, h, w, 3)
         rng = jax.random.PRNGKey(self._seed if seed is None else seed)
         dummy = jnp.zeros(input_shape, jnp.float32)
         if self.head_type == "RTMOHead":

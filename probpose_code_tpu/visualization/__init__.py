@@ -1,3 +1,8 @@
-from .local_visualizer import FastVisualizer, PoseLocalVisualizer
+from .local_visualizer import (
+    FastVisualizer,
+    Pose3dLocalVisualizer,
+    PoseLocalVisualizer,
+    SimCCVisualizer,
+)
 
-__all__ = ["FastVisualizer", "PoseLocalVisualizer"]
+__all__ = ["FastVisualizer", "Pose3dLocalVisualizer", "PoseLocalVisualizer", "SimCCVisualizer"]

@@ -173,3 +173,54 @@ class FastVisualizer:
             for k in range(keypoints.shape[1]):
                 if scores[n, k] > self.kpt_thr:
                     cv2.circle(img, tuple(keypoints[n, k].astype(int)), self.radius, (0, 0, 255), -1)
+
+
+@VISUALIZERS.register_module()
+class SimCCVisualizer:
+    """Render SimCC x/y 1-D label vectors as a 2D map beside the image
+    (reference ``visualization/simcc_vis.py:10``)."""
+
+    def draw_instance_xy_heatmap(self, simcc_xy, image: np.ndarray, n: int = 20) -> np.ndarray:
+        simcc_x, simcc_y = simcc_xy
+        simcc_x = np.asarray(simcc_x)
+        simcc_y = np.asarray(simcc_y)
+        # outer-product 2D map per keypoint, max-composited
+        maps = np.einsum("kx,ky->kyx", simcc_x.reshape(simcc_x.shape[-2], -1),
+                         simcc_y.reshape(simcc_y.shape[-2], -1))
+        hm = maps.max(0)
+        hm = (hm - hm.min()) / max(hm.max() - hm.min(), 1e-6)
+        hm8 = (hm * 255).astype(np.uint8)
+        color = cv2.applyColorMap(hm8, cv2.COLORMAP_JET)
+        color = cv2.resize(color, (image.shape[1], image.shape[0]))
+        return cv2.addWeighted(image, 0.5, color, 0.5, 0)
+
+
+@VISUALIZERS.register_module()
+class Pose3dLocalVisualizer(PoseLocalVisualizer):
+    """3D skeleton rendering (reference ``local_visualizer_3d.py:19``):
+    orthographic projection of the lifted pose next to the 2D overlay."""
+
+    def draw_3d_instances(self, image: np.ndarray, keypoints_3d: np.ndarray,
+                          axis_azimuth: float = 70.0, panel_size: int = 512) -> np.ndarray:
+        kpts = np.asarray(keypoints_3d).reshape(-1, 3)
+        # normalize to the panel, simple rotation about the z axis
+        a = np.deg2rad(axis_azimuth)
+        rot = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+        xy = kpts[:, :2] @ rot.T
+        proj = np.stack([xy[:, 0], -kpts[:, 2]], -1)
+        lo, hi = proj.min(0), proj.max(0)
+        span = np.maximum(hi - lo, 1e-6)
+        pts = ((proj - lo) / span * (panel_size * 0.8) + panel_size * 0.1).astype(int)
+        panel = np.full((panel_size, panel_size, 3), 255, np.uint8)
+        links = (getattr(self, 'dataset_meta', None) or {}).get('skeleton_links', [])
+        for link in links:
+            u, v = link
+            if u < len(pts) and v < len(pts):
+                cv2.line(panel, tuple(pts[u]), tuple(pts[v]), (60, 140, 60), 2)
+        for p in pts:
+            cv2.circle(panel, tuple(p), 4, (0, 0, 255), -1)
+        if image is None:
+            return panel
+        h = image.shape[0]
+        panel = cv2.resize(panel, (h, h))
+        return np.concatenate([image, panel], axis=1)
