@@ -1,10 +1,11 @@
 from .inference import inference_bottomup, inference_topdown, init_model, load_weights
 from .inference_tracking import _track_by_iou, _track_by_oks
-from .inferencers import MMPoseInferencer, Pose2DInferencer, Pose3DInferencer
+from .inferencers import Hand3DInferencer, MMPoseInferencer, Pose2DInferencer, Pose3DInferencer
 
 __all__ = [
     "MMPoseInferencer",
     "Pose2DInferencer",
+    "Hand3DInferencer",
     "Pose3DInferencer",
     "inference_bottomup",
     "inference_topdown",

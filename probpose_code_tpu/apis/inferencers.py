@@ -226,3 +226,45 @@ class Pose3DInferencer:
             kpts3d = self._lift(seq)
             outputs.append(dict(keypoints_3d=kpts3d, keypoints_2d=kpts2d))
         return outputs
+
+
+@INFERENCERS.register_module()
+class Hand3DInferencer:
+    """3D interacting-hand inferencer (reference
+    ``apis/inferencers/hand3d_inferencer.py``): runs an InternetHead model on
+    hand crops and decodes the 3D heatmap volume + root depth + handedness.
+    """
+
+    def __init__(self, model: Union[str, dict], weights: Optional[str] = None,
+                 device: Optional[str] = None, **kwargs):
+        self.model = init_model(model, weights, device)
+        self.decoder = self.model.decoder
+
+    def __call__(self, inputs, **kwargs) -> List[dict]:
+        import jax.numpy as jnp
+
+        outputs = []
+        for name, img in _enumerate_inputs(inputs):
+            if img is None:
+                continue
+            w, h = self.model.input_size
+            import cv2
+
+            crop = cv2.resize(np.asarray(img), (w, h)).astype(np.float32)[None]
+            out = self.model.forward(self.model.variables, jnp.asarray(crop))
+            hm = np.asarray(out["heatmaps"][0])  # (K, D, Hh, Ww)
+            K, D, Hh, Ww = hm.shape
+            flat = hm.reshape(K, -1)
+            idx = flat.argmax(-1)
+            scores = flat[np.arange(K), idx]
+            z = idx // (Hh * Ww)
+            y = (idx % (Hh * Ww)) // Ww
+            x = idx % Ww
+            kpts = np.stack([x / Ww * w, y / Hh * h, z.astype(np.float32)], -1)
+            outputs.append(dict(
+                keypoints=kpts[None],
+                keypoint_scores=scores[None],
+                rel_root_depth=float(np.asarray(out["root_depth"])[0, 0]),
+                hand_type=np.asarray(out["hand_type"])[0],
+            ))
+        return outputs
