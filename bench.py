@@ -17,7 +17,8 @@ signals block_until_ready optimistically, so naive timing loops lie):
 - the clock stops at a host fetch of the final output (the only true sync),
 - one relay round-trip (~30 ms) is amortized over BENCH_ITERS calls.
 
-Env overrides: BENCH_BATCH (default 256), BENCH_ITERS (default 20),
+Env overrides: BENCH_BATCH (default 64 — swept optimum on v5e: 64 gives
+~6.7k crops/s vs ~5.0k at 256), BENCH_ITERS (default 20),
 BENCH_DTYPE (bfloat16|float32).
 Prints ONE JSON line.
 """
@@ -37,7 +38,7 @@ def main():
     from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
     from probpose_code_tpu.models import PoseModel
 
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     flip = os.environ.get("BENCH_FLIP", "0") == "1"

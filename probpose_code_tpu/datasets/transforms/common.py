@@ -577,3 +577,33 @@ class GenerateTarget:
 
         results.update(encoded)
         return results
+
+
+@TRANSFORMS.register_module()
+class Albumentation:
+    """Albumentations wrapper (reference ``common_transforms.py:962``).
+
+    The ``albumentations`` package is not available in this environment;
+    constructing this transform raises with guidance. The shipped recipes'
+    photometric augs are covered by :class:`PhotometricDistortion` and
+    :class:`YOLOXHSVRandomAug`.
+    """
+
+    def __init__(self, transforms=None, keymap=None):
+        try:
+            import albumentations  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "the Albumentation transform requires the 'albumentations' "
+                "package, which is not installed in this environment; use "
+                "PhotometricDistortion / YOLOXHSVRandomAug instead"
+            ) from e
+        self.transforms = transforms
+        self.keymap = keymap
+
+    def __call__(self, results):  # pragma: no cover - requires albumentations
+        import albumentations as A
+
+        aug = A.Compose([A.__dict__[t.pop("type")](**t) for t in map(dict, self.transforms or [])])
+        results["img"] = aug(image=results["img"])["image"]
+        return results
