@@ -90,6 +90,15 @@ class Runner:
 
     # -- construction helpers ---------------------------------------------
 
+    def _collate_fn(self):
+        if getattr(self.model, "onestage", False):
+            from probpose_code_tpu.datasets.transforms import collate_onestage
+
+            return collate_onestage
+        from probpose_code_tpu.datasets.loader import collate_pose_samples
+
+        return collate_pose_samples
+
     def build_train_loader(self) -> DataLoader:
         cfg = dict(self.train_dataloader_cfg)
         ds = DATASETS.build(cfg["dataset"])
@@ -97,6 +106,7 @@ class Runner:
             ds,
             batch_size=cfg.get("batch_size", 32),
             shuffle=cfg.get("sampler", {}).get("shuffle", True),
+            collate_fn=self._collate_fn(),
             drop_last=True,
             num_workers=cfg.get("num_workers", 4),
         )
@@ -108,6 +118,7 @@ class Runner:
             self.val_dataset,
             batch_size=cfg.get("batch_size", 32),
             shuffle=False,
+            collate_fn=self._collate_fn(),
             drop_last=False,
             num_workers=cfg.get("num_workers", 4),
         )
@@ -178,6 +189,7 @@ class Runner:
         t0 = time.perf_counter()
         for i, batch in enumerate(self.train_loader):
             data_samples = batch.pop("data_samples", None)
+            batch.pop("img_metas", None)
             device_batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, self.mesh)
             t1 = time.perf_counter()
             t_data += t1 - t0
