@@ -402,7 +402,17 @@ class CocoMetric(BaseMetric):
             if key not in dt_dict:
                 continue
             d = dt_dict[key]
-            gt_vis.append(np.array(g["keypoints"]).reshape(-1, 3)[:, 2])
+            # recompute out-of-image visibility from the min padding needed to
+            # contain each keypoint (reference coco_metric.py:866-878): points
+            # outside the padded box are v=3, annotated-as-out points that are
+            # actually inside become v=1
+            gk = np.array(g["keypoints"], dtype=np.float64).reshape(-1, 3)
+            gtv = gk[:, 2].copy()
+            min_padding = find_min_padding_exact(np.array(g["bbox"], dtype=np.float64).flatten(), gk)
+            kpts_out = min_padding > self.padding
+            gtv[(gtv > 2) & (~kpts_out)] = 1
+            gtv[kpts_out] = 3
+            gt_vis.append(gtv)
             dt_vis.append(np.asarray(d["keypoints_visible"]).reshape(-1))
             dt_probs.append(np.asarray(d["keypoint_probs"]).reshape(-1))
             dt_scores.append(np.asarray(d["keypoint_scores"]).reshape(-1))
