@@ -184,6 +184,15 @@ class PoseModel:
                 return out
 
             self.variables = self.module.init({"params": rng, "dropout": rng}, dummy, method=init_fn)
+        elif self.head_type == "RLEHead":
+            # the flow only runs inside the loss (head.log_phi) — drive it
+            # once at init so its params exist in the variable tree
+            def init_fn(module, x):
+                out = module(x, train=False)
+                module.head.log_phi(jnp.zeros((1, out.shape[1], 2), jnp.float32))
+                return out
+
+            self.variables = self.module.init({"params": rng, "dropout": rng}, dummy, method=init_fn)
         else:
             self.variables = self.module.init({"params": rng, "dropout": rng}, dummy, train=False)
         return self.variables

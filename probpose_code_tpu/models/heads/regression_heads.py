@@ -42,23 +42,35 @@ class RegressionHead(nn.Module):
 
 @MODELS.register_module()
 class RLEHead(nn.Module):
+    """RLE regression head (reference ``regression_heads/rle_head.py:39``).
+
+    GAP -> fc -> (B, K, 4) raw coords + raw sigmas. The RealNVP flow that
+    models the residual-error density (reference keeps it inside ``RLELoss``,
+    ``losses/regression_loss.py:42``) lives here as a submodule so its
+    parameters sit in the same variable tree and train jointly; the loss
+    evaluates it through :meth:`log_phi`.
+    """
+
     in_channels: int
     num_joints: int
     loss: Any = None
     decoder: Any = None
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.fc = nn.Dense(self.num_joints * 4, name="fc")
+        self.flow = RealNVP(name="flow")
+
     def __call__(self, feats, train: bool = False):
         x = feats[-1] if isinstance(feats, (tuple, list)) else feats
         x = jnp.mean(x, axis=(1, 2))
-        x = nn.Dense(self.num_joints * 4, name="fc")(x)
+        x = self.fc(x)
         return x.reshape(-1, self.num_joints, 4).astype(jnp.float32)
 
     def log_phi(self, error: jnp.ndarray) -> jnp.ndarray:
         """Flow log-density of normalized residuals (B, K, 2) -> (B, K)."""
         B, K, _ = error.shape
-        logp = RealNVP(name="flow")(error.reshape(B * K, 2))
+        logp = self.flow(error.reshape(B * K, 2))
         return logp.reshape(B, K)
 
 

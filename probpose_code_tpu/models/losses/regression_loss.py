@@ -9,6 +9,7 @@ RLELoss:16 (residual log-likelihood with a RealNVP flow — flow lives in
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -209,9 +210,13 @@ class SoftWeightSmoothL1Loss:
 class RLELoss:
     """Residual log-likelihood estimation loss (RLE, ICCV 2021).
 
-    ``pred``/``sigma`` come from a regression head with flow-based density;
-    the flow log-prob is computed by the head (models.utils.realnvp) and
-    passed as ``log_phi``. Matches the reference's Q(logQ) residual form.
+    Matches the reference ``losses/regression_loss.py:RLELoss.forward``:
+    ``sigma`` is the RAW head output (sigmoid is applied here), the RealNVP
+    flow density of the normalized residual enters as
+    ``nf_loss = log(sigma) - log_phi`` and the residual form adds the
+    Laplace/Gaussian Q term. The flow lives in ``RLEHead`` (so its params
+    train jointly); ``log_phi_fn`` evaluates it on the residuals computed
+    here, keeping loss and flow inputs bit-identical.
     """
 
     def __init__(
@@ -229,19 +234,21 @@ class RLELoss:
         self.q_distribution = q_distribution
         self.loss_weight = loss_weight
 
-    def __call__(self, pred, sigma, target, target_weight=None, log_phi=None):
-        sigma = jnp.clip(sigma, 1e-9)
-        error = (pred - target) / sigma
-        if self.q_distribution == "laplace":
-            log_q = jnp.log(sigma * 2) + jnp.abs(error)
-        else:
-            log_q = jnp.log(sigma * jnp.sqrt(2 * jnp.pi)) + 0.5 * error**2
+    def __call__(self, pred, sigma, target, target_weight=None, log_phi_fn=None):
+        assert log_phi_fn is not None, "RLE needs the flow log-likelihood (head.log_phi)"
+        sigma = jax.nn.sigmoid(sigma)
+        error = (pred - target) / (sigma + 1e-9)  # (B, K, 2)
+        log_phi = log_phi_fn(error)  # (B, K)
+        nf_loss = jnp.log(sigma) - log_phi[..., None]
 
         if self.residual:
-            assert log_phi is not None, "residual RLE needs the flow log-likelihood"
-            loss = log_q - log_phi[..., None] / error.shape[-1] if log_phi.ndim < log_q.ndim else log_q - log_phi
+            if self.q_distribution == "laplace":
+                loss_q = jnp.log(sigma * 2) + jnp.abs(error)
+            else:
+                loss_q = jnp.log(sigma * jnp.sqrt(2 * jnp.pi)) + 0.5 * error**2
+            loss = nf_loss + loss_q
         else:
-            loss = log_q
+            loss = nf_loss
 
         if self.use_target_weight and target_weight is not None:
             w = target_weight
@@ -249,7 +256,7 @@ class RLELoss:
                 w = w[..., None]
             loss = loss * w
         if self.size_average:
-            return loss.mean() * self.loss_weight
+            loss = loss / pred.shape[0]
         return loss.sum() * self.loss_weight
 
 

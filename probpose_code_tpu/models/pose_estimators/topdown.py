@@ -302,11 +302,11 @@ def regression_head_loss(
 ) -> Dict[str, jnp.ndarray]:
     """Loss for the coordinate-regression heads.
 
-    RegressionHead: SmoothL1 on normalized labels. RLEHead: density loss on
-    (coords, sigmas); the plain (non-residual) RLE form is used here — the
-    RealNVP flow module exists (models.utils.realnvp) and joint flow
-    training is wired in a follow-up. Integral/DSNT: loss on soft-argmax
-    coords.
+    RegressionHead: SmoothL1 on normalized labels. RLEHead: the reference
+    RLE density loss (``rle_head.py:loss:118`` -> ``RLELoss.forward``) —
+    raw sigmas enter the loss, the RealNVP flow (a head submodule, so its
+    params train jointly) supplies log_phi of the normalized residuals.
+    Integral/DSNT: loss on soft-argmax coords.
     """
     labels = batch["keypoint_labels"]
     weights = batch["keypoint_weights"]
@@ -314,13 +314,15 @@ def regression_head_loss(
     if head_type == "RLEHead":
         pred = outputs
         coords = pred[..., :2]
-        sigma = jax.nn.sigmoid(pred[..., 2:4])
+        sigma_raw = pred[..., 2:4]
         from probpose_code_tpu.models.losses.regression_loss import RLELoss
 
-        rle = loss_module if isinstance(loss_module, RLELoss) else RLELoss(use_target_weight=True, residual=False)
-        losses["loss_kpt"] = rle(coords, sigma, labels, weights) if not getattr(rle, "residual", False) else rle(
-            coords, sigma, labels, weights, log_phi=jnp.zeros(coords.shape[:2])
-        )
+        rle = loss_module if isinstance(loss_module, RLELoss) else RLELoss(use_target_weight=True)
+
+        def log_phi_fn(error):
+            return module.apply(variables, error, method=lambda m, e: m.head.log_phi(e))
+
+        losses["loss_kpt"] = rle(coords, sigma_raw, labels, weights, log_phi_fn=log_phi_fn)
         dt_coords = coords
     elif head_type in ("IntegralRegressionHead", "DSNTHead"):
         coords, heatmaps = outputs
@@ -346,7 +348,8 @@ def regression_head_predict(outputs, outputs_flipped, flip_indices, input_size, 
         if head_type in ("IntegralRegressionHead", "DSNTHead"):
             return out[0]
         if head_type == "RLEHead":
-            return out
+            # reference rle_head.predict:98 sigmoids sigmas BEFORE TTA-averaging
+            return out.at[..., 2:].set(jax.nn.sigmoid(out[..., 2:]))
         return out
 
     coords = coords_of(outputs)
@@ -359,7 +362,8 @@ def regression_head_predict(outputs, outputs_flipped, flip_indices, input_size, 
 
     if head_type == "RLEHead":
         keypoints = coords[..., :2] * jnp.asarray(input_size, dtype=jnp.float32)
-        scores = (1.0 - jax.nn.sigmoid(coords[..., 2:4])).mean(axis=-1)
+        # sigmas were already sigmoided in coords_of (pre-TTA, like reference)
+        scores = (1.0 - coords[..., 2:4]).mean(axis=-1)
     else:
         keypoints = coords * jnp.asarray(input_size, dtype=jnp.float32)
         scores = jnp.ones(coords.shape[:2], jnp.float32)

@@ -8,6 +8,11 @@ same shape.
 
 Usage: python tools/deployment/serve.py CONFIG [CHECKPOINT] [--port 8080]
 Then:  curl -X POST --data-binary @img.jpg http://localhost:8080/predict
+
+The stdlib HTTPServer is single-threaded: requests are handled one at a
+time (which also serializes access to the single TPU model). Binds to
+127.0.0.1 by default; pass --host 0.0.0.0 only behind a trusted frontend —
+there is no authentication.
 """
 
 import os.path as _osp
@@ -26,9 +31,14 @@ def build_handler(model):
     from probpose_code_tpu.apis import inference_topdown
 
     class PoseHandler(BaseHTTPRequestHandler):
+        max_body_bytes = 32 * 1024 * 1024
+
         def do_POST(self):
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length <= 0 or length > self.max_body_bytes:
+                    self.send_error(413, f"Content-Length must be in (0, {self.max_body_bytes}]")
+                    return
                 body = self.rfile.read(length)
                 import cv2
 
@@ -68,13 +78,18 @@ def main():
     parser.add_argument("config")
     parser.add_argument("checkpoint", nargs="?", default=None)
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument(
+        "--host",
+        default="127.0.0.1",
+        help="bind address; no auth — expose beyond localhost only behind a trusted frontend",
+    )
     args = parser.parse_args()
 
     from probpose_code_tpu.apis import init_model
 
     model = init_model(args.config, args.checkpoint)
-    server = HTTPServer(("0.0.0.0", args.port), build_handler(model))
-    print(f"serving pose model on :{args.port} (POST an image to /predict)")
+    server = HTTPServer((args.host, args.port), build_handler(model))
+    print(f"serving pose model on {args.host}:{args.port} (POST an image to /predict)")
     server.serve_forever()
 
 
