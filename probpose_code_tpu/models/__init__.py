@@ -39,7 +39,7 @@ from .heads.cid_head import CIDHead  # noqa: F401
 from .heads.edpose_head import EDPoseHead  # noqa: F401
 from .heads.internet_head import InternetHead, PoseWarperNeck  # noqa: F401
 from .heads.multistage_heads import CPMHead, MSPNHead, ViPNASHead  # noqa: F401
-from .heads.probmap_head import ProbMapHead  # noqa: F401
+from .heads.probmap_head import DoubleProbMapHead, ProbMapHead  # noqa: F401
 from .heads.regression_heads import (  # noqa: F401
     DSNTHead,
     IntegralRegressionHead,
@@ -71,6 +71,7 @@ __all__ = [
     "HeatmapHead",
     "PoseModel",
     "ProbMapHead",
+    "DoubleProbMapHead",
     "RTMCCHead",
     "SimCCHead",
     "TopdownPoseEstimator",

@@ -25,6 +25,8 @@ from probpose_code_tpu.registry import KEYPOINT_CODECS, MODELS
 
 from .pose_estimators.topdown import (
     TopdownPoseEstimator,
+    double_probmap_head_loss,
+    double_probmap_head_predict,
     heatmap_head_loss,
     preprocess_inputs,
     probmap_head_loss,
@@ -309,6 +311,10 @@ class PoseModel:
             losses = probmap_head_loss(
                 outputs, batch, self.loss_modules, self.aux["head_cfg"], input_size=self.input_size
             )
+        elif self.head_type == "DoubleProbMapHead":
+            losses = double_probmap_head_loss(
+                outputs, batch, self.loss_modules, self.aux["head_cfg"], input_size=self.input_size
+            )
         elif self.head_type in ("SimCCHead", "RTMCCHead", "RTMWHead"):
             losses = simcc_head_loss(outputs, batch, self.loss_modules["keypoint"])
         elif self.head_type in ("RegressionHead", "RLEHead", "IntegralRegressionHead", "DSNTHead"):
@@ -395,6 +401,16 @@ class PoseModel:
                     outputs,
                     outputs_flipped,
                     flip_indices,
+                    input_size=input_size,
+                    shift_heatmap=shift_heatmap,
+                    freeze_oks=freeze_oks,
+                )
+            if head_type == "DoubleProbMapHead":
+                return double_probmap_head_predict(
+                    outputs,
+                    outputs_flipped,
+                    flip_indices,
+                    decoder_cfg=self.decoder_cfg or {},
                     input_size=input_size,
                     shift_heatmap=shift_heatmap,
                     freeze_oks=freeze_oks,

@@ -152,3 +152,143 @@ class ProbMapHead(nn.Module):
             oks=oks,
             errors=errors,
         )
+
+
+class HeatmapTower(nn.Module):
+    """deconv stack + conv stack + 1x1 final (+ sigmoid) -> (B, K, H, W).
+
+    One of the two heatmap branches of DoubleProbMapHead (reference
+    ``DP_head.py:_build_heatmap_head:301``: deconv/conv/final/normalize)."""
+
+    out_channels: int
+    deconv_out_channels: Optional[Sequence[int]] = (256, 256, 256)
+    deconv_kernel_sizes: Optional[Sequence[int]] = (4, 4, 4)
+    conv_out_channels: Optional[Sequence[int]] = None
+    conv_kernel_sizes: Optional[Sequence[int]] = None
+    normalize: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.deconv_out_channels:
+            x = DeconvStack(self.deconv_out_channels, self.deconv_kernel_sizes, self.dtype, name="deconv_layers")(
+                x, train=train
+            )
+        if self.conv_out_channels:
+            x = ConvStack(self.conv_out_channels, self.conv_kernel_sizes, self.dtype, name="conv_layers")(
+                x, train=train
+            )
+        x = nn.Conv(self.out_channels, kernel_size=(1, 1), name="final_layer")(x)
+        x = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))  # (B, K, H, W)
+        if self.normalize:
+            x = nn.sigmoid(x)
+        return x
+
+
+@MODELS.register_module()
+class DoubleProbMapHead(nn.Module):
+    """Dual-heatmap ProbPose head (reference ``hybrid_heads/DP_head.py:50``).
+
+    Two full heatmap towers over the same backbone features: the first
+    predicts keypoints on the tight "in" activation window (codec
+    ``in_heatmap_padding``), the second on the expanded "out" window
+    (``out_heatmap_padding``) so out-of-image keypoints stay supervisable.
+    Plus the four scalar branches (probability/visibility/OKS/error) shared
+    with ProbMapHead. Merge of the two windows (reference
+    ``merge_heatmaps:693`` / ``_merge_predictions:1460``) happens in the
+    loss/predict programs in ``pose_estimators/topdown.py``.
+    """
+
+    in_channels: int
+    out_channels: int
+    deconv_out_channels: Optional[Sequence[int]] = (256, 256, 256)
+    deconv_kernel_sizes: Optional[Sequence[int]] = (4, 4, 4)
+    conv_out_channels: Optional[Sequence[int]] = None
+    conv_kernel_sizes: Optional[Sequence[int]] = None
+    normalize: bool = False
+    detach_probability: bool = True
+    detach_visibility: bool = True
+    detach_second_heatmaps: bool = False
+    learn_heatmaps_from_zeros: bool = False
+    split_heatmaps_by: str = "in/all"
+    freeze_heatmaps: bool = False
+    freeze_second_heatmaps: bool = False
+    freeze_probability: bool = False
+    freeze_visibility: bool = False
+    freeze_oks: bool = False
+    freeze_error: bool = False
+    # loss / decoder configs are consumed by the estimator's loss/predict
+    keypoint_loss: Any = None
+    probability_loss: Any = None
+    visibility_loss: Any = None
+    oks_loss: Any = None
+    error_loss: Any = None
+    decoder: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False) -> Dict[str, jnp.ndarray]:
+        assert self.split_heatmaps_by in ("visibility", "in/out", "in/all")
+        x = feats[-1] if isinstance(feats, (tuple, list)) else feats  # (B, h, w, C)
+
+        tower = dict(
+            out_channels=self.out_channels,
+            deconv_out_channels=self.deconv_out_channels,
+            deconv_kernel_sizes=self.deconv_kernel_sizes,
+            conv_out_channels=self.conv_out_channels,
+            conv_kernel_sizes=self.conv_kernel_sizes,
+            normalize=self.normalize,
+            dtype=self.dtype,
+        )
+        heatmaps1 = HeatmapTower(**tower, name="first_head")(x, train=train)
+        if self.freeze_heatmaps:
+            heatmaps1 = jax.lax.stop_gradient(heatmaps1)
+
+        x2 = jax.lax.stop_gradient(x) if self.detach_second_heatmaps else x
+        heatmaps2 = HeatmapTower(**tower, name="second_head")(x2, train=train)
+        if self.freeze_second_heatmaps:
+            heatmaps2 = jax.lax.stop_gradient(heatmaps2)
+
+        x_prob = jax.lax.stop_gradient(x) if self.detach_probability else x
+        probabilities = nn.sigmoid(
+            ScalarBranchTower(self.in_channels, self.out_channels, dtype=self.dtype, name="probability_layers")(
+                x_prob, train=train
+            )
+        )
+        if self.freeze_probability:
+            probabilities = jax.lax.stop_gradient(probabilities)
+
+        x_vis = jax.lax.stop_gradient(x) if self.detach_visibility else x
+        visibilities = nn.sigmoid(
+            ScalarBranchTower(self.in_channels, self.out_channels, dtype=self.dtype, name="visibility_layers")(
+                x_vis, train=train
+            )
+        )
+        if self.freeze_visibility:
+            visibilities = jax.lax.stop_gradient(visibilities)
+
+        x_det = jax.lax.stop_gradient(x)
+        oks = nn.sigmoid(
+            ScalarBranchTower(self.in_channels, self.out_channels, dtype=self.dtype, name="oks_layers")(
+                x_det, train=train
+            )
+        )
+        if self.freeze_oks:
+            oks = jax.lax.stop_gradient(oks)
+
+        errors = nn.relu(
+            ScalarBranchTower(self.in_channels, self.out_channels, dtype=self.dtype, name="error_layers")(
+                x_det, train=train
+            )
+        )
+        if self.freeze_error:
+            errors = jax.lax.stop_gradient(errors)
+
+        return dict(
+            heatmaps=heatmaps1,
+            out_heatmaps=heatmaps2,
+            probabilities=probabilities,
+            visibilities=visibilities,
+            oks=oks,
+            errors=errors,
+        )

@@ -236,6 +236,227 @@ def probmap_head_loss(
     return losses
 
 
+def merge_double_heatmaps_device(
+    heatmaps1: jnp.ndarray,
+    heatmaps2: jnp.ndarray,
+    bbox_mask: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge in/out heatmap pairs by window agreement (on device).
+
+    Vectorized equivalent of reference ``DP_head.py:merge_heatmaps:693``
+    ("in/all" path): per (sample, keypoint), if the OUT-heatmap's argmax
+    falls inside the bbox mask take the IN-heatmap, else the OUT-heatmap.
+    ``bbox_mask`` is (B, 1, Hm, Wm) at any resolution (nearest-resized to
+    the heatmap grid); None means the whole crop (all ones).
+
+    Returns (merged (B, K, H, W), hout_in (B, K) bool).
+
+    Deviation noted: the reference additionally pads+bilinear-resizes the
+    smaller-window heatmap before the select (``DP_head.py:719-744``), but
+    because the select keeps one full heatmap per keypoint this only relabels
+    which window's geometry the merged map carries; the decode paths here map
+    each selected map through its own window affine instead.
+    """
+    B, K, H, W = heatmaps1.shape
+    flat2 = heatmaps2.reshape(B, K, H * W)
+    amax = jnp.argmax(flat2, axis=-1)  # (B, K)
+    if bbox_mask is None:
+        hout_in = jnp.ones((B, K), bool)
+    else:
+        mask = bbox_mask.reshape(B, 1, bbox_mask.shape[-2], bbox_mask.shape[-1]).astype(jnp.float32)
+        mask = jax.image.resize(mask, (B, 1, H, W), method="nearest")
+        mask_flat = jnp.broadcast_to(mask.reshape(B, 1, H * W), (B, K, H * W))
+        hout_in = jnp.take_along_axis(mask_flat, amax[..., None], axis=-1)[..., 0] > 0.5
+    merged = jnp.where(hout_in[..., None, None], heatmaps1, heatmaps2)
+    return merged, hout_in
+
+
+def double_probmap_head_loss(
+    outputs: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    loss_modules: Dict[str, Any],
+    head_cfg: Dict[str, Any],
+    input_size: Tuple[int, int] = (192, 256),
+    compute_acc: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """DoubleProbMapHead loss dict (reference ``DP_head.py:loss:1293``).
+
+    Split "in/all" (the reference default): the first tower learns keypoints
+    inside the tight window (weights = in_image & annotated_in), the second
+    learns ALL annotated-in keypoints on the expanded window. GT OKS/error
+    targets come from the merged prediction vs the out-window GT maps,
+    computed on device (no CPU round-trip).
+    """
+    dt_heatmaps1 = outputs["heatmaps"]
+    dt_heatmaps2 = outputs["out_heatmaps"]
+    B, C, H, W = dt_heatmaps1.shape
+    dt_probs = outputs["probabilities"].reshape(B, C)
+    dt_vis = outputs["visibilities"].reshape(B, C)
+    dt_oks = outputs["oks"].reshape(B, C)
+    dt_errs = outputs["errors"].reshape(B, C)
+
+    gt_in_heatmaps = batch["heatmaps"].reshape(B, C, H, W)
+    gt_out_heatmaps = batch["out_heatmaps"].reshape(B, C, H, W)
+    gt_probs = batch["in_image"].astype(jnp.float32).reshape(B, C)
+    gt_annotated = batch["annotated"].astype(jnp.float32).reshape(B, C)
+    gt_vis = batch["keypoints_visibility"].astype(jnp.float32).reshape(B, C)
+    # keypoints_in_image additionally accounts for blackout crops
+    # (reference formatting.py:205-209: defaults to in_image, AND-ed with it)
+    gt_in_image = batch.get("keypoints_in_image")
+    gt_in_image = gt_probs if gt_in_image is None else gt_in_image.astype(jnp.float32).reshape(B, C) * gt_probs
+
+    bbox_mask = batch.get("bbox_mask")
+    merged_dt, hout_in = merge_double_heatmaps_device(
+        jax.lax.stop_gradient(dt_heatmaps1), jax.lax.stop_gradient(dt_heatmaps2), bbox_mask
+    )
+
+    freeze_oks = head_cfg.get("freeze_oks", False)
+    freeze_error = head_cfg.get("freeze_error", False)
+    need_decode = (not freeze_error) or (not freeze_oks)
+    if need_decode:
+        gt_coords = _fast_decode_to_input_space(gt_out_heatmaps, input_size)
+        dt_coords = _fast_decode_to_input_space(merged_dt, input_size)
+    if freeze_error:
+        gt_errs = jnp.zeros((B, C))
+    else:
+        gt_errs = jnp.linalg.norm(gt_coords - dt_coords, axis=-1)
+    if freeze_oks:
+        gt_oks = jnp.zeros((B, C))
+    else:
+        oks_weight_mask = (gt_probs > 0.5) & (gt_annotated > 0.5)
+        gt_oks, _ = compute_oks_targets(gt_coords, dt_coords, oks_weight_mask)
+
+    annotated_in = (gt_annotated > 0.5) & (gt_probs > 0.5)
+    split = head_cfg.get("split_heatmaps_by", "in/all")
+    if split == "visibility":
+        heatmap1_weights = (gt_vis > 0.5) & annotated_in
+        heatmap2_weights = (gt_vis <= 0.5) & annotated_in
+    elif split == "in/out":
+        heatmap1_weights = (gt_in_image > 0.5) & annotated_in
+        heatmap2_weights = (gt_in_image <= 0.5) & annotated_in
+    else:  # in/all
+        heatmap1_weights = (gt_in_image > 0.5) & annotated_in
+        heatmap2_weights = annotated_in
+
+    losses: Dict[str, jnp.ndarray] = {}
+    losses["loss_kpt"] = loss_modules["keypoint"](
+        dt_heatmaps1, gt_in_heatmaps, heatmap1_weights.astype(jnp.float32)
+    )
+    losses["loss_kpt2"] = loss_modules["keypoint"](
+        dt_heatmaps2, gt_out_heatmaps, heatmap2_weights.astype(jnp.float32)
+    )
+    losses["loss_probability"] = loss_modules["probability"](dt_probs, gt_probs, gt_annotated)
+    losses["loss_visibility"] = loss_modules["visibility"](dt_vis, gt_vis, annotated_in.astype(jnp.float32))
+    losses["loss_oks"] = loss_modules["oks"](dt_oks, gt_oks, annotated_in.astype(jnp.float32))
+    losses["loss_error"] = loss_modules["error"](dt_errs, gt_errs, annotated_in.astype(jnp.float32))
+
+    if compute_acc:
+        losses["acc_pose1"] = _pose_pck_accuracy(
+            jax.lax.stop_gradient(dt_heatmaps1), gt_in_heatmaps, heatmap1_weights
+        )
+        losses["acc_pose2"] = _pose_pck_accuracy(
+            jax.lax.stop_gradient(dt_heatmaps2), gt_out_heatmaps, heatmap2_weights
+        )
+        losses["acc_prob"] = _balanced_binary_accuracy(
+            jax.lax.stop_gradient(dt_probs), gt_probs, gt_annotated > 0.5
+        )
+        losses["acc_vis"] = _balanced_binary_accuracy(jax.lax.stop_gradient(dt_vis), gt_vis, annotated_in)
+        mask_f = annotated_in.astype(jnp.float32)
+        denom = jnp.maximum(mask_f.sum(), 1.0)
+        losses["mae_oks"] = (jnp.abs(jax.lax.stop_gradient(dt_oks) - gt_oks) * mask_f).sum() / denom
+        losses["mae_err"] = (jnp.abs(jax.lax.stop_gradient(dt_errs) - gt_errs) * mask_f).sum() / denom
+    return losses
+
+
+def double_probmap_head_predict(
+    outputs: Dict[str, jnp.ndarray],
+    outputs_flipped: Optional[Dict[str, jnp.ndarray]],
+    flip_indices,
+    decoder_cfg: Dict[str, Any],
+    input_size: Tuple[int, int] = (192, 256),
+    shift_heatmap: bool = False,
+    freeze_oks: bool = False,
+    bbox_mask: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Flip-TTA + paired-window decode + prediction merge, all on device.
+
+    Reference flow ``DP_head.py:predict:947`` -> ``_merge_predictions:1460``:
+    decode the in-tower on the tight window and the out-tower on the expanded
+    window, then per keypoint keep the in-window prediction iff the
+    out-window prediction landed inside the bbox mask. ``bbox_mask`` is
+    (B, 1, H_in, W_in) at input resolution; None means "inside the crop".
+    """
+    heatmaps1 = outputs["heatmaps"]
+    heatmaps2 = outputs["out_heatmaps"]
+    probs = outputs["probabilities"]
+    vis = outputs["visibilities"]
+    oks = outputs["oks"]
+    errs = outputs["errors"]
+
+    if outputs_flipped is not None:
+        hm1_f = flip_heatmaps(
+            outputs_flipped["heatmaps"], flip_indices=flip_indices, flip_mode="heatmap", shift_heatmap=shift_heatmap
+        )
+        hm2_f = flip_heatmaps(
+            outputs_flipped["out_heatmaps"], flip_indices=flip_indices, flip_mode="heatmap",
+            shift_heatmap=shift_heatmap,
+        )
+        heatmaps1 = (heatmaps1 + hm1_f) * 0.5
+        heatmaps2 = (heatmaps2 + hm2_f) * 0.5
+        idx = jnp.asarray(flip_indices)
+        probs = (probs + outputs_flipped["probabilities"][:, idx]) * 0.5
+        vis = (vis + outputs_flipped["visibilities"][:, idx]) * 0.5
+        oks = (oks + outputs_flipped["oks"][:, idx]) * 0.5
+        errs = (errs + outputs_flipped["errors"][:, idx]) * 0.5
+
+    B, K, H, W = heatmaps1.shape
+    in_pad = float(decoder_cfg.get("in_heatmap_padding", 1.0))
+    out_pad = float(decoder_cfg.get("out_heatmap_padding", 1.25))
+    input_wh = jnp.asarray(input_size, dtype=jnp.float32)
+    input_center = input_wh / 2.0
+    hm_wh = jnp.asarray([W - 1, H - 1], dtype=jnp.float32)
+
+    def window_to_input(locs, pad):
+        act_wh = input_wh * pad
+        act_tl = input_center - act_wh / 2.0
+        return locs / hm_wh * act_wh + act_tl
+
+    locs_in, scores_in = heatmap_expected_value_batch(heatmaps1)
+    locs_out, scores_out = heatmap_expected_value_batch(heatmaps2)
+    kpts_in = window_to_input(locs_in, in_pad)
+    kpts_out = window_to_input(locs_out, out_pad)
+
+    # hout_in: does the out-window prediction land inside the bbox mask?
+    xi = jnp.round(kpts_out[..., 0]).astype(jnp.int32)
+    yi = jnp.round(kpts_out[..., 1]).astype(jnp.int32)
+    inside = (xi >= 0) & (xi < input_size[0]) & (yi >= 0) & (yi < input_size[1])
+    if bbox_mask is None:
+        hout_in = inside
+    else:
+        mask = bbox_mask.reshape(B, bbox_mask.shape[-2], bbox_mask.shape[-1]).astype(jnp.float32)
+        xi_c = jnp.clip(xi, 0, mask.shape[-1] - 1)
+        yi_c = jnp.clip(yi, 0, mask.shape[-2] - 1)
+        gathered = jax.vmap(lambda m, yy, xx: m[yy, xx])(mask, yi_c, xi_c)
+        hout_in = inside & (gathered > 0.5)
+
+    keypoints = jnp.where(hout_in[..., None], kpts_in, kpts_out)
+    scores = jnp.where(hout_in, scores_in, scores_out)
+
+    errs = errs / jnp.sqrt(jnp.asarray(H**2 + W**2, dtype=jnp.float32))
+    keypoint_scores = oks if not freeze_oks else scores
+    return dict(
+        keypoints=keypoints,
+        keypoint_scores=keypoint_scores,
+        keypoints_conf=scores,
+        keypoints_probs=probs,
+        keypoints_visible=vis,
+        keypoints_oks=oks,
+        keypoints_error=errs,
+        heatmaps=heatmaps1,
+        out_heatmaps=heatmaps2,
+    )
+
+
 def simcc_head_loss(
     outputs,
     batch: Dict[str, jnp.ndarray],
