@@ -23,3 +23,61 @@ def test_config_loads_and_model_builds(path):
         assert cfg["distiller"]["type"] == "DWPoseDistiller"
     else:
         pytest.fail(f"config {path} has neither model nor distiller")
+
+
+def _unique_arch_configs():
+    """One config per (estimator, backbone, head) combo — forward smoke set.
+
+    Full per-config forwards would recompile ~70 XLA programs on this 1-CPU
+    box; architecture coverage dedupes to the distinct module graphs.
+    """
+    seen = {}
+    for p in ALL_CONFIGS:
+        try:
+            cfg = Config.fromfile(str(p))
+        except Exception:
+            continue
+        m = cfg.get("model")
+        if not m or m.get("type") == "PoseLifter":
+            continue
+        key = (
+            m.get("type"),
+            (m.get("backbone") or {}).get("type"),
+            (m.get("head") or {}).get("type"),
+        )
+        seen.setdefault(key, p)
+    return sorted(seen.values())
+
+
+@pytest.mark.parametrize("path", _unique_arch_configs(), ids=lambda p: p.stem)
+def test_config_forward_smoke(path):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
+    from probpose_code_tpu.models import PoseModel
+
+    cfg = Config.fromfile(str(path))
+    model_cfg = dict(cfg["model"])
+    # shrink the ViT variants so CPU compiles stay cheap; conv nets keep
+    # their shipped topology
+    bb = dict(model_cfg.get("backbone") or {})
+    if "VisionTransformer" in str(bb.get("type", "")):
+        bb["arch"] = {"embed_dims": 64, "num_layers": 2, "num_heads": 4, "feedforward_channels": 128}
+        model_cfg["backbone"] = bb
+        head = dict(model_cfg["head"])
+        head["in_channels"] = 64
+        head["deconv_out_channels"] = (32, 32)
+        model_cfg["head"] = head
+    meta_name = "coco"
+    m = PoseModel(model_cfg, metainfo=parse_pose_metainfo({"dataset_name": meta_name}))
+    if m.onestage:
+        w, h = 320, 320
+    else:
+        w, h = m.input_size
+    m.init(input_shape=(1, h, w, 3))
+    import jax
+
+    out = m.forward(m.variables, jnp.zeros((1, h, w, 3)))
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(leaf)).all()
