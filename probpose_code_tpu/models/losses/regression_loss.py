@@ -177,6 +177,48 @@ class MPJPELoss:
 
 
 @MODELS.register_module()
+class MPJPEVelocityJointLoss:
+    """MPJPE + scale-normalized MPJPE + 3D velocity loss (MotionBERT;
+    reference ``regression_loss.py:390-442``). Inputs are sequences
+    (..., T, K, D); velocity differentiates along the T axis."""
+
+    def __init__(
+        self,
+        use_target_weight: bool = False,
+        loss_weight: float = 1.0,
+        lambda_scale: float = 0.5,
+        lambda_3d_velocity: float = 20.0,
+    ):
+        self.use_target_weight = use_target_weight
+        self.loss_weight = loss_weight
+        self.lambda_scale = lambda_scale
+        self.lambda_3d_velocity = lambda_3d_velocity
+
+    def __call__(self, output, target, target_weight=None):
+        norm_output = jnp.mean(jnp.sum(output**2, axis=-1, keepdims=True), axis=-2, keepdims=True)
+        norm_target = jnp.mean(jnp.sum(target * output, axis=-1, keepdims=True), axis=-2, keepdims=True)
+        scaled = norm_target / jnp.clip(norm_output, 1e-8) * output
+
+        vel_out = output[..., 1:, :, :] - output[..., :-1, :, :]
+        vel_tgt = target[..., 1:, :, :] - target[..., :-1, :, :]
+
+        if self.use_target_weight:
+            assert target_weight is not None
+            w = target_weight
+            while w.ndim < output.ndim:
+                w = w[..., None]
+            mpjpe = jnp.mean(jnp.linalg.norm((output - target) * w, axis=-1))
+            nmpjpe = jnp.mean(jnp.linalg.norm((scaled - target) * w, axis=-1))
+            w_vel = w[..., 1:, :, :] if w.shape[-3] == output.shape[-3] else w
+            vel = jnp.mean(jnp.linalg.norm((vel_out - vel_tgt) * w_vel, axis=-1))
+        else:
+            mpjpe = jnp.mean(jnp.linalg.norm(output - target, axis=-1))
+            nmpjpe = jnp.mean(jnp.linalg.norm(scaled - target, axis=-1))
+            vel = jnp.mean(jnp.linalg.norm(vel_out - vel_tgt, axis=-1))
+        return (mpjpe + nmpjpe * self.lambda_scale + vel * self.lambda_3d_velocity) * self.loss_weight
+
+
+@MODELS.register_module()
 class SoftWeightSmoothL1Loss:
     """Smooth-L1 multiplied (not gated) by a soft weight (reference :183)."""
 
