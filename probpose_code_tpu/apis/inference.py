@@ -180,8 +180,73 @@ def inference_topdown(
 
 
 def inference_bottomup(model: PoseModel, img: Union[str, np.ndarray]) -> List[PoseDataSample]:
-    """Whole-image (bottom-up style) inference: single full-image crop."""
-    return inference_topdown(model, img, bboxes=None)
+    """Whole-image multi-person inference (reference ``inference.py:203``).
+
+    One-stage models (YOLOX-Pose / RTMO) run the bottomup test pipeline
+    (BottomupResize), the jitted grid-decode predict program, and the host
+    NMS tail; other models fall back to a single full-image crop.
+    """
+    if not getattr(model, "onestage", False):
+        return inference_topdown(model, img, bboxes=None)
+
+    import cv2
+    import jax.numpy as jnp
+
+    from probpose_code_tpu.models.heads.yoloxpose_head import postprocess_onestage
+
+    if isinstance(img, str):
+        image = cv2.imread(img)
+        img_path = img
+        assert image is not None, f"cannot read {img}"
+    else:
+        image = img
+        img_path = None
+    h, w = image.shape[:2]
+
+    metainfo = model.metainfo or parse_pose_metainfo({"dataset_name": "coco"})
+    # reuse the config's resize step but pack as a PoseDataSample (the config
+    # test pipeline packs flat one-stage training arrays instead)
+    resize_cfg = next(
+        (t for t in _default_val_pipeline(model) if t.get("type") == "BottomupResize"),
+        dict(type="BottomupResize", input_size=tuple(model.input_size)),
+    )
+    pipeline = Compose([resize_cfg, dict(type="PackPoseInputs")])
+
+    data_info = dict(
+        img=image.copy(), img_path=img_path, img_shape=(h, w), ori_shape=(h, w),
+        dataset_name=metainfo["dataset_name"], id=0, img_id=0,
+    )
+    out = pipeline(data_info)
+    sample = out["data_samples"]
+    inputs = jnp.asarray(np.asarray(out["inputs"], dtype=np.float32)[None])
+
+    predict = _cached_predict(model)
+    device_out = predict(model.variables, inputs)
+    score_thr = float(model.aux["test_cfg"].get("score_thr", 0.1))
+    nms_thr = float(model.aux["test_cfg"].get("nms_thr", 0.65))
+    results = postprocess_onestage(device_out, score_thr=score_thr, nms_thr=nms_thr)
+
+    inst_np = results[0]
+    center = np.asarray(sample.metainfo["input_center"], dtype=np.float32)
+    scale = np.asarray(sample.metainfo["input_scale"], dtype=np.float32)
+    in_wh = np.asarray(sample.metainfo["input_size"], dtype=np.float32)
+
+    def to_image(coords):
+        return coords / in_wh * scale + center - 0.5 * scale
+
+    from probpose_code_tpu.structures import InstanceData
+
+    inst = InstanceData()
+    kpts = to_image(np.asarray(inst_np["keypoints"], dtype=np.float32))
+    bboxes = np.asarray(inst_np["bboxes"], dtype=np.float32)
+    if bboxes.size:
+        bboxes = np.concatenate([to_image(bboxes[:, :2]), to_image(bboxes[:, 2:4])], axis=1)
+    inst.set_field(kpts, "keypoints")
+    inst.set_field(np.asarray(inst_np["keypoint_scores"], dtype=np.float32), "keypoint_scores")
+    inst.set_field(bboxes, "bboxes")
+    inst.set_field(np.asarray(inst_np["scores"], dtype=np.float32), "bbox_scores")
+    sample.pred_instances = inst
+    return [sample]
 
 
 def _cached_predict(model: PoseModel):

@@ -183,12 +183,16 @@ class BottomupResize:
         size_factor: int = 32,
         resize_mode: str = "fit",
         use_udp: bool = False,
+        pad_val: object = 0,
     ):
         self.input_size = input_size
         self.aux_scales = aux_scales
         self.size_factor = size_factor
         self.resize_mode = resize_mode
         self.use_udp = use_udp
+        if isinstance(pad_val, (int, float)):
+            pad_val = (pad_val, pad_val, pad_val)
+        self.pad_val = tuple(pad_val)
 
     @staticmethod
     def _ceil_to(value, factor):
@@ -206,7 +210,7 @@ class BottomupResize:
             new_h = self._ceil_to(img_h * ratio, self.size_factor)
             actual_w, actual_h = int(img_w * ratio), int(img_h * ratio)
             resized = cv2.resize(img, (actual_w, actual_h), interpolation=cv2.INTER_LINEAR)
-            padded = np.zeros((new_h, new_w, img.shape[2]), dtype=img.dtype)
+            padded = np.full((new_h, new_w, img.shape[2]), self.pad_val[: img.shape[2]], dtype=img.dtype)
             padded[:actual_h, :actual_w] = resized
             results["img"] = padded
             scale = np.array([img_w / actual_w * new_w, img_h / actual_h * new_h], dtype=np.float32)
