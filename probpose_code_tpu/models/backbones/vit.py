@@ -53,7 +53,12 @@ class DropPath(nn.Module):
 
 
 class Attention(nn.Module):
-    """Multi-head self-attention with fused qkv projection."""
+    """Multi-head self-attention with fused qkv projection.
+
+    On TPU the attention block runs as a VMEM-fused Pallas kernel
+    (``ops/pallas/attention.py``) so the (B, h, N, N) matrix never touches
+    HBM; elsewhere (and as the numeric reference) plain XLA einsums.
+    """
 
     embed_dims: int
     num_heads: int
@@ -62,16 +67,15 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from probpose_code_tpu.ops.pallas.attention import attention
+
         B, N, C = x.shape
         head_dim = C // self.num_heads
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
 
-        scale = head_dim**-0.5
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, C)
+        out = attention(q, k, v, head_dim**-0.5).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
