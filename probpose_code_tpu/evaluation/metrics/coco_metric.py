@@ -77,6 +77,7 @@ class CocoMetric(BaseMetric):
         ignore_border_points: List[bool] = [False],
         ignore_stats: List[str] = [],
         padding: float = 1.25,
+        diagnostics: bool = False,
     ):
         super().__init__(collect_device=collect_device, prefix=prefix)
         self.ann_file = ann_file
@@ -111,6 +112,7 @@ class CocoMetric(BaseMetric):
         self.ignore_stats = ignore_stats
         self.padding = padding
 
+        self.diagnostics = diagnostics
         self.prob_thr = -1.0
         self.has_probability = True
         self._compute_min_padding_in_coco()
@@ -267,6 +269,15 @@ class CocoMetric(BaseMetric):
             import traceback
 
             traceback.print_exc()
+
+        if self.diagnostics:
+            try:
+                eval_results.update(OrderedDict(self._do_vector_fields_eval(self.coco.anns, valid_kpts)))
+                eval_results.update(OrderedDict(self._do_oks_to_iou_eval(self.coco.anns, valid_kpts)))
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
 
         info = self._do_python_keypoint_eval(outfile_prefix)
         eval_results.update(OrderedDict(info))
@@ -449,6 +460,208 @@ class CocoMetric(BaseMetric):
             info_str.extend([("score_acc", float(score_acc)), ("score_thr", float(score_thr))])
             self.prob_thr = prob_thr if self.has_probability else score_thr
         return info_str
+
+    def _do_vector_fields_eval(self, gt_anns: Dict, dts: Dict[int, list]) -> list:
+        """Prediction-error vector-field diagnostics.
+
+        Counterpart of reference ``coco_metric.py:_do_python_vector_fields_eval:752``
+        (which computes the normalized error vectors and out-of-window masks
+        but discards them — plotting leftovers); here the summary statistics
+        are returned as metrics: mean/median normalized error-vector length,
+        the fraction of GT keypoints outside the padded activation window,
+        and the fraction of predictions outside the GT bbox.
+        """
+        from probpose_code_tpu.structures import fix_bbox_aspect_ratio
+
+        gt_dict = {}
+        for _, g in (gt_anns.items() if isinstance(gt_anns, dict) else enumerate(gt_anns)):
+            if np.allclose(np.array(g["keypoints"]), 0):
+                continue
+            gt_dict[(g["image_id"], g["id"])] = g
+        dt_dict = {}
+        for _, img_d in dts.items():
+            for d in img_d:
+                dt_dict[(d["img_id"], d["id"])] = d
+
+        vecs, out_abox, out_bbox = [], [], []
+        for key, g in gt_dict.items():
+            if key not in dt_dict:
+                continue
+            d = dt_dict[key]
+            gtk = np.array(g["keypoints"], dtype=np.float32).reshape(-1, 3)
+            dtk = np.array(d["keypoints"], dtype=np.float32).reshape(gtk.shape[0], -1)[:, :2]
+            mask = gtk[:, 2] > 0
+            if not mask.any():
+                continue
+            bbox = np.array(g["bbox"], dtype=np.float32).flatten()
+            abox = fix_bbox_aspect_ratio(bbox, aspect_ratio=3 / 4, padding=self.padding, bbox_format="xywh").flatten()
+            w, h = max(bbox[2], 1e-6), max(bbox[3], 1e-6)
+            v = (dtk - gtk[:, :2]) / np.array([w, h], np.float32)
+            oa = (
+                (gtk[:, 0] < abox[0]) | (gtk[:, 0] > abox[0] + abox[2])
+                | (gtk[:, 1] < abox[1]) | (gtk[:, 1] > abox[1] + abox[3])
+            )
+            ob = (
+                (dtk[:, 0] < bbox[0]) | (dtk[:, 0] > bbox[0] + bbox[2])
+                | (dtk[:, 1] < bbox[1]) | (dtk[:, 1] > bbox[1] + bbox[3])
+            )
+            vecs.append(v[mask])
+            out_abox.append(oa[mask])
+            out_bbox.append(ob[mask])
+        if not vecs:
+            return []
+        norms = np.linalg.norm(np.concatenate(vecs), axis=-1)
+        return [
+            ("vec_err_mean", float(norms.mean())),
+            ("vec_err_median", float(np.median(norms))),
+            ("gt_out_of_window_rate", float(np.concatenate(out_abox).mean())),
+            ("dt_out_of_bbox_rate", float(np.concatenate(out_bbox).mean())),
+        ]
+
+    def _do_heatmap_calibrations_eval(self, gt_kpts, dt_heatmaps, gt_aboxes):
+        """Probability-mass calibration of predicted heatmaps.
+
+        Counterpart of reference ``coco_metric.py:_do_heatmap_calibrations_eval:1009``
+        (gated there by the module flag ``EVAL_HEATMAPS=False`` and computing
+        without returning): for each annotated GT keypoint, rank heatmap
+        pixels by value, bin the cumulative probability mass into 5% bands
+        and record which band contains the GT pixel. A calibrated probmap
+        puts mass-fraction p of keypoints inside the top-p band.
+
+        Returns (x_labels, binned_ratios, avg_areas).
+        """
+        gt_kpts = np.array(gt_kpts, dtype=np.float32)
+        dt_heatmaps = np.asarray(dt_heatmaps, dtype=np.float32)
+        gt_aboxes = np.asarray(gt_aboxes, dtype=np.float32)
+        B, C, H, W = dt_heatmaps.shape
+
+        # GT keypoints -> heatmap space through the activation-window affine
+        scale = (gt_aboxes[:, None, 2:4] - 1) / (np.array([W, H], np.float32) - 1)
+        kpts_hm = (gt_kpts[..., :2] - gt_aboxes[:, None, :2]) / scale
+        vis = gt_kpts[..., 2].reshape(-1)
+
+        kpts_flat = kpts_hm.reshape(-1, 2).astype(int)
+        maps_flat = dt_heatmaps.reshape(B * C, H, W)
+        valid = (
+            (vis > 0) & (vis < 3)
+            & (kpts_flat[:, 0] >= 0) & (kpts_flat[:, 0] <= W - 1)
+            & (kpts_flat[:, 1] >= 0) & (kpts_flat[:, 1] <= H - 1)
+        )
+        kpts_flat = kpts_flat[valid]
+        maps_flat = maps_flat[valid]
+
+        bar_width = 0.05
+        thresholds = np.linspace(0, 1.0 + 1e-10, int(1 / bar_width) + 1, endpoint=True)
+        avg_areas = np.zeros(len(thresholds) - 1)
+        binned_ratios = np.zeros(len(thresholds) - 1)
+        for kpt, htm in zip(kpts_flat, maps_flat):
+            kpt_lin = int(kpt[1]) * W + int(kpt[0])
+            flat = htm.reshape(-1)
+            order = np.argsort(flat, kind="stable")[::-1]
+            cumsum = np.clip(np.cumsum(flat[order]), 0, 1)
+            lower = np.hstack(([0], cumsum[:-1]))[:, None]
+            upper = cumsum[:, None]
+            weights = np.clip(np.minimum(upper, thresholds[1:]) - np.maximum(lower, thresholds[:-1]), 0, None)
+            zero_rows = weights.sum(axis=1) < 1e-10
+            weights[zero_rows, -1] = 1
+            weights /= weights.sum(axis=1, keepdims=True)
+            avg_areas += weights.sum(axis=0)
+            binned_ratios += weights[order.argsort()[kpt_lin]]
+        n = max(len(kpts_flat), 1)
+        binned_ratios = (binned_ratios / n)[::-1]
+        avg_areas = (avg_areas / (n * H * W))[::-1]
+        x_labels = (thresholds[1:] + thresholds[:-1]) / 2
+        return x_labels, binned_ratios, avg_areas
+
+    def _do_oks_to_iou_eval(self, gt_anns: Dict, dts: Dict[int, list]) -> list:
+        """OKS quality vs instance crowding (reference ``:1085``, returns
+        instead of discarding): greedily match detections to GTs by bbox IoU
+        (>= 0.5, descending confidence); each matched detection contributes
+        (OKS with its GT, max IoU with the OTHER GTs). Reported as overall
+        mean OKS and mean OKS in isolated (iou < 0.1) vs crowded bins.
+        """
+        sigmas = np.asarray(self.dataset_meta["sigmas"], dtype=np.float64)
+        vars_ = (sigmas * 2) ** 2
+
+        gt_by_img: Dict = defaultdict(list)
+        for _, g in (gt_anns.items() if isinstance(gt_anns, dict) else enumerate(gt_anns)):
+            gt_by_img[g["image_id"]].append(g)
+
+        def bbox_iou(a, b):  # xywh arrays (N, 4) x (M, 4) -> (N, M)
+            ax1, ay1 = a[:, 0], a[:, 1]
+            ax2, ay2 = a[:, 0] + a[:, 2], a[:, 1] + a[:, 3]
+            bx1, by1 = b[:, 0], b[:, 1]
+            bx2, by2 = b[:, 0] + b[:, 2], b[:, 1] + b[:, 3]
+            ix = np.clip(np.minimum(ax2[:, None], bx2) - np.maximum(ax1[:, None], bx1), 0, None)
+            iy = np.clip(np.minimum(ay2[:, None], by2) - np.maximum(ay1[:, None], by1), 0, None)
+            inter = ix * iy
+            union = (a[:, 2] * a[:, 3])[:, None] + b[:, 2] * b[:, 3] - inter
+            return inter / np.clip(union, 1e-10, None)
+
+        oks_list, crowd_iou_list = [], []
+        for img_id, image_gt in gt_by_img.items():
+            image_dt = dts.get(img_id, [])
+            if not image_dt or not image_gt:
+                continue
+            dt_conf = np.array([d.get("score", 1.0) for d in image_dt])
+            order = np.argsort(dt_conf)[::-1]
+            image_dt = [image_dt[i] for i in order]
+            gt_bboxes = np.array([np.asarray(g["bbox"], dtype=np.float64).flatten()[:4] for g in image_gt])
+            have_dt_bboxes = all(d.get("bbox") is not None for d in image_dt)
+            if have_dt_bboxes:
+                # reference path: greedy bbox-IoU matching (>= 0.5) by
+                # descending confidence
+                dt_bboxes = np.array([np.asarray(d["bbox"], dtype=np.float64).flatten()[:4] for d in image_dt])
+                ious = bbox_iou(dt_bboxes, gt_bboxes)
+                value = ious.copy()
+                value[value < 0.5] = 0
+                matching = np.full(len(image_dt), -1, dtype=int)
+                crowding = ious.copy()
+                for dti in range(len(image_dt)):
+                    if value[dti].max() > 0:
+                        gti = int(np.argmax(value[dti]))
+                        matching[dti] = gti
+                        value[:, gti] = 0
+                        crowding[dti, gti] = -1  # own GT excluded from crowding
+                    else:
+                        crowding[dti, :] = -1
+            else:
+                # pure topdown dts carry no detector bbox: match by
+                # annotation id, crowding = its GT's max IoU with other GTs
+                gt_index = {g["id"]: i for i, g in enumerate(image_gt)}
+                matching = np.array([gt_index.get(d.get("id"), -1) for d in image_dt], dtype=int)
+                gt_ious = bbox_iou(gt_bboxes, gt_bboxes)
+                np.fill_diagonal(gt_ious, -1)
+                crowding = np.full((len(image_dt), len(image_gt)), -1.0)
+                for dti, gti in enumerate(matching):
+                    if gti >= 0:
+                        crowding[dti, :] = gt_ious[gti].max()
+
+            for dti, d in enumerate(image_dt):
+                gti = matching[dti]
+                if gti < 0:
+                    continue
+                g = image_gt[gti]
+                gk = np.asarray(g["keypoints"], dtype=np.float64).reshape(-1, 3)
+                dk = np.asarray(d["keypoints"], dtype=np.float64).reshape(gk.shape[0], -1)[:, :2]
+                m = gk[:, 2] > 0
+                if not m.any():
+                    continue
+                e = ((dk[:, 0] - gk[:, 0]) ** 2 + (dk[:, 1] - gk[:, 1]) ** 2) / max(g["area"], 1e-10) / 2.0 / vars_[: len(gk)]
+                oks_list.append(float(np.mean(np.exp(-e[m]))))
+                crowd_iou_list.append(float(crowding[dti].max()) if len(image_gt) > 1 else 0.0)
+
+        if not oks_list:
+            return []
+        oks = np.array(oks_list)
+        crowd = np.array(crowd_iou_list)
+        out = [("oks_mean", float(oks.mean()))]
+        isolated = crowd < 0.1
+        if isolated.any():
+            out.append(("oks_isolated", float(oks[isolated].mean())))
+        if (~isolated).any():
+            out.append(("oks_crowded", float(oks[~isolated].mean())))
+        return out
 
     def _do_classification_eval(self, gts, dts, force_balance: bool = False):
         mask = ~np.isnan(gts)

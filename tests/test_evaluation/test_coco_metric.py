@@ -76,6 +76,52 @@ def test_coco_metric_end_to_end(gt_file):
     assert "COCO/vis_acc" in results or "COCO/prob_acc" in results
 
 
+def test_coco_metric_diagnostics(gt_file):
+    """Opt-in diagnostics: vector-field stats and OKS-vs-crowding bins
+    (reference coco_metric.py:752/:1085, which compute without returning)."""
+    metric = CocoMetric(ann_file=gt_file, extended=[False], prefix="COCO", diagnostics=True)
+    metric.dataset_meta = parse_pose_metainfo({"dataset_name": "coco"})
+    metric.process(None, make_samples(gt_file, noise=4.0))
+    results = metric.evaluate()
+    assert "COCO/vec_err_mean" in results and results["COCO/vec_err_mean"] >= 0
+    assert "COCO/gt_out_of_window_rate" in results
+    assert "COCO/dt_out_of_bbox_rate" in results
+    assert "COCO/oks_mean" in results and 0 <= results["COCO/oks_mean"] <= 1
+    # small noise -> high OKS; error vectors scale with noise
+    m2 = CocoMetric(ann_file=gt_file, extended=[False], prefix="COCO", diagnostics=True)
+    m2.dataset_meta = parse_pose_metainfo({"dataset_name": "coco"})
+    m2.process(None, make_samples(gt_file, noise=30.0))
+    noisy = m2.evaluate()
+    assert noisy["COCO/vec_err_mean"] > results["COCO/vec_err_mean"]
+    assert noisy["COCO/oks_mean"] < results["COCO/oks_mean"]
+
+
+def test_heatmap_calibration_eval(gt_file):
+    """Calibration curve: a perfectly calibrated probmap (mass exactly at the
+    GT pixel) concentrates the binned ratio in the top band."""
+    metric = CocoMetric(ann_file=gt_file, extended=[False], prefix="COCO")
+    metric.dataset_meta = parse_pose_metainfo({"dataset_name": "coco"})
+    rng = np.random.RandomState(0)
+    B, C, H, W = 6, 17, 64, 48
+    yy, xx = np.mgrid[:H, :W]
+    aboxes = np.tile(np.array([0.0, 0.0, 192.0, 256.0], np.float32), (B, 1))
+    gt_kpts = np.zeros((B, C, 3), np.float32)
+    heatmaps = np.zeros((B, C, H, W), np.float32)
+    for b in range(B):
+        for c in range(C):
+            x_hm, y_hm = rng.randint(4, W - 4), rng.randint(4, H - 4)
+            g = np.exp(-((yy - y_hm) ** 2 + (xx - x_hm) ** 2) / 8.0)
+            heatmaps[b, c] = g / g.sum()  # normalized probability mass
+            gt_kpts[b, c] = [x_hm * (192 - 1) / (W - 1), y_hm * (256 - 1) / (H - 1), 2]
+    x_labels, ratios, areas = metric._do_heatmap_calibrations_eval(gt_kpts, heatmaps, aboxes)
+    assert len(x_labels) == len(ratios) == len(areas) == 20
+    assert ratios.sum() == pytest.approx(1.0, abs=1e-5)
+    # GT sits at the peak -> the top-mass bands (last entries after the
+    # reference's reversal) hold far more than the uniform 5% share
+    assert ratios[-4:].sum() > 0.5
+    assert ratios[0] < 0.05
+
+
 def test_coco_metric_degraded_predictions(gt_file):
     metric = CocoMetric(ann_file=gt_file, extended=[False], prefix="COCO")
     metric.dataset_meta = parse_pose_metainfo({"dataset_name": "coco"})
