@@ -249,6 +249,25 @@ def inference_bottomup(model: PoseModel, img: Union[str, np.ndarray]) -> List[Po
     return [sample]
 
 
+def collect_multi_frames(video, frame_id: int, indices, online: bool = False) -> List[np.ndarray]:
+    """Collect the current + supporting frames from a video.
+
+    Counterpart of reference ``apis/inference.py:collect_multi_frames:233``.
+    ``video`` is any indexable frame source with ``len()`` (e.g. a
+    cv2-backed reader or a list of frames); the current frame comes first.
+    ``online=True`` forbids future frames.
+    """
+    num_frames = len(video)
+    frames = [video[frame_id]]
+    for idx in indices:
+        if idx == 0:
+            continue
+        support_idx = frame_id + idx
+        support_idx = int(np.clip(support_idx, 0, frame_id if online else num_frames - 1))
+        frames.append(video[support_idx])
+    return frames
+
+
 def _cached_predict(model: PoseModel):
     if not hasattr(model, "_predict_cache"):
         model._predict_cache = model.make_predict(jit=True)

@@ -1,5 +1,6 @@
 from .mocap import BaseMocapDataset, Human36mDataset  # noqa: F401
 from .hand3d import InterHand3DDataset  # noqa: F401
+from .video import PoseTrack18VideoDataset  # noqa: F401
 from .base_dataset import (
     BaseCocoStyleDataset,
     CocoCropDataset,

@@ -33,9 +33,23 @@ class LoadImage:
         try:
             if "img" not in results:
                 flag = cv2.IMREAD_COLOR if self.color_type == "color" else cv2.IMREAD_GRAYSCALE
-                img = cv2.imread(results["img_path"], flag)
+                path = results["img_path"]
+                if isinstance(path, (list, tuple)):
+                    # multi-frame sample (PoseTrack18VideoDataset): center
+                    # frame first, supporting frames after
+                    imgs = []
+                    for p in path:
+                        im = cv2.imread(p, flag)
+                        if im is None:
+                            raise FileNotFoundError(p)
+                        imgs.append(im.astype(np.float32) if self.to_float32 else im)
+                    results["img"] = imgs
+                    results["img_shape"] = imgs[0].shape[:2]
+                    results["ori_shape"] = imgs[0].shape[:2]
+                    return results
+                img = cv2.imread(path, flag)
                 if img is None:
-                    raise FileNotFoundError(results["img_path"])
+                    raise FileNotFoundError(path)
                 if self.to_float32:
                     img = img.astype(np.float32)
                 results["img"] = img

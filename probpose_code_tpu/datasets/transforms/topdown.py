@@ -41,7 +41,8 @@ class TopdownAffine:
     def __call__(self, results: Dict) -> Optional[dict]:
         w, h = self.input_size
         warp_size = (int(w), int(h))
-        img_h, img_w = results["img"].shape[:2]
+        first_img = results["img"][0] if isinstance(results["img"], list) else results["img"]
+        img_h, img_w = first_img.shape[:2]
 
         bbox_xyxy = np.asarray(results["bbox_xyxy_wrt_input"], dtype=np.float64).flatten().copy()
         bbox_xyxy[:2] = np.maximum(bbox_xyxy[:2], 0)
