@@ -30,9 +30,20 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from probpose_code_tpu.config import Config
     from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
@@ -102,6 +113,8 @@ def main_train():
     import jax
     import jax.numpy as jnp
 
+    _enable_compile_cache()
+
     from probpose_code_tpu.config import Config
     from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
     from probpose_code_tpu.engine.optim import build_optimizer
@@ -154,8 +167,7 @@ def main_train():
 
     # host input pipeline: LoadImage-equivalent array -> UDP affine warp ->
     # ProbMap encode, single process (the runner's per-worker rate)
-    from probpose_code_tpu.codecs import ProbMap
-    from probpose_code_tpu.datasets.transforms import Compose
+    from probpose_code_tpu.datasets import Compose
 
     pipeline = Compose([
         dict(type="GetBBoxCenterScale"),

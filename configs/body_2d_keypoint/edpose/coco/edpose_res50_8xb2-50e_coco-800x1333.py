@@ -1,6 +1,8 @@
 # ED-Pose: end-to-end DETR-style multi-person pose (ResNet-50).
-# TPU-native counterpart of the reference config of the same name; dense
-# attention replaces deformable sampling (see heads/edpose_head.py).
+# TPU-native counterpart of the reference config of the same name:
+# multi-scale deformable attention (XLA gathers, models/utils/deform_attn.py),
+# iterative box/keypoint reference refinement, and denoising query groups
+# (heads/edpose_head.py:make_dn_queries) during training.
 _base_ = ["../../../_base_/default_runtime.py"]
 
 train_cfg = dict(max_epochs=50, val_interval=10)

@@ -5,17 +5,21 @@ Behavioral parity target: reference
 DETR head where encoder tokens propose human queries, a decoder refines
 human boxes/scores, and each human query spawns per-keypoint queries that
 regress keypoint positions (the "human-to-keypoint" group decoding,
-:40-119). Training matches predictions to GT one-to-one (Hungarian).
+:40-119), trained with Hungarian one-to-one matching plus denoising (DN)
+query groups.
 
-TPU-native redesign (documented deviations):
-* dense multi-head attention instead of deformable attention — deformable
-  sampling is a gather-heavy pattern that maps poorly onto the MXU, while
-  dense attention over the (static-size) token set is pure matmuls;
+TPU-native design:
+* cross-attention is multi-scale deformable attention
+  (``models/utils/deform_attn.py``): the reference's CUDA sampling kernel
+  becomes four batched XLA gathers per level with static shapes;
+* iterative reference refinement: human boxes and keypoint positions are
+  re-estimated after every decoder layer via inverse-sigmoid updates;
+* denoising queries: noised GT boxes enter as an extra query group with a
+  self-attention mask that hides them from the matching queries; their
+  outputs are supervised directly (known correspondence, no matching);
 * the Hungarian assignment runs through ``jax.pure_callback`` on a
   static-shape cost matrix (GT padded to ``max_gt``), keeping the whole
-  loss jittable;
-* query denoising (num_dn) is omitted in this revision — it is a training
-  throughput aid, not an inference-path feature.
+  loss jittable.
 """
 
 from __future__ import annotations
@@ -29,31 +33,38 @@ import numpy as np
 
 from probpose_code_tpu.registry import MODELS
 from probpose_code_tpu.models.backbones.transformers import Mlp
-from probpose_code_tpu.models.utils.transformer import sine_pos_encoding_2d
+from probpose_code_tpu.models.utils.deform_attn import MSDeformAttention
 
 
-class _DecoderLayer(nn.Module):
+def _inv_sigmoid(x, eps=1e-5):
+    x = jnp.clip(x, eps, 1 - eps)
+    return jnp.log(x / (1 - x))
+
+
+class _DeformDecoderLayer(nn.Module):
     dim: int
     num_heads: int = 8
     ffn_dim: int = 1024
+    num_points: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, q, memory, q_pos=None, m_pos=None):
+    def __call__(self, q, ref_points, values, q_pos=None, self_attn_mask=None):
         qq = q if q_pos is None else q + q_pos
-        sa = nn.MultiHeadDotProductAttention(self.num_heads, qkv_features=self.dim, dtype=self.dtype,
-                                             name="self_attn")(qq, qq, q)
+        sa = nn.MultiHeadDotProductAttention(
+            self.num_heads, qkv_features=self.dim, dtype=self.dtype, name="self_attn"
+        )(qq, qq, q, mask=self_attn_mask)
         q = nn.LayerNorm(name="norm1")(q + sa)
-        mm = memory if m_pos is None else memory + m_pos
-        ca = nn.MultiHeadDotProductAttention(self.num_heads, qkv_features=self.dim, dtype=self.dtype,
-                                             name="cross_attn")(q if q_pos is None else q + q_pos, mm, memory)
+        ca = MSDeformAttention(self.dim, self.num_heads, self.num_points, dtype=self.dtype, name="cross_attn")(
+            q if q_pos is None else q + q_pos, ref_points, values
+        )
         q = nn.LayerNorm(name="norm2")(q + ca)
         return nn.LayerNorm(name="norm3")(q + Mlp(self.ffn_dim, self.dim, dtype=self.dtype, name="ffn")(q))
 
 
 @MODELS.register_module()
 class EDPoseHead(nn.Module):
-    """Two-stage human + keypoint group decoder."""
+    """Two-stage human + keypoint group decoder with deformable attention."""
 
     in_channels: int
     num_keypoints: int = 17
@@ -63,61 +74,123 @@ class EDPoseHead(nn.Module):
     num_keypoint_layers: int = 2
     num_heads: int = 8
     ffn_dim: int = 1024
+    num_points: int = 4
     decoder: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, train: bool = False) -> Dict[str, jnp.ndarray]:
-        x = feats[-1] if isinstance(feats, (tuple, list)) else feats  # (B, H, W, C)
-        B, H, W, _ = x.shape
-        memory = nn.Dense(self.embed_dims, dtype=self.dtype, name="input_proj")(x).reshape(B, H * W, -1)
-        m_pos = jnp.asarray(sine_pos_encoding_2d(H, W, self.embed_dims // 2))[None]
-        memory = nn.LayerNorm(name="memory_norm")(memory)
+    def __call__(
+        self,
+        feats,
+        train: bool = False,
+        dn_boxes: Optional[jnp.ndarray] = None,
+        dn_valid: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        levels = list(feats) if isinstance(feats, (tuple, list)) else [feats]
+        B = levels[0].shape[0]
+
+        proj = nn.Dense(self.embed_dims, dtype=self.dtype, name="input_proj")
+        values = [proj(v) for v in levels]  # (B, H_l, W_l, C) each
+        flat = jnp.concatenate([v.reshape(B, -1, self.embed_dims) for v in values], axis=1)
+        memory = nn.LayerNorm(name="memory_norm")(flat)
 
         # two-stage proposals: score every token, take top-k as human queries
-        enc_logits = nn.Dense(1, dtype=self.dtype, name="enc_cls")(memory)[..., 0]  # (B, HW)
-        enc_boxes = jax.nn.sigmoid(nn.Dense(4, dtype=self.dtype, name="enc_box")(memory))  # cxcywh in [0,1]
-        k = min(self.num_queries, H * W)
+        enc_logits = nn.Dense(1, dtype=self.dtype, name="enc_cls")(memory)[..., 0]  # (B, sumHW)
+        enc_boxes = jax.nn.sigmoid(nn.Dense(4, dtype=self.dtype, name="enc_box")(memory))  # cxcywh [0,1]
+        k = min(self.num_queries, memory.shape[1])
         _, topk = jax.lax.top_k(enc_logits, k)
         gather = lambda a: jax.vmap(lambda t, i: t[i])(a, topk)
         q = jax.lax.stop_gradient(gather(memory))
         ref_boxes = gather(enc_boxes)
         q = q + self.param("human_query_embed", nn.initializers.normal(0.02), (1, 1, self.embed_dims))
 
-        # human decoder
+        # denoising group: noised GT boxes as extra queries, hidden from the
+        # matching queries by the self-attention mask
+        D = 0
+        if dn_boxes is not None:
+            D = dn_boxes.shape[1]
+            dn_embed = self.param("dn_label_embed", nn.initializers.normal(0.02), (1, 1, self.embed_dims))
+            dn_pos = nn.Dense(self.embed_dims, dtype=self.dtype, name="dn_box_proj")(dn_boxes)
+            dn_q = jnp.broadcast_to(dn_embed, (B, D, self.embed_dims)) + dn_pos
+            q = jnp.concatenate([dn_q, q], axis=1)
+            ref_boxes = jnp.concatenate([dn_boxes, ref_boxes], axis=1)
+            n = D + k
+            # mask[i, j]: may query i attend to key j (True = attend)
+            mask = np.ones((n, n), bool)
+            mask[D:, :D] = False  # matching queries never see DN queries
+            self_attn_mask = jnp.asarray(mask)[None, None]
+        else:
+            self_attn_mask = None
+
+        # human decoder with iterative box refinement
+        box_refine = nn.Dense(4, dtype=self.dtype, name="box_refine")
         for i in range(self.num_human_layers):
-            q = _DecoderLayer(self.embed_dims, self.num_heads, self.ffn_dim, dtype=self.dtype,
-                              name=f"human_layer{i}")(q, memory, m_pos=m_pos)
-            ref_boxes = jax.nn.sigmoid(
-                nn.Dense(4, dtype=self.dtype, name=f"box_refine{i}")(q)
-                + jnp.log(ref_boxes / jnp.clip(1 - ref_boxes, 1e-6, None))
-            )
-        scores = nn.Dense(1, dtype=self.dtype, name="human_cls")(q)[..., 0]  # logits (B, Q)
+            q = _DeformDecoderLayer(
+                self.embed_dims, self.num_heads, self.ffn_dim, self.num_points, dtype=self.dtype,
+                name=f"human_layer{i}",
+            )(q, jax.lax.stop_gradient(ref_boxes), values, self_attn_mask=self_attn_mask)
+            ref_boxes = jax.nn.sigmoid(box_refine(q) + _inv_sigmoid(ref_boxes))
+        scores = nn.Dense(1, dtype=self.dtype, name="human_cls")(q)[..., 0]  # logits (B, D+Q)
 
         # keypoint group decoder: each human query spawns K keypoint queries
-        kq_embed = self.param("kpt_query_embed", nn.initializers.normal(0.02),
-                              (1, 1, self.num_keypoints, self.embed_dims))
-        kq = q[:, :, None, :] + kq_embed  # (B, Q, K, C)
-        kq = kq.reshape(B, k * self.num_keypoints, self.embed_dims)
+        # with per-layer reference refinement
+        K = self.num_keypoints
+        nq = q.shape[1]
+        kq_embed = self.param("kpt_query_embed", nn.initializers.normal(0.02), (1, 1, K, self.embed_dims))
+        kq = (q[:, :, None, :] + kq_embed).reshape(B, nq * K, self.embed_dims)
+        ref_kpts = jnp.broadcast_to(ref_boxes[:, :, None, :2], (B, nq, K, 2)).reshape(B, nq * K, 2)
+        kpt_refine = nn.Dense(2, dtype=self.dtype, name="kpt_refine")
+        kpt_mask = None
+        if D > 0:
+            mk = np.ones((nq * K, nq * K), bool)
+            mk[D * K:, : D * K] = False
+            kpt_mask = jnp.asarray(mk)[None, None]
         for i in range(self.num_keypoint_layers):
-            kq = _DecoderLayer(self.embed_dims, self.num_heads, self.ffn_dim, dtype=self.dtype,
-                               name=f"kpt_layer{i}")(kq, memory, m_pos=m_pos)
-        kq = kq.reshape(B, k, self.num_keypoints, self.embed_dims)
-        kpt_offsets = nn.Dense(2, dtype=self.dtype, name="kpt_reg")(kq)  # relative to box center
-        kpt_vis = nn.Dense(1, dtype=self.dtype, name="kpt_vis")(kq)[..., 0]
+            kq = _DeformDecoderLayer(
+                self.embed_dims, self.num_heads, self.ffn_dim, self.num_points, dtype=self.dtype,
+                name=f"kpt_layer{i}",
+            )(kq, jax.lax.stop_gradient(ref_kpts), values, self_attn_mask=kpt_mask)
+            ref_kpts = jax.nn.sigmoid(kpt_refine(kq) + _inv_sigmoid(ref_kpts))
+        kpts = ref_kpts.reshape(B, nq, K, 2)
+        kpt_vis = nn.Dense(1, dtype=self.dtype, name="kpt_vis")(kq)[..., 0].reshape(B, nq, K)
 
-        cx, cy, w, h = [ref_boxes[..., i] for i in range(4)]
-        kpts = jnp.stack([
-            cx[..., None] + jnp.tanh(kpt_offsets[..., 0]) * w[..., None],
-            cy[..., None] + jnp.tanh(kpt_offsets[..., 1]) * h[..., None],
-        ], axis=-1)  # normalized [0,1] image coords
-
-        return dict(
-            scores=scores.astype(jnp.float32),
-            boxes=ref_boxes.astype(jnp.float32),  # cxcywh normalized
-            keypoints=kpts.astype(jnp.float32),  # (B, Q, K, 2) normalized
-            keypoint_scores=jax.nn.sigmoid(kpt_vis).astype(jnp.float32),
+        out = dict(
+            scores=scores[:, D:].astype(jnp.float32),
+            boxes=ref_boxes[:, D:].astype(jnp.float32),  # cxcywh normalized
+            keypoints=kpts[:, D:].astype(jnp.float32),  # (B, Q, K, 2) normalized
+            keypoint_scores=jax.nn.sigmoid(kpt_vis[:, D:]).astype(jnp.float32),
         )
+        if D > 0:
+            out.update(
+                dn_scores=scores[:, :D].astype(jnp.float32),
+                dn_boxes=ref_boxes[:, :D].astype(jnp.float32),
+                dn_keypoints=kpts[:, :D].astype(jnp.float32),
+            )
+        return out
+
+
+def make_dn_queries(
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    input_size: Tuple[int, int],
+    rng: jax.Array,
+    box_noise_scale: float = 0.4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Noised normalized cxcywh boxes for one DN group (reference EDPose's
+    label/box denoising with box_noise_scale, ``edpose_head.py`` DN setup).
+    GT slots with ``gt_valid == 0`` get inert center boxes.
+    """
+    W, H = input_size
+    scale = jnp.asarray([W, H], jnp.float32)
+    c = (gt_boxes[..., :2] + gt_boxes[..., 2:]) / 2 / scale
+    wh = jnp.clip((gt_boxes[..., 2:] - gt_boxes[..., :2]) / scale, 1e-4, None)
+    r1, r2 = jax.random.split(rng)
+    c_noise = (jax.random.uniform(r1, c.shape) * 2 - 1) * wh * 0.5 * box_noise_scale
+    wh_noise = 1.0 + (jax.random.uniform(r2, wh.shape) * 2 - 1) * box_noise_scale
+    dn = jnp.concatenate([c + c_noise, wh * wh_noise], axis=-1)
+    dn = jnp.clip(dn, 1e-4, 1.0)
+    inert = jnp.broadcast_to(jnp.asarray([0.5, 0.5, 0.1, 0.1]), dn.shape)
+    return jnp.where(gt_valid[..., None] > 0, dn, inert), gt_valid
 
 
 def _hungarian(cost: np.ndarray) -> np.ndarray:
@@ -139,10 +212,14 @@ def edpose_loss(
     cls_weight: float = 2.0,
     box_weight: float = 5.0,
     kpt_weight: float = 10.0,
+    dn_weight: float = 1.0,
 ) -> Dict[str, jnp.ndarray]:
-    """One-to-one matched loss. GT padded to (B, G); Hungarian via
-    pure_callback on the static (Q, G) cost (reference matches with the
-    mmdet HungarianAssigner)."""
+    """One-to-one matched loss (+ DN terms when the head ran with DN).
+
+    GT padded to (B, G); Hungarian via pure_callback on the static (Q, G)
+    cost (reference matches with the mmdet HungarianAssigner). DN outputs
+    have known correspondence (query d <-> GT d) and skip matching.
+    """
     W, Hh = input_size
     scale = jnp.asarray([W, Hh], jnp.float32)
     gt_boxes = batch["gt_bboxes"]  # (B, G, 4) xyxy pixels
@@ -186,6 +263,23 @@ def edpose_loss(
     losses["loss_bbox"] = (jnp.abs(pb - tb).sum(-1) * matched_valid).sum() / num_pos * box_weight
     kd = jnp.abs(pk - tk).sum(-1) * tv
     losses["loss_keypoints"] = (kd.mean(-1) * matched_valid).sum() / num_pos * kpt_weight
+
+    if "dn_boxes" in outputs:
+        # DN queries correspond 1:1 with (padded) GT slots
+        dnb = outputs["dn_boxes"]
+        dnk = outputs["dn_keypoints"]
+        dns = outputs["dn_scores"]
+        dn_valid = gt_valid[:, : dnb.shape[1]]
+        num_dn = jnp.clip(dn_valid.sum(), 1.0, None)
+        losses["loss_dn_cls"] = (
+            (jnp.clip(dns, 0, None) - dns * dn_valid + jnp.log1p(jnp.exp(-jnp.abs(dns)))).sum()
+            / num_dn * cls_weight * dn_weight
+        )
+        losses["loss_dn_bbox"] = (
+            (jnp.abs(dnb - gt_cxcywh[:, : dnb.shape[1]]).sum(-1) * dn_valid).sum() / num_dn * box_weight * dn_weight
+        )
+        dkd = jnp.abs(dnk - gt_kpts[:, : dnk.shape[1]]).sum(-1) * gt_vis[:, : dnk.shape[1]]
+        losses["loss_dn_keypoints"] = (dkd.mean(-1) * dn_valid).sum() / num_dn * kpt_weight * dn_weight
     return losses
 
 

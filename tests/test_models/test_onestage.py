@@ -323,5 +323,59 @@ def test_edpose_forward_loss_predict():
     assert np.isfinite(float(total))
     gn = sum(float(jnp.abs(t).sum()) for t in jax.tree_util.tree_leaves(grads))
     assert gn > 0
+    # deformable attention params exist (sampling offsets + weights)
+    flat_names = jax.tree_util.tree_flatten_with_path(vs["params"])[0]
+    assert any("sampling_offsets" in str(p) for p, _ in flat_names)
     pred = edpose_device_predict(out, (128, 128))
     assert pred["bboxes"].shape[-1] == 4
+
+
+def test_edpose_denoising_queries():
+    import jax.random as jr
+
+    from probpose_code_tpu.models.heads.edpose_head import edpose_loss, make_dn_queries
+
+    bb = M.ResNet(depth=18, out_indices=(3,))
+    head = M.EDPoseHead(in_channels=512, num_keypoints=17, embed_dims=64, num_queries=20,
+                        num_human_layers=1, num_keypoint_layers=1, num_heads=4, ffn_dim=128)
+    est = M.BottomupPoseEstimator(backbone=bb, head=head)
+    x = jnp.zeros((2, 128, 128, 3))
+
+    rng = np.random.RandomState(0)
+    G, K = 3, 17
+    batch = dict(
+        gt_bboxes=jnp.asarray(np.array([[[10, 10, 90, 110], [40, 30, 120, 120], [0, 0, 0, 0]],
+                                        [[20, 15, 100, 100], [0, 0, 0, 0], [0, 0, 0, 0]]], np.float32)),
+        gt_keypoints=jnp.asarray(rng.rand(2, G, K, 2).astype(np.float32) * 100 + 10),
+        gt_keypoints_visible=jnp.asarray((rng.rand(2, G, K) > 0.3).astype(np.float32)),
+        gt_valid=jnp.asarray(np.array([[1, 1, 0], [1, 0, 0]], bool)),
+    )
+    dn_boxes, dn_valid = make_dn_queries(
+        batch["gt_bboxes"], batch["gt_valid"].astype(jnp.float32), (128, 128), jr.PRNGKey(3)
+    )
+
+    def fwd(module, x, dn):
+        feats = module.extract_feat(x, train=False)  # frozen BN stats
+        return module.head(feats, train=True, dn_boxes=dn)
+
+    vs = est.init(jr.PRNGKey(0), x, train=False)
+    # DN params are created lazily — init through the DN path
+    vs = est.init(jr.PRNGKey(0), x, dn_boxes, method=fwd)
+    out = est.apply(vs, x, dn_boxes, method=fwd)
+    assert out["dn_boxes"].shape == (2, G, 4)
+    assert out["dn_keypoints"].shape == (2, G, K, 2)
+    assert out["boxes"].shape[1] == 16  # matching part unchanged (min(Q, tokens))
+
+    losses = edpose_loss(out, batch, input_size=(128, 128))
+    for key in ("loss_dn_cls", "loss_dn_bbox", "loss_dn_keypoints"):
+        assert key in losses and np.isfinite(float(losses[key])), key
+
+    # grads flow through the DN branch into the backbone + dn embeds
+    def loss_fn(params):
+        o = est.apply({**vs, "params": params}, x, dn_boxes, method=fwd)
+        l = edpose_loss(o, batch, input_size=(128, 128))
+        return l["loss_dn_bbox"] + l["loss_dn_keypoints"]
+
+    grads = jax.grad(loss_fn)(vs["params"])
+    gn = sum(float(jnp.abs(t).sum()) for t in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gn) and gn > 0
