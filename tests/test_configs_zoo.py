@@ -74,7 +74,9 @@ def test_config_forward_smoke(path):
     if m.onestage:
         w, h = 320, 320
     else:
-        w, h = m.input_size
+        # cap the smoke input: compiling e.g. EDPose at its shipped 800x800
+        # costs minutes on this 1-CPU box and adds no graph coverage
+        w, h = min(m.input_size[0], 320), min(m.input_size[1], 320)
     m.init(input_shape=(1, h, w, 3))
     import jax
 
