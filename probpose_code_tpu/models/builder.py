@@ -332,6 +332,10 @@ class PoseModel:
                 outputs, batch, self.loss_modules["keypoint"],
                 list(self.aux["head_cfg"].get("level_indices", [])),
             )
+        elif self.head_type == "InternetHead":
+            from .pose_estimators.topdown import internet_head_loss
+
+            losses = internet_head_loss(outputs, batch)
         else:
             losses = heatmap_head_loss(outputs, batch, self.loss_modules["keypoint"])
         total = sum(v for k, v in losses.items() if k.startswith("loss_"))

@@ -591,6 +591,34 @@ def regression_head_predict(outputs, outputs_flipped, flip_indices, input_size, 
     return dict(keypoints=keypoints, keypoint_scores=scores)
 
 
+def internet_head_loss(
+    outputs: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+) -> Dict[str, jnp.ndarray]:
+    """InternetHead loss (reference ``heatmap_heads/internet_head.py:loss``):
+    MSE on the 3D heatmap volumes (weights broadcast over depth), L1 on the
+    soft-argmax root depth, BCE on the handedness logits."""
+    dt_hm = outputs["heatmaps"]  # (B, K, D, H, W)
+    B, K, D, H, W = dt_hm.shape
+    gt_hm = batch["heatmaps"].reshape(B, K, D, H, W)
+    w = batch["keypoint_weights"].reshape(B, K)[:, :, None, None, None]
+    losses = {
+        "loss_kpt": (((dt_hm - gt_hm) ** 2) * w).mean(),
+    }
+    if "root_depth" in batch:
+        rw = batch.get("root_depth_weight", jnp.ones((B, 1))).reshape(B, -1)
+        losses["loss_rel_root"] = (
+            jnp.abs(outputs["root_depth"] - batch["root_depth"].reshape(B, -1)) * rw
+        ).mean()
+    if "type" in batch:
+        logits = outputs["hand_type"]
+        target = batch["type"].reshape(B, -1)
+        tw = batch.get("type_weight", jnp.ones((B, 1))).reshape(B, -1)
+        bce = jnp.clip(logits, 0, None) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        losses["loss_hand_type"] = (bce * tw).mean()
+    return losses
+
+
 def heatmap_head_loss(
     heatmaps: jnp.ndarray,
     batch: Dict[str, jnp.ndarray],

@@ -62,3 +62,47 @@ def test_internet_head_and_posewarper():
     sup = [jnp.ones((2, 16, 16, 32))]
     nv = n.init(jr.PRNGKey(0), key, sup, train=False)
     assert n.apply(nv, key, sup).shape == (2, 16, 16, 32)
+
+
+def test_internet_head_loss_trains():
+    """InternetHead loss: 3D heatmap MSE + root L1 + handedness BCE all
+    gradient-connected through PoseModel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
+    from probpose_code_tpu.models import PoseModel
+
+    cfg = dict(
+        type="TopdownPoseEstimator",
+        data_preprocessor=dict(mean=[0, 0, 0], std=[255, 255, 255]),
+        backbone=dict(type="ResNet", depth=18, out_indices=(3,)),
+        head=dict(
+            type="InternetHead", in_channels=512, num_keypoints=42, depth_size=8,
+            deconv_out_channels=(64, 64),
+            decoder=dict(type="Hand3DHeatmap", image_size=(128, 128), heatmap_size=(16, 16, 8),
+                         depth_size=8, sigma=2.5, max_bound=255),
+        ),
+        test_cfg=dict(flip_test=False, input_size=(128, 128)),
+    )
+    m = PoseModel(cfg, metainfo=parse_pose_metainfo({"dataset_name": "interhand3d"}))
+    m.init(input_shape=(1, 128, 128, 3))
+    rng = np.random.RandomState(0)
+    B, K, D, Hh, Ww = 2, 42, 8, 16, 16
+    batch = dict(
+        inputs=jnp.asarray(rng.rand(B, 128, 128, 3).astype(np.float32) * 255),
+        heatmaps=jnp.asarray(rng.rand(B, K * D, Hh, Ww).astype(np.float32)),
+        keypoint_weights=jnp.ones((B, K), jnp.float32),
+        root_depth=jnp.asarray(rng.rand(B, 1).astype(np.float32) * 64),
+        root_depth_weight=jnp.ones((B, 1), jnp.float32),
+        type=jnp.asarray(np.array([[1, 0], [1, 1]], np.float32)),
+        type_weight=jnp.ones((B, 1), jnp.float32),
+    )
+    total, (losses, _) = m.loss_fn(m.variables, batch, rngs={"dropout": jax.random.PRNGKey(0)})
+    for key in ("loss_kpt", "loss_rel_root", "loss_hand_type"):
+        assert key in losses and np.isfinite(float(losses[key])), key
+    grads = jax.grad(lambda p: m.loss_fn({**m.variables, "params": p}, batch,
+                                         rngs={"dropout": jax.random.PRNGKey(0)})[0])(m.variables["params"])
+    gn = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gn) and gn > 0
