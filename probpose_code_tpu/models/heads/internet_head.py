@@ -112,16 +112,36 @@ class PoseWarperNeck(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, key_feat, support_feats, train: bool = False):
-        key = nn.Conv(self.out_channels, (1, 1), name="key_proj")(key_feat)
+    def __call__(self, key_feat, support_feats, frame_weights=None, train: bool = False):
+        """Align each support frame's features to the key frame.
+
+        ``frame_weights``: optional (1 + len(support_feats),) weights — the
+        reference's per-frame aggregation weights (key frame first). Without
+        them the warped supports are averaged onto the key features.
+        """
+        key_proj = nn.Conv(self.out_channels, (1, 1), name="key_proj")
+        support_proj = nn.Conv(self.out_channels, (1, 1), name="support_proj")
+        offset_feat = nn.Conv(self.inner_channels, (3, 3), padding="SAME", name="offset_feat")
+        offset_convs = {
+            d: nn.Conv(2, (3, 3), padding="SAME", kernel_dilation=(d, d), name=f"offset_d{d}")
+            for d in self.dilations
+        }
+
+        key = key_proj(key_feat)
         outs = []
-        for s, sup in enumerate(support_feats):
-            sup = nn.Conv(self.out_channels, (1, 1), name="support_proj")(sup) if s == 0 else sup
+        for sup_feat in support_feats:
+            sup = support_proj(sup_feat)
             diff = jnp.concatenate([key, sup], axis=-1)
-            h = nn.relu(nn.Conv(self.inner_channels, (3, 3), padding="SAME", name=f"offset_feat")(diff))
+            h = nn.relu(offset_feat(diff))
             warped_sum = 0.0
             for d in self.dilations:
-                off = nn.Conv(2, (3, 3), padding="SAME", kernel_dilation=(d, d), name=f"offset_d{d}")(h)
+                off = offset_convs[d](h)
                 warped_sum = warped_sum + _bilinear_warp(sup, off)
             outs.append(warped_sum / len(self.dilations))
+        if frame_weights is not None:
+            w = jnp.asarray(frame_weights, jnp.float32).reshape(-1)
+            agg = key * w[0]
+            for i, o in enumerate(outs):
+                agg = agg + o * w[i + 1]
+            return agg
         return key + sum(outs) / max(len(outs), 1)

@@ -45,7 +45,22 @@ class TopdownPoseEstimator(nn.Module):
     head: nn.Module
     neck: Optional[nn.Module] = None
 
-    def extract_feat(self, inputs: jnp.ndarray, train: bool = False):
+    def extract_feat(self, inputs: jnp.ndarray, train: bool = False, frame_weights=None):
+        if inputs.ndim == 5:
+            # multi-frame clip (B, T, H, W, 3): run the backbone on every
+            # frame, then temporally align supports to the key frame
+            # (PoseWarper; reference posewarper_neck.py consumed through
+            # the same neck slot)
+            B, T = inputs.shape[:2]
+            flat = inputs.reshape((B * T,) + inputs.shape[2:])
+            feats = self.backbone(flat, train=train)
+            f = feats[-1] if isinstance(feats, (tuple, list)) else feats
+            f = f.reshape((B, T) + f.shape[1:])
+            key = f[:, 0]
+            supports = [f[:, t] for t in range(1, T)]
+            if self.neck is not None:
+                return (self.neck(key, supports, frame_weights=frame_weights),)
+            return (key,)
         feats = self.backbone(inputs, train=train)
         if self.neck is not None:
             feats = self.neck(feats)
