@@ -153,8 +153,11 @@ def main_train():
     base = shard_batch(base, mesh)
 
     key = jax.random.PRNGKey(0)
-    state, metrics = train_step(state, base, key)  # compile
-    _ = np.asarray(metrics["loss"])
+    # compile + settle: the first few post-compile steps still pay relay /
+    # cache-load costs (measured: step0 ~2.6s, steady-state ~85ms at B=64)
+    for _ in range(4):
+        state, metrics = train_step(state, base, key)
+        _ = np.asarray(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(iters):
