@@ -23,11 +23,16 @@ def parse_args():
     parser.add_argument("checkpoint", nargs="?", default=None)
     parser.add_argument("--work-dir", default=None)
     parser.add_argument("--cfg-options", nargs="+", default=[], metavar="K=V")
+    parser.add_argument("--launcher", choices=["none", "jax", "slurm"], default="none")
     return parser.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.launcher != "none":
+        import jax
+
+        jax.distributed.initialize()
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(dict(parse_cfg_option(kv) for kv in args.cfg_options))

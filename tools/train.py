@@ -34,6 +34,13 @@ def parse_args():
     parser.add_argument("--auto-scale-lr", action="store_true")
     parser.add_argument("--cfg-options", nargs="+", default=[], metavar="K=V")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--launcher",
+        choices=["none", "jax", "slurm"],
+        default="none",
+        help="multi-host init: 'jax' / 'slurm' call jax.distributed.initialize() "
+        "(TPU pods auto-configure; on other platforms set JAX coordinator env vars)",
+    )
     return parser.parse_args()
 
 
@@ -60,6 +67,14 @@ def merge_args(cfg: Config, args) -> Config:
 
 def main():
     args = parse_args()
+    if args.launcher != "none":
+        # TPU pods auto-discover coordinator/process ids; SLURM and manual
+        # launches read the standard env (SLURM_* / JAX_COORDINATOR_ADDRESS,
+        # JAX_NUM_PROCESSES, JAX_PROCESS_ID). The mesh then spans every
+        # process's devices (DCN between hosts, ICI within).
+        import jax
+
+        jax.distributed.initialize()
     cfg = Config.fromfile(args.config)
     cfg = merge_args(cfg, args)
 
