@@ -80,13 +80,117 @@ def _t(x) -> np.ndarray:
         return np.asarray(x)
 
 
-def convert_torch_state_dict(state_dict: Dict[str, Any], num_layers: int = 12) -> Dict[str, Any]:
-    """Reference ProbPose torch state dict -> flax variables dict.
+def _set(tree: Dict[str, Any], path, leaf_name, value):
+    node = tree
+    for part in path:
+        node = node.setdefault(part, {})
+    node[leaf_name] = value
 
-    Returns {"params": ..., "batch_stats": ...} matching our
-    TopdownPoseEstimator(VisionTransformer + ProbMapHead) module tree.
+
+def convert_torch_hrnet_backbone(sd: Dict[str, Any]):
+    """mmpose/mmcv HRNet torch keys -> our flax HRNet tree.
+
+    Covers the stem, bottleneck layer1, transitions (plain + nested
+    new-branch Sequentials), stage modules (branches + fuse layers with the
+    j>i upsample 1x1 and j<i strided-3x3 chains), matching the module names
+    in ``models/backbones/hrnet.py``. Returns (params, batch_stats).
+    """
+    import re
+
+    def conv_kernel(w):  # OIHW -> HWIO
+        return np.transpose(w, (2, 3, 1, 0))
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_conv(flax_name, torch_prefix):
+        _set(params, [flax_name] if isinstance(flax_name, str) else flax_name, "kernel",
+             conv_kernel(sd[f"{torch_prefix}.weight"]))
+
+    def put_bn(flax_name, torch_prefix):
+        path = [flax_name] if isinstance(flax_name, str) else flax_name
+        node_p, node_s = params, stats
+        for part in path[:-1]:
+            node_p = node_p.setdefault(part, {})
+            node_s = node_s.setdefault(part, {})
+        node_p[path[-1]] = {"scale": sd[f"{torch_prefix}.weight"], "bias": sd[f"{torch_prefix}.bias"]}
+        node_s[path[-1]] = {"mean": sd[f"{torch_prefix}.running_mean"], "var": sd[f"{torch_prefix}.running_var"]}
+
+    put_conv("conv1", "backbone.conv1")
+    put_bn("bn1", "backbone.bn1")
+    put_conv("conv2", "backbone.conv2")
+    put_bn("bn2", "backbone.bn2")
+
+    def put_block(block_path, torch_prefix):
+        for c in ("conv1", "conv2", "conv3"):
+            if f"{torch_prefix}.{c}.weight" in sd:
+                put_conv(block_path + [c], f"{torch_prefix}.{c}")
+                put_bn(block_path + [c.replace("conv", "bn")], f"{torch_prefix}.{c.replace('conv', 'bn')}")
+        if f"{torch_prefix}.downsample.0.weight" in sd:
+            put_conv(block_path + ["downsample_conv"], f"{torch_prefix}.downsample.0")
+            put_bn(block_path + ["downsample_bn"], f"{torch_prefix}.downsample.1")
+
+    n = 0
+    while f"backbone.layer1.{n}.conv1.weight" in sd:
+        put_block([f"layer1_block{n}"], f"backbone.layer1.{n}")
+        n += 1
+
+    # transitions: plain Sequential(conv, bn) or nested Sequential for the
+    # new lowest-resolution branch; unchanged branches have no torch keys
+    for t in (1, 2, 3):
+        for b in range(8):
+            plain = f"backbone.transition{t}.{b}.0.weight"
+            nested = f"backbone.transition{t}.{b}.0.0.weight"
+            if plain in sd:
+                put_conv(f"transition{t}_{b}_conv", f"backbone.transition{t}.{b}.0")
+                put_bn(f"transition{t}_{b}_bn", f"backbone.transition{t}.{b}.1")
+            elif nested in sd:
+                put_conv(f"transition{t}_{b}_conv", f"backbone.transition{t}.{b}.0.0")
+                put_bn(f"transition{t}_{b}_bn", f"backbone.transition{t}.{b}.0.1")
+
+    # stage modules
+    stage_re = re.compile(r"backbone\.stage(\d)\.(\d+)\.branches\.(\d+)\.(\d+)\.conv1\.weight")
+    for key in list(sd):
+        m = stage_re.match(key)
+        if not m:
+            continue
+        s, mod, br, blk = (int(g) for g in m.groups())
+        put_block([f"stage{s}_module{mod}", f"branch{br}_block{blk}"],
+                  f"backbone.stage{s}.{mod}.branches.{br}.{blk}")
+
+    fuse_plain = re.compile(r"backbone\.stage(\d)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.0\.weight")
+    fuse_down = re.compile(r"backbone\.stage(\d)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.(\d+)\.0\.weight")
+    for key in list(sd):
+        m = fuse_down.match(key)
+        if m:
+            s, mod, i, j, k = (int(g) for g in m.groups())
+            base = f"backbone.stage{s}.{mod}.fuse_layers.{i}.{j}.{k}"
+            put_conv([f"stage{s}_module{mod}", f"fuse{i}_{j}_down{k}_conv"], f"{base}.0")
+            put_bn([f"stage{s}_module{mod}", f"fuse{i}_{j}_down{k}_bn"], f"{base}.1")
+            continue
+        m = fuse_plain.match(key)
+        if m:
+            s, mod, i, j = (int(g) for g in m.groups())
+            if j <= i:
+                continue  # j<i keys matched by fuse_down; j==i is identity
+            base = f"backbone.stage{s}.{mod}.fuse_layers.{i}.{j}"
+            put_conv([f"stage{s}_module{mod}", f"fuse{i}_{j}_conv"], f"{base}.0")
+            put_bn([f"stage{s}_module{mod}", f"fuse{i}_{j}_bn"], f"{base}.1")
+
+    return params, stats
+
+
+def convert_torch_state_dict(state_dict: Dict[str, Any], num_layers: int = 12) -> Dict[str, Any]:
+    """Reference torch state dict -> flax variables dict.
+
+    Detects the backbone family: mmpretrain ViT (ProbPose) or mmpose HRNet;
+    head conversion covers the deconv/final/scalar-tower layout shared by
+    HeatmapHead / ProbMapHead. Returns {"params": ..., "batch_stats": ...}.
     """
     sd = {k: _t(v) for k, v in state_dict.items()}
+
+    if any(k.startswith("backbone.stage2.") for k in sd):
+        return _convert_hrnet_model(sd)
     params: Dict[str, Any] = {"backbone": {}, "head": {}}
     stats: Dict[str, Any] = {"head": {}}
 
@@ -140,7 +244,22 @@ def convert_torch_state_dict(state_dict: Dict[str, Any], num_layers: int = 12) -
     if "backbone.ln1.weight" in sd:
         bb["ln_final"] = {"scale": sd["backbone.ln1.weight"], "bias": sd["backbone.ln1.bias"]}
 
-    # ---- head -----------------------------------------------------------
+    head_p, head_s = _convert_head(sd)
+    params["head"] = head_p
+    stats["head"] = head_s
+    return {"params": params, "batch_stats": stats}
+
+
+def _convert_head(sd: Dict[str, Any]):
+    """Head conversion shared across backbones: deconv stack, final conv,
+    and the ProbPose scalar towers (absent keys are simply skipped)."""
+
+    def conv_kernel(w):  # OIHW -> HWIO
+        return np.transpose(w, (2, 3, 1, 0))
+
+    def deconv_kernel(w):  # torch ConvTranspose2d (in, out, kh, kw) -> flax HWIO, flipped taps
+        return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
+
     head_p: Dict[str, Any] = {}
     head_s: Dict[str, Any] = {}
 
@@ -148,13 +267,12 @@ def convert_torch_state_dict(state_dict: Dict[str, Any], num_layers: int = 12) -
     deconv_idx = 0
     while f"head.deconv_layers.{deconv_idx * 3}.weight" in sd:
         w = sd[f"head.deconv_layers.{deconv_idx * 3}.weight"]
-        bn_w = sd[f"head.deconv_layers.{deconv_idx * 3 + 1}.weight"]
-        bn_b = sd[f"head.deconv_layers.{deconv_idx * 3 + 1}.bias"]
-        bn_mean = sd[f"head.deconv_layers.{deconv_idx * 3 + 1}.running_mean"]
-        bn_var = sd[f"head.deconv_layers.{deconv_idx * 3 + 1}.running_var"]
+        bn = f"head.deconv_layers.{deconv_idx * 3 + 1}"
         head_p.setdefault("deconv_layers", {})[f"deconv{deconv_idx}"] = {"kernel": deconv_kernel(w)}
-        head_p["deconv_layers"][f"bn{deconv_idx}"] = {"scale": bn_w, "bias": bn_b}
-        head_s.setdefault("deconv_layers", {})[f"bn{deconv_idx}"] = {"mean": bn_mean, "var": bn_var}
+        head_p["deconv_layers"][f"bn{deconv_idx}"] = {"scale": sd[f"{bn}.weight"], "bias": sd[f"{bn}.bias"]}
+        head_s.setdefault("deconv_layers", {})[f"bn{deconv_idx}"] = {
+            "mean": sd[f"{bn}.running_mean"], "var": sd[f"{bn}.running_var"]
+        }
         deconv_idx += 1
 
     if "head.final_layer.weight" in sd:
@@ -164,44 +282,45 @@ def convert_torch_state_dict(state_dict: Dict[str, Any], num_layers: int = 12) -
         }
 
     # scalar towers: head.<name>_layers.{0 conv,1 bn,(2 pool),(3 relu)}...
-    tower_map = {
-        "probability_layers": "probability_layers",
-        "visibility_layers": "visibility_layers",
-        "oks_layers": "oks_layers",
-        "error_layers": "error_layers",
-    }
-    for torch_name, flax_name in tower_map.items():
+    for name in ("probability_layers", "visibility_layers", "oks_layers", "error_layers"):
         conv_i = 0
         t_idx = 0
         tower_p: Dict[str, Any] = {}
         tower_s: Dict[str, Any] = {}
         while True:
-            w_key = f"head.{torch_name}.{t_idx}.weight"
+            w_key = f"head.{name}.{t_idx}.weight"
             if w_key not in sd:
                 break
             w = sd[w_key]
-            if w.ndim == 4 and w.shape[-1] == 1 and f"head.{torch_name}.{t_idx + 1}.weight" not in sd:
+            if w.ndim == 4 and w.shape[-1] == 1 and f"head.{name}.{t_idx + 1}.weight" not in sd:
                 # trailing 1x1 conv (sequence: conv, sigmoid/relu)
-                tower_p["final"] = {"kernel": conv_kernel(w), "bias": sd[f"head.{torch_name}.{t_idx}.bias"]}
+                tower_p["final"] = {"kernel": conv_kernel(w), "bias": sd[f"head.{name}.{t_idx}.bias"]}
                 break
-            tower_p[f"conv{conv_i}"] = {"kernel": conv_kernel(w), "bias": sd[f"head.{torch_name}.{t_idx}.bias"]}
+            tower_p[f"conv{conv_i}"] = {"kernel": conv_kernel(w), "bias": sd[f"head.{name}.{t_idx}.bias"]}
             tower_p[f"bn{conv_i}"] = {
-                "scale": sd[f"head.{torch_name}.{t_idx + 1}.weight"],
-                "bias": sd[f"head.{torch_name}.{t_idx + 1}.bias"],
+                "scale": sd[f"head.{name}.{t_idx + 1}.weight"],
+                "bias": sd[f"head.{name}.{t_idx + 1}.bias"],
             }
             tower_s[f"bn{conv_i}"] = {
-                "mean": sd[f"head.{torch_name}.{t_idx + 1}.running_mean"],
-                "var": sd[f"head.{torch_name}.{t_idx + 1}.running_var"],
+                "mean": sd[f"head.{name}.{t_idx + 1}.running_mean"],
+                "var": sd[f"head.{name}.{t_idx + 1}.running_var"],
             }
             conv_i += 1
             t_idx += 4  # conv, bn, pool, relu
         if tower_p:
-            head_p[flax_name] = tower_p
-            head_s[flax_name] = tower_s
+            head_p[name] = tower_p
+            head_s[name] = tower_s
+    return head_p, head_s
 
-    params["head"] = head_p
-    stats["head"] = head_s
-    return {"params": params, "batch_stats": stats}
+
+def _convert_hrnet_model(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """HRNet backbone + shared head conversion."""
+    bb_p, bb_s = convert_torch_hrnet_backbone(sd)
+    head_p, head_s = _convert_head(sd)
+    return {
+        "params": {"backbone": bb_p, "head": head_p},
+        "batch_stats": {"backbone": bb_s, "head": head_s},
+    }
 
 
 def load_torch_checkpoint(path: str, num_layers: int = 12) -> Dict[str, Any]:

@@ -121,7 +121,7 @@ class HRModule(nn.Module):
                     for k in range(i - j):
                         last = k == i - j - 1
                         c = target_c if last else self.num_channels[j] * expansion
-                        y = nn.Conv(c, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
+                        y = nn.Conv(c, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False,
                                     dtype=self.dtype, name=f"fuse{i}_{j}_down{k}_conv")(y)
                         y = _bn(train, f"fuse{i}_{j}_down{k}_bn")(y)
                         if not last:
@@ -143,10 +143,10 @@ class HRNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         # stem
-        x = nn.Conv(64, (3, 3), strides=(2, 2), padding="SAME", use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.Conv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = _bn(train, "bn1")(x)
         x = nn.relu(x)
-        x = nn.Conv(64, (3, 3), strides=(2, 2), padding="SAME", use_bias=False, dtype=self.dtype, name="conv2")(x)
+        x = nn.Conv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv2")(x)
         x = _bn(train, "bn2")(x)
         x = nn.relu(x)
 
@@ -176,7 +176,7 @@ class HRNet(nn.Module):
                     new_xs.append(y)
                 else:
                     y = xs[-1]
-                    y = nn.Conv(cur_channels[b], (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
+                    y = nn.Conv(cur_channels[b], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=False,
                                 dtype=self.dtype, name=f"transition{stage_idx - 1}_{b}_conv")(y)
                     y = _bn(train, f"transition{stage_idx - 1}_{b}_bn")(y)
                     new_xs.append(nn.relu(y))
