@@ -180,15 +180,115 @@ def convert_torch_hrnet_backbone(sd: Dict[str, Any]):
     return params, stats
 
 
+def convert_torch_cspnext_backbone(sd: Dict[str, Any]):
+    """mmpose/mmdet CSPNeXt torch keys -> our flax CSPNeXt tree.
+
+    Stem of three ConvModules, per-stage [strided conv, (SPP), CSPLayer]
+    with main/short/final convs, depthwise-separable CSPNeXt blocks, and
+    the channel-attention 1x1 conv. Returns (params, batch_stats).
+    """
+
+    def conv_kernel(w):  # OIHW -> HWIO (also depthwise (C,1,k,k) -> (k,k,1,C))
+        return np.transpose(w, (2, 3, 1, 0))
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv_module(flax_path, tprefix):
+        _set(params, flax_path, "conv", {"kernel": conv_kernel(sd[f"{tprefix}.conv.weight"])})
+        node_p, node_s = params, stats
+        for part in flax_path:
+            node_p = node_p.setdefault(part, {})
+            node_s = node_s.setdefault(part, {})
+        node_p["bn"] = {"scale": sd[f"{tprefix}.bn.weight"], "bias": sd[f"{tprefix}.bn.bias"]}
+        node_s["bn"] = {"mean": sd[f"{tprefix}.bn.running_mean"], "var": sd[f"{tprefix}.bn.running_var"]}
+
+    for i in range(3):
+        conv_module([f"stem{i}"], f"backbone.stem.{i}")
+
+    for s in range(1, 6):
+        if f"backbone.stage{s}.0.conv.weight" not in sd:
+            continue
+        conv_module([f"stage{s}_conv"], f"backbone.stage{s}.0")
+        csp_idx = 1
+        if f"backbone.stage{s}.1.conv1.conv.weight" in sd:  # SPPBottleneck
+            conv_module([f"stage{s}_spp", "conv1"], f"backbone.stage{s}.1.conv1")
+            conv_module([f"stage{s}_spp", "conv2"], f"backbone.stage{s}.1.conv2")
+            csp_idx = 2
+        base = f"backbone.stage{s}.{csp_idx}"
+        for nm in ("main_conv", "short_conv", "final_conv"):
+            conv_module([f"stage{s}_csp", nm], f"{base}.{nm}")
+        n = 0
+        while f"{base}.blocks.{n}.conv1.conv.weight" in sd:
+            conv_module([f"stage{s}_csp", f"block{n}", "conv1"], f"{base}.blocks.{n}.conv1")
+            conv_module([f"stage{s}_csp", f"block{n}", "conv2", "depthwise"],
+                        f"{base}.blocks.{n}.conv2.depthwise_conv")
+            conv_module([f"stage{s}_csp", f"block{n}", "conv2", "pointwise"],
+                        f"{base}.blocks.{n}.conv2.pointwise_conv")
+            n += 1
+        if f"{base}.attention.fc.weight" in sd:
+            _set(params, [f"stage{s}_csp", "attention", "fc"], "kernel",
+                 conv_kernel(sd[f"{base}.attention.fc.weight"]))
+            _set(params, [f"stage{s}_csp", "attention", "fc"], "bias", sd[f"{base}.attention.fc.bias"])
+    return params, stats
+
+
+def _convert_rtmcc_head(sd: Dict[str, Any]):
+    """RTMCCHead torch keys -> flax tree: final conv, ScaleNorm+Linear token
+    MLP, GAU (ln/uv/gamma/beta/o/res_scale[/w rel-bias]), SimCC classifiers."""
+
+    def conv_kernel(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    head_p: Dict[str, Any] = {
+        "final_layer": {
+            "kernel": conv_kernel(sd["head.final_layer.weight"]),
+            "bias": sd["head.final_layer.bias"],
+        },
+        "mlp_norm": {"g": sd["head.mlp.0.g"]},
+        "mlp_fc": {"kernel": sd["head.mlp.1.weight"].T},
+        "cls_x": {"kernel": sd["head.cls_x.weight"].T},
+        "cls_y": {"kernel": sd["head.cls_y.weight"].T},
+    }
+    gau = {
+        "ln": {"g": sd["head.gau.ln.g"]},
+        "uv": {"kernel": sd["head.gau.uv.weight"].T},
+        "gamma": sd["head.gau.gamma"],
+        "beta": sd["head.gau.beta"],
+        "o": {"kernel": sd["head.gau.o.weight"].T},
+    }
+    if "head.gau.res_scale.scale" in sd:
+        gau["res_scale"] = sd["head.gau.res_scale.scale"]
+    if "head.gau.w" in sd:
+        gau["w"] = sd["head.gau.w"]
+    head_p["gau"] = gau
+    return head_p, {}
+
+
+def _convert_cspnext_model(sd: Dict[str, Any]) -> Dict[str, Any]:
+    bb_p, bb_s = convert_torch_cspnext_backbone(sd)
+    if "head.gau.uv.weight" in sd:
+        head_p, head_s = _convert_rtmcc_head(sd)
+    else:
+        head_p, head_s = _convert_head(sd)
+    return {
+        "params": {"backbone": bb_p, "head": head_p},
+        "batch_stats": {"backbone": bb_s, **({"head": head_s} if head_s else {})},
+    }
+
+
 def convert_torch_state_dict(state_dict: Dict[str, Any], num_layers: int = 12) -> Dict[str, Any]:
     """Reference torch state dict -> flax variables dict.
 
-    Detects the backbone family: mmpretrain ViT (ProbPose) or mmpose HRNet;
-    head conversion covers the deconv/final/scalar-tower layout shared by
-    HeatmapHead / ProbMapHead. Returns {"params": ..., "batch_stats": ...}.
+    Detects the backbone family — mmpretrain ViT (ProbPose), mmpose HRNet,
+    or CSPNeXt (RTMPose) — and the matching head layout (deconv/final/
+    scalar towers or the RTMCC GAU head).
+    Returns {"params": ..., "batch_stats": ...}.
     """
     sd = {k: _t(v) for k, v in state_dict.items()}
 
+    if any(k.startswith("backbone.stem.") for k in sd):  # CSPNeXt (before HRNet: both have stage2)
+        return _convert_cspnext_model(sd)
     if any(k.startswith("backbone.stage2.") for k in sd):
         return _convert_hrnet_model(sd)
     params: Dict[str, Any] = {"backbone": {}, "head": {}}

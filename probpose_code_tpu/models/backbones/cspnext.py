@@ -33,11 +33,14 @@ class ConvModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # torch pads k//2 on BOTH sides; XLA SAME pads (0,1) for stride-2 on
+        # even inputs — a one-pixel shift that breaks converted torch weights
+        pad = self.kernel_size // 2
         x = nn.Conv(
             self.out_channels,
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((pad, pad), (pad, pad)),
             feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,

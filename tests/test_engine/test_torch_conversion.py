@@ -403,3 +403,238 @@ def test_hrnet_conversion_forward_parity():
         ref = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
     out = model.forward(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# CSPNeXt + RTMCC (RTMPose) conversion parity
+# ---------------------------------------------------------------------------
+
+
+def _build_torch_rtmpose(widen=0.125, deepen=0.167, num_kpts=17, in_hw=(64, 64), hidden=32, s=16):
+    """Reference-layout torch RTMPose-tiny-ish (mmdet/mmpose key naming)."""
+    import math
+
+    import torch
+    import torch.nn as nn
+
+    class ConvModule(nn.Module):
+        def __init__(self, cin, cout, k, stride=1, groups=1):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, k, stride, k // 2, groups=groups, bias=False)
+            self.bn = nn.BatchNorm2d(cout, momentum=0.03, eps=1e-3)
+            self.act = nn.SiLU()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class DWSep(nn.Module):
+        def __init__(self, cin, cout, k=5):
+            super().__init__()
+            self.depthwise_conv = ConvModule(cin, cin, k, groups=cin)
+            self.pointwise_conv = ConvModule(cin, cout, 1)
+
+        def forward(self, x):
+            return self.pointwise_conv(self.depthwise_conv(x))
+
+    class Block(nn.Module):
+        def __init__(self, c, add_identity=True):
+            super().__init__()
+            self.conv1 = ConvModule(c, c, 3)
+            self.conv2 = DWSep(c, c, 5)
+            self.add_identity = add_identity
+
+        def forward(self, x):
+            out = self.conv2(self.conv1(x))
+            return out + x if self.add_identity else out
+
+    class Attention(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.fc = nn.Conv2d(c, c, 1)
+            self.act = nn.Hardsigmoid()
+
+        def forward(self, x):
+            w = self.act(self.fc(x.mean((2, 3), keepdim=True)))
+            return x * w
+
+    class CSPLayer(nn.Module):
+        def __init__(self, cin, cout, n, add_identity=True):
+            super().__init__()
+            mid = cout // 2
+            self.main_conv = ConvModule(cin, mid, 1)
+            self.short_conv = ConvModule(cin, mid, 1)
+            self.final_conv = ConvModule(2 * mid, cout, 1)
+            self.blocks = nn.Sequential(*[Block(mid, add_identity) for _ in range(n)])
+            self.attention = Attention(2 * mid)
+
+        def forward(self, x):
+            xs = self.short_conv(x)
+            xm = self.blocks(self.main_conv(x))
+            return self.final_conv(self.attention(torch.cat((xm, xs), 1)))
+
+    class SPP(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv1 = ConvModule(c, c // 2, 1)
+            self.conv2 = ConvModule(c * 2, c, 1)
+            self.pools = nn.ModuleList([nn.MaxPool2d(k, 1, k // 2) for k in (5, 9, 13)])
+
+        def forward(self, x):
+            x = self.conv1(x)
+            return self.conv2(torch.cat([x] + [p(x) for p in self.pools], 1))
+
+    arch = [[64, 128, 3, True, False], [128, 256, 6, True, False],
+            [256, 512, 6, True, False], [512, 1024, 3, False, True]]
+
+    class Backbone(nn.Module):
+        def __init__(self):
+            super().__init__()
+            stem_ch = int(64 * widen // 2)
+            self.stem = nn.Sequential(
+                ConvModule(3, stem_ch, 3, 2), ConvModule(stem_ch, stem_ch, 3), ConvModule(stem_ch, stem_ch * 2, 3)
+            )
+            cin = stem_ch * 2
+            for i, (ic, oc, n, addid, use_spp) in enumerate(arch):
+                oc = int(oc * widen)
+                n = max(round(n * deepen), 1)
+                mods = [ConvModule(cin, oc, 3, 2)]
+                if use_spp:
+                    mods.append(SPP(oc))
+                mods.append(CSPLayer(oc, oc, n, addid))
+                setattr(self, f"stage{i + 1}", nn.Sequential(*mods))
+                cin = oc
+
+        def forward(self, x):
+            x = self.stem(x)
+            for i in range(4):
+                x = getattr(self, f"stage{i + 1}")(x)
+            return x
+
+    class ScaleNorm(nn.Module):
+        def __init__(self, dim, eps=1e-5):
+            super().__init__()
+            self.scale = dim ** -0.5
+            self.eps = eps
+            self.g = nn.Parameter(torch.ones(1))
+
+        def forward(self, x):
+            norm = torch.norm(x, dim=-1, keepdim=True) * self.scale
+            return x / norm.clamp(min=self.eps) * self.g
+
+    class GAU(nn.Module):
+        def __init__(self, dim, expansion=2, s_=s):
+            super().__init__()
+            e = dim * expansion
+            self.e, self.s = e, s_
+            self.ln = ScaleNorm(dim)
+            self.uv = nn.Linear(dim, 2 * e + s_, bias=False)
+            self.gamma = nn.Parameter(torch.rand(2, s_))
+            self.beta = nn.Parameter(torch.rand(2, s_))
+            self.o = nn.Linear(e, dim, bias=False)
+
+            class Scale(nn.Module):
+                def __init__(self, d):
+                    super().__init__()
+                    self.scale = nn.Parameter(torch.ones(d))
+
+                def forward(self, x):
+                    return x * self.scale
+
+            self.res_scale = Scale(dim)
+            self.act = nn.SiLU()
+            self.sqrt_s = math.sqrt(s_)
+
+        def forward(self, x):
+            shortcut = x
+            h = self.ln(x)
+            uv = self.act(self.uv(h))
+            u, v, base = torch.split(uv, [self.e, self.e, self.s], dim=-1)
+            base = base.unsqueeze(2) * self.gamma[None, None] + self.beta[None, None]
+            q, k = torch.unbind(base, dim=2)
+            qk = torch.bmm(q, k.permute(0, 2, 1))
+            kernel = torch.square(torch.relu(qk / self.sqrt_s))
+            out = u * torch.bmm(kernel, v)
+            return self.res_scale(shortcut) + self.o(out)
+
+    class Head(nn.Module):
+        def __init__(self, cin, feat_hw):
+            super().__init__()
+            self.final_layer = nn.Conv2d(cin, num_kpts, 7, padding=3)
+            flat = feat_hw[0] * feat_hw[1]
+            self.mlp = nn.Sequential(ScaleNorm(flat), nn.Linear(flat, hidden, bias=False))
+            self.gau = GAU(hidden)
+            self.cls_x = nn.Linear(hidden, int(in_hw[1] * 2), bias=False)
+            self.cls_y = nn.Linear(hidden, int(in_hw[0] * 2), bias=False)
+
+        def forward(self, feats):
+            f = self.final_layer(feats)
+            B, K = f.shape[:2]
+            f = f.flatten(2)
+            f = self.mlp(f)
+            f = self.gau(f)
+            return self.cls_x(f), self.cls_y(f)
+
+    class Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = Backbone()
+            self.head = Head(int(1024 * widen), (in_hw[0] // 32, in_hw[1] // 32))
+
+        def forward(self, x):
+            return self.head(self.backbone(x))
+
+    return Model()
+
+
+def test_rtmpose_conversion_forward_parity():
+    """Reference-layout torch CSPNeXt+RTMCC -> converted flax model parity."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
+    from probpose_code_tpu.engine.checkpoint import convert_torch_state_dict
+    from probpose_code_tpu.models import PoseModel
+
+    torch.manual_seed(1)
+    tm = _build_torch_rtmpose()
+    with torch.no_grad():
+        tm.train()
+        for _ in range(2):
+            tm(torch.randn(2, 3, 64, 64))
+        tm.eval()
+
+    variables = convert_torch_state_dict(tm.state_dict())
+
+    cfg = dict(
+        type="TopdownPoseEstimator",
+        data_preprocessor=dict(mean=[0, 0, 0], std=[1, 1, 1]),
+        backbone=dict(type="CSPNeXt", arch="P5", deepen_factor=0.167, widen_factor=0.125,
+                      out_indices=(4,), channel_attention=True),
+        head=dict(
+            type="RTMCCHead", in_channels=128, out_channels=17, input_size=(64, 64),
+            in_featuremap_size=(2, 2), simcc_split_ratio=2.0, final_layer_kernel_size=7,
+            gau_cfg=dict(hidden_dims=32, s=16, expansion_factor=2, dropout_rate=0.0,
+                         drop_path=0.0, act_fn="SiLU", use_rel_bias=False, pos_enc=False),
+            loss=dict(type="KLDiscretLoss", use_target_weight=True),
+            decoder=dict(type="SimCCLabel", input_size=(64, 64), sigma=(4.9, 5.66),
+                         simcc_split_ratio=2.0, normalize=False),
+        ),
+        test_cfg=dict(flip_test=False),
+    )
+    model = PoseModel(cfg, metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
+    init_vars = model.init(input_shape=(1, 64, 64, 3))
+
+    init_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(init_vars["params"])[0]}
+    conv_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(variables["params"])[0]}
+    assert init_paths == conv_paths, (
+        f"missing: {sorted(init_paths - conv_paths)[:6]} extra: {sorted(conv_paths - init_paths)[:6]}"
+    )
+
+    x = np.random.RandomState(1).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_x, ref_y = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    px, py = model.forward(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(px), ref_x.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(py), ref_y.numpy(), atol=5e-4)
