@@ -291,6 +291,8 @@ def convert_torch_state_dict(state_dict: Dict[str, Any], num_layers: int = 12) -
         return _convert_cspnext_model(sd)
     if any(k.startswith("backbone.stage2.") for k in sd):
         return _convert_hrnet_model(sd)
+    if "backbone.layer1.0.conv1.weight" in sd and "backbone.layers.0.ln1.weight" not in sd:
+        return _convert_resnet_model(sd)
     params: Dict[str, Any] = {"backbone": {}, "head": {}}
     stats: Dict[str, Any] = {"head": {}}
 
@@ -411,6 +413,57 @@ def _convert_head(sd: Dict[str, Any]):
             head_p[name] = tower_p
             head_s[name] = tower_s
     return head_p, head_s
+
+
+def convert_torch_resnet_backbone(sd: Dict[str, Any]):
+    """mmpose/torchvision-style ResNet torch keys -> our flax tree (7x7 stem
+    conv1/bn1, layer{1..4} basic/bottleneck blocks incl. downsample)."""
+
+    def conv_kernel(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put_conv(path, tprefix):
+        node = params
+        for part in path:
+            node = node.setdefault(part, {})
+        node["kernel"] = conv_kernel(sd[f"{tprefix}.weight"])
+
+    def put_bn(path, tprefix):
+        node_p, node_s = params, stats
+        for part in path[:-1]:
+            node_p = node_p.setdefault(part, {})
+            node_s = node_s.setdefault(part, {})
+        node_p[path[-1]] = {"scale": sd[f"{tprefix}.weight"], "bias": sd[f"{tprefix}.bias"]}
+        node_s[path[-1]] = {"mean": sd[f"{tprefix}.running_mean"], "var": sd[f"{tprefix}.running_var"]}
+
+    put_conv(["conv1"], "backbone.conv1")
+    put_bn(["bn1"], "backbone.bn1")
+    for layer in range(1, 5):
+        n = 0
+        while f"backbone.layer{layer}.{n}.conv1.weight" in sd:
+            base = f"backbone.layer{layer}.{n}"
+            blk = f"layer{layer}_block{n}"
+            for c in ("conv1", "conv2", "conv3"):
+                if f"{base}.{c}.weight" in sd:
+                    put_conv([blk, c], f"{base}.{c}")
+                    put_bn([blk, c.replace("conv", "bn")], f"{base}.{c.replace('conv', 'bn')}")
+            if f"{base}.downsample.0.weight" in sd:
+                put_conv([blk, "downsample_conv"], f"{base}.downsample.0")
+                put_bn([blk, "downsample_bn"], f"{base}.downsample.1")
+            n += 1
+    return params, stats
+
+
+def _convert_resnet_model(sd: Dict[str, Any]) -> Dict[str, Any]:
+    bb_p, bb_s = convert_torch_resnet_backbone(sd)
+    head_p, head_s = _convert_head(sd)
+    return {
+        "params": {"backbone": bb_p, "head": head_p},
+        "batch_stats": {"backbone": bb_s, "head": head_s},
+    }
 
 
 def _convert_hrnet_model(sd: Dict[str, Any]) -> Dict[str, Any]:

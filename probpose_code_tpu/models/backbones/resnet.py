@@ -29,7 +29,7 @@ class ResBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = nn.Conv(self.channels, (3, 3), strides=(self.stride, self.stride), padding="SAME",
+        out = nn.Conv(self.channels, (3, 3), strides=(self.stride, self.stride), padding=((1, 1), (1, 1)),
                       use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = _bn(train, "bn1")(out)
         out = nn.relu(out)
@@ -57,7 +57,7 @@ class ResBottleneck(nn.Module):
         out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = _bn(train, "bn1")(out)
         out = nn.relu(out)
-        out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride), padding="SAME",
+        out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride), padding=((1, 1), (1, 1)),
                       feature_group_count=self.groups, use_bias=False, dtype=self.dtype, name="conv2")(out)
         out = _bn(train, "bn2")(out)
         out = nn.relu(out)
@@ -98,7 +98,7 @@ class ResNet(nn.Module):
         block_type, stage_blocks = ARCH_SETTINGS[self.depth]
         if self.deep_stem:
             for i, c in enumerate([self.stem_channels // 2, self.stem_channels // 2, self.stem_channels]):
-                x = nn.Conv(c, (3, 3), strides=(2, 2) if i == 0 else (1, 1), padding="SAME",
+                x = nn.Conv(c, (3, 3), strides=(2, 2) if i == 0 else (1, 1), padding=((1, 1), (1, 1)),
                             use_bias=False, dtype=self.dtype, name=f"stem_conv{i}")(x)
                 x = _bn(train, f"stem_bn{i}")(x)
                 x = nn.relu(x)

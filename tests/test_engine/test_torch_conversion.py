@@ -638,3 +638,134 @@ def test_rtmpose_conversion_forward_parity():
     px, py = model.forward(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(px), ref_x.numpy(), atol=5e-4)
     np.testing.assert_allclose(np.asarray(py), ref_y.numpy(), atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# ResNet (SimpleBaseline) conversion parity
+# ---------------------------------------------------------------------------
+
+
+def _build_torch_simplebaseline(depth_blocks=(3, 4, 6, 3), width=4, num_kpts=17):
+    import torch
+    import torch.nn as nn
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, c, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, c, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(c)
+            self.conv2 = nn.Conv2d(c, c, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(c)
+            self.conv3 = nn.Conv2d(c, c * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(c * 4)
+            self.relu = nn.ReLU()
+            if stride != 1 or cin != c * 4:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, c * 4, 1, stride, bias=False), nn.BatchNorm2d(c * 4))
+            else:
+                self.downsample = None
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            return self.relu(out + idt)
+
+    class Backbone(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU()
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            cin = 64
+            for li, n in enumerate(depth_blocks):
+                c = width * (2 ** li)
+                blocks = []
+                for b in range(n):
+                    stride = 2 if (li > 0 and b == 0) else 1
+                    blocks.append(Bottleneck(cin, c, stride))
+                    cin = c * 4
+                setattr(self, f"layer{li + 1}", nn.Sequential(*blocks))
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for li in range(4):
+                x = getattr(self, f"layer{li + 1}")(x)
+            return x
+
+    class Head(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            layers = []
+            for c in (16, 16):
+                layers += [nn.ConvTranspose2d(cin, c, 4, 2, 1, bias=False),
+                           nn.BatchNorm2d(c), nn.ReLU()]
+                cin = c
+            self.deconv_layers = nn.Sequential(*layers)
+            self.final_layer = nn.Conv2d(cin, num_kpts, 1)
+
+        def forward(self, x):
+            return self.final_layer(self.deconv_layers(x))
+
+    class Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = Backbone()
+            self.head = Head(width * 8 * 4)
+
+        def forward(self, x):
+            return self.head(self.backbone(x))
+
+    return Model()
+
+
+def test_resnet_conversion_forward_parity():
+    """Reference-layout torch SimpleBaseline (ResNet bottleneck + deconv
+    heatmap head) -> converted flax model parity."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
+    from probpose_code_tpu.engine.checkpoint import convert_torch_state_dict
+    from probpose_code_tpu.models import PoseModel
+
+    torch.manual_seed(2)
+    tm = _build_torch_simplebaseline()
+    with torch.no_grad():
+        tm.train()
+        for _ in range(2):
+            tm(torch.randn(2, 3, 64, 64))
+        tm.eval()
+
+    variables = convert_torch_state_dict(tm.state_dict())
+
+    cfg = dict(
+        type="TopdownPoseEstimator",
+        data_preprocessor=dict(mean=[0, 0, 0], std=[1, 1, 1]),
+        backbone=dict(type="ResNet", depth=50, stem_channels=64, base_channels=4, out_indices=(3,)),
+        head=dict(
+            type="HeatmapHead", in_channels=128, out_channels=17,
+            deconv_out_channels=(16, 16), deconv_kernel_sizes=(4, 4),
+            loss=dict(type="KeypointMSELoss", use_target_weight=True),
+            decoder=dict(type="MSRAHeatmap", input_size=(64, 64), heatmap_size=(16, 16), sigma=2),
+        ),
+        test_cfg=dict(flip_test=False),
+    )
+    model = PoseModel(cfg, metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
+    init_vars = model.init(input_shape=(1, 64, 64, 3))
+
+    init_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(init_vars["params"])[0]}
+    conv_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(variables["params"])[0]}
+    assert init_paths == conv_paths, (
+        f"missing: {sorted(init_paths - conv_paths)[:6]} extra: {sorted(conv_paths - init_paths)[:6]}"
+    )
+
+    x = np.random.RandomState(2).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+    out = model.forward(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4)
