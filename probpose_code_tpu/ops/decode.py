@@ -154,11 +154,29 @@ def dark_udp_refine_batch(
     a = dxx + eps
     b = dxy
     d = dyy + eps
-    det = a * d - b * b
-    safe_det = jnp.where(jnp.abs(det) < 1e-30, jnp.where(det < 0, -1e-30, 1e-30), det)
-    # closed-form inverse of [[a, b], [b, d]]
-    off_x = (d * dx - b * dy) / safe_det
-    off_y = (-b * dx + a * dy) / safe_det
+    # reference uses np.linalg.pinv(hessian + eps*I): singular directions are
+    # ZEROED, not inverted — a closed-form inverse explodes on the
+    # near-singular hessians of flat (log-clipped) heatmap regions.
+    # Symmetric 2x2 pseudo-inverse via eigen-decomposition:
+    tr = a + d
+    disc = jnp.sqrt(jnp.square(a - d) + 4.0 * jnp.square(b))
+    l1 = 0.5 * (tr + disc)
+    l2 = 0.5 * (tr - disc)
+    # eigvec for l1: [b, l1 - a] (falls back to the x axis when degenerate)
+    v1x, v1y = b, l1 - a
+    n1 = jnp.sqrt(v1x * v1x + v1y * v1y)
+    degen = n1 < 1e-20
+    v1x = jnp.where(degen, jnp.where(a >= d, 1.0, 0.0), v1x / jnp.maximum(n1, 1e-30))
+    v1y = jnp.where(degen, jnp.where(a >= d, 0.0, 1.0), v1y / jnp.maximum(n1, 1e-30))
+    v2x, v2y = -v1y, v1x
+    rcond = 1e-15 * jnp.maximum(jnp.abs(l1), jnp.abs(l2))
+    il1 = jnp.where(jnp.abs(l1) > rcond, 1.0 / l1, 0.0)
+    il2 = jnp.where(jnp.abs(l2) > rcond, 1.0 / l2, 0.0)
+    # offset = pinv(H) @ grad
+    c1 = v1x * dx + v1y * dy
+    c2 = v2x * dx + v2y * dy
+    off_x = il1 * c1 * v1x + il2 * c2 * v2x
+    off_y = il1 * c1 * v1y + il2 * c2 * v2y
     offset = jnp.stack([off_x, off_y], axis=-1)
     return keypoints - offset
 
