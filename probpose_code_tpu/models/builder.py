@@ -341,6 +341,19 @@ class PoseModel:
         total = sum(v for k, v in losses.items() if k.startswith("loss_"))
         return total, (losses, new_state)
 
+    def _predict_precision(self):
+        """Matmul/conv precision for the predict program.
+
+        TPU 'default' precision feeds f32 convs through bf16 MXU passes
+        (~1e-2 heatmap drift vs the f32 torch reference — enough to flip
+        argmax decodes). When the model runs in f32 (parity/eval mode),
+        force full precision; explicit bf16 configs keep the fast path.
+        """
+        bb_dtype = self.aux["backbone_cfg"].get("dtype")
+        head_dtype = self.aux["head_cfg"].get("dtype")
+        is_lowp = any(str(d) in ("bfloat16", "float16") for d in (bb_dtype, head_dtype) if d is not None)
+        return "default" if is_lowp else "highest"
+
     def make_predict(self, flip_test: Optional[bool] = None, jit: bool = True):
         """Build the full predict program: images -> decoded predictions."""
         test_cfg = self.aux["test_cfg"]
@@ -369,7 +382,13 @@ class PoseModel:
 
                 return self.module.apply(variables, x, method=fn)
 
-            return jax.jit(_predict_onestage) if jit else _predict_onestage
+            precision = self._predict_precision()
+
+            def _predict_onestage_p(variables, images):
+                with jax.default_matmul_precision(precision):
+                    return _predict_onestage(variables, images)
+
+            return jax.jit(_predict_onestage_p) if jit else _predict_onestage_p
         flip_test = test_cfg.get("flip_test", False) if flip_test is None else flip_test
         shift_heatmap = test_cfg.get("shift_heatmap", False)
         flip_indices = list(self.metainfo["flip_indices"]) if self.metainfo else list(range(17))
@@ -465,7 +484,13 @@ class PoseModel:
                 scale = jnp.asarray([input_size[0] / (W - 1), input_size[1] / (H - 1)], dtype=jnp.float32)
             return dict(keypoints=locs * scale, keypoint_scores=vals, heatmaps=heatmaps)
 
-        return jax.jit(_predict) if jit else _predict
+        precision = self._predict_precision()
+
+        def _predict_p(variables, images):
+            with jax.default_matmul_precision(precision):
+                return _predict(variables, images)
+
+        return jax.jit(_predict_p) if jit else _predict_p
 
 
 def flip_heatmaps_ref(heatmaps, flip_indices, shift_heatmap):
