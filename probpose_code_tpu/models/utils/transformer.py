@@ -149,13 +149,17 @@ class DetrTransformerEncoder(nn.Module):
 class RepVGGBlock(nn.Module):
     """RepVGG block, training form (reference ``reparam_layers.py``).
 
-    3x3 conv+BN and 1x1 conv+BN branches (plus identity BN when channels
-    match) summed before the activation. The deploy-time reparam fuse is a
-    host-side weight transform, unnecessary under XLA which already fuses
-    the parallel convolutions.
+    3x3 conv+BN and 1x1 conv+BN branches summed before the activation. The
+    reference defaults to ``without_branch_norm=True`` (the RTMO
+    CSPRepLayer path has NO identity-BN branch); set
+    ``with_branch_norm=True`` for the variant that adds a normalized
+    identity shortcut. The deploy-time reparam fuse is a host-side weight
+    transform, unnecessary under XLA which already fuses the parallel
+    convolutions.
     """
 
     out_channels: int
+    with_branch_norm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -168,6 +172,6 @@ class RepVGGBlock(nn.Module):
         one = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         one = bn("bn1")(one)
         out = dense + one
-        if x.shape[-1] == self.out_channels:
+        if self.with_branch_norm and x.shape[-1] == self.out_channels:
             out = out + bn("bn_id")(x)
         return nn.silu(out)
