@@ -123,6 +123,7 @@ def main_train():
 
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")  # reference trains f32
 
     cfg = Config.fromfile(
         os.path.join(
@@ -130,6 +131,10 @@ def main_train():
             "configs/body_2d_keypoint/topdown_probmap/coco/td-pm_ProbPose-small_8xb64-210e_coco-256x192.py",
         )
     )
+    if dtype != "float32":
+        cfg.model["backbone"]["dtype"] = dtype
+        cfg.model["backbone"]["approximate_gelu"] = True
+        cfg.model["head"]["dtype"] = dtype
     model = PoseModel(cfg.model, metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
     variables = model.init()
     tx, _ = build_optimizer(
