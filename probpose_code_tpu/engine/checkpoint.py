@@ -233,6 +233,52 @@ def convert_torch_cspnext_backbone(sd: Dict[str, Any]):
     return params, stats
 
 
+def convert_torch_cspdarknet_backbone(sd: Dict[str, Any]):
+    """mmdet-style CSPDarknet torch keys -> our flax CSPDarknet tree.
+
+    Focus stem (``stem.conv`` ConvModule over the space-to-depth input),
+    per-stage [strided conv, (SPP), CSPLayer] with plain DarknetBottleneck
+    blocks (conv1 1x1 + conv2 3x3, no channel attention).
+    """
+    def conv_kernel(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv_module(flax_path, tprefix):
+        node_p, node_s = params, stats
+        for part in flax_path:
+            node_p = node_p.setdefault(part, {})
+            node_s = node_s.setdefault(part, {})
+        node_p["conv"] = {"kernel": conv_kernel(sd[f"{tprefix}.conv.weight"])}
+        node_p["bn"] = {"scale": sd[f"{tprefix}.bn.weight"], "bias": sd[f"{tprefix}.bn.bias"]}
+        node_s["bn"] = {"mean": sd[f"{tprefix}.bn.running_mean"], "var": sd[f"{tprefix}.bn.running_var"]}
+
+    conv_module(["stem", "conv"], "backbone.stem.conv")
+
+    for s in range(1, 6):
+        if f"backbone.stage{s}.0.conv.weight" not in sd:
+            continue
+        conv_module([f"stage{s}_conv"], f"backbone.stage{s}.0")
+        csp_idx = 1
+        if f"backbone.stage{s}.1.conv1.conv.weight" in sd and (
+            f"backbone.stage{s}.2.main_conv.conv.weight" in sd
+        ):  # SPPBottleneck then CSPLayer
+            conv_module([f"stage{s}_spp", "conv1"], f"backbone.stage{s}.1.conv1")
+            conv_module([f"stage{s}_spp", "conv2"], f"backbone.stage{s}.1.conv2")
+            csp_idx = 2
+        base = f"backbone.stage{s}.{csp_idx}"
+        for nm in ("main_conv", "short_conv", "final_conv"):
+            conv_module([f"stage{s}_csp", nm], f"{base}.{nm}")
+        n = 0
+        while f"{base}.blocks.{n}.conv1.conv.weight" in sd:
+            conv_module([f"stage{s}_csp", f"block{n}", "conv1"], f"{base}.blocks.{n}.conv1")
+            conv_module([f"stage{s}_csp", f"block{n}", "conv2"], f"{base}.blocks.{n}.conv2")
+            n += 1
+    return params, stats
+
+
 def _convert_rtmcc_head(sd: Dict[str, Any]):
     """RTMCCHead torch keys -> flax tree: final conv, ScaleNorm+Linear token
     MLP, GAU (ln/uv/gamma/beta/o/res_scale[/w rel-bias]), SimCC classifiers."""

@@ -769,3 +769,145 @@ def test_resnet_conversion_forward_parity():
         ref = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
     out = model.forward(variables, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# CSPDarknet (RTMO backbone) conversion parity
+# ---------------------------------------------------------------------------
+
+
+def _build_torch_cspdarknet(widen=0.125, deepen=0.33):
+    import torch
+    import torch.nn as nn
+
+    class ConvModule(nn.Module):
+        def __init__(self, cin, cout, k, stride=1):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, k, stride, k // 2, bias=False)
+            self.bn = nn.BatchNorm2d(cout, momentum=0.03, eps=1e-3)
+            self.act = nn.SiLU()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class Focus(nn.Module):
+        def __init__(self, cin, cout, k=3):
+            super().__init__()
+            self.conv = ConvModule(cin * 4, cout, k)
+
+        def forward(self, x):
+            tl, tr = x[..., ::2, ::2], x[..., ::2, 1::2]
+            bl, br = x[..., 1::2, ::2], x[..., 1::2, 1::2]
+            return self.conv(torch.cat((tl, bl, tr, br), 1))
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, cout, add_identity=True):
+            super().__init__()
+            mid = int(cout * 1.0)  # CSPLayer builds DarknetBottleneck(expansion=1.0)
+            self.conv1 = ConvModule(cin, mid, 1)
+            self.conv2 = ConvModule(mid, cout, 3)
+            self.add_identity = add_identity and cin == cout
+
+        def forward(self, x):
+            out = self.conv2(self.conv1(x))
+            return out + x if self.add_identity else out
+
+    class CSPLayer(nn.Module):
+        def __init__(self, cin, cout, n, add_identity=True):
+            super().__init__()
+            mid = cout // 2
+            self.main_conv = ConvModule(cin, mid, 1)
+            self.short_conv = ConvModule(cin, mid, 1)
+            self.final_conv = ConvModule(2 * mid, cout, 1)
+            self.blocks = nn.Sequential(*[Bottleneck(mid, mid, add_identity) for _ in range(n)])
+
+        def forward(self, x):
+            xs = self.short_conv(x)
+            xm = self.blocks(self.main_conv(x))
+            return self.final_conv(torch.cat((xm, xs), 1))
+
+    class SPP(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv1 = ConvModule(c, c // 2, 1)
+            self.conv2 = ConvModule(c * 2, c, 1)
+            self.pools = nn.ModuleList([nn.MaxPool2d(k, 1, k // 2) for k in (5, 9, 13)])
+
+        def forward(self, x):
+            x = self.conv1(x)
+            return self.conv2(torch.cat([x] + [p(x) for p in self.pools], 1))
+
+    arch = [[64, 128, 3, True, False], [128, 256, 9, True, False],
+            [256, 512, 9, True, False], [512, 1024, 3, False, True]]
+
+    class Backbone(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = Focus(3, int(64 * widen), k=3)
+            cin = int(64 * widen)
+            for i, (ic, oc, n, addid, use_spp) in enumerate(arch):
+                oc = int(oc * widen)
+                n = max(round(n * deepen), 1)
+                mods = [ConvModule(cin, oc, 3, 2)]
+                if use_spp:
+                    mods.append(SPP(oc))
+                mods.append(CSPLayer(oc, oc, n, addid))
+                setattr(self, f"stage{i + 1}", nn.Sequential(*mods))
+                cin = oc
+
+        def forward(self, x):
+            x = self.stem(x)
+            outs = []
+            for i in range(4):
+                x = getattr(self, f"stage{i + 1}")(x)
+                if i >= 1:
+                    outs.append(x)
+            return outs
+
+    class Model(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = Backbone()
+
+        def forward(self, x):
+            return self.backbone(x)
+
+    return Model()
+
+
+def test_cspdarknet_conversion_forward_parity():
+    """Reference-layout torch CSPDarknet (RTMO backbone) -> flax parity."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from probpose_code_tpu.engine.checkpoint import convert_torch_cspdarknet_backbone, _t
+    from probpose_code_tpu.models.backbones.csp_darknet import CSPDarknet
+
+    torch.manual_seed(3)
+    tm = _build_torch_cspdarknet()
+    with torch.no_grad():
+        tm.train()
+        for _ in range(2):
+            tm(torch.randn(2, 3, 64, 64))
+        tm.eval()
+
+    sd = {k: _t(v) for k, v in tm.state_dict().items()}
+    bb_p, bb_s = convert_torch_cspdarknet_backbone(sd)
+
+    flax_bb = CSPDarknet(deepen_factor=0.33, widen_factor=0.125, out_indices=(2, 3, 4))
+    x = np.random.RandomState(3).rand(2, 64, 64, 3).astype(np.float32)
+    init_vars = flax_bb.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    init_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(init_vars["params"])[0]}
+    conv_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(bb_p)[0]}
+    assert init_paths == conv_paths, (
+        f"missing: {sorted(init_paths - conv_paths)[:6]} extra: {sorted(conv_paths - init_paths)[:6]}"
+    )
+
+    with torch.no_grad():
+        refs = [t.numpy().transpose(0, 2, 3, 1) for t in tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+    outs = flax_bb.apply({"params": bb_p, "batch_stats": bb_s}, jnp.asarray(x), train=False)
+    assert len(outs) == len(refs)
+    for o, r in zip(outs, refs):
+        np.testing.assert_allclose(np.asarray(o), r, atol=5e-4)
