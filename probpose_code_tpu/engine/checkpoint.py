@@ -279,6 +279,178 @@ def convert_torch_cspdarknet_backbone(sd: Dict[str, Any]):
     return params, stats
 
 
+def convert_torch_hybrid_encoder(sd: Dict[str, Any], num_heads: int = 8):
+    """HybridEncoder (RTMO neck) torch keys -> our flax tree.
+
+    Reference ``mmpose/models/necks/hybrid_encoder.py:72-251``: ``input_proj``
+    ConvModules, per-level DETR encoders (``encoder.{i}.layers.{m}`` with mmcv
+    MultiheadAttention ``self_attn.attn.{in_proj_weight,out_proj}``, FFN
+    ``ffn.layers.0.0``/``.1``, ``norms.0/1``), FPN ``lateral_convs``/
+    ``fpn_blocks`` and PAN ``downsample_convs``/``pan_blocks`` CSPRepLayers
+    over RepVGG ``bottlenecks.{n}.branch_3x3/branch_1x1``, plus the optional
+    ChannelMapper ``projector.convs.{i}``. Returns (params, batch_stats).
+    """
+
+    def conv_kernel(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv_module(flax_path, tprefix):
+        _set(params, flax_path, "conv", {"kernel": conv_kernel(sd[f"{tprefix}.conv.weight"])})
+        _set(params, flax_path, "bn", {"scale": sd[f"{tprefix}.bn.weight"], "bias": sd[f"{tprefix}.bn.bias"]})
+        _set(stats, flax_path, "bn", {"mean": sd[f"{tprefix}.bn.running_mean"], "var": sd[f"{tprefix}.bn.running_var"]})
+
+    def csp_rep_layer(flax_name, tprefix):
+        conv_module([flax_name, "conv1"], f"{tprefix}.conv1")
+        conv_module([flax_name, "conv2"], f"{tprefix}.conv2")
+        if f"{tprefix}.conv3.conv.weight" in sd:  # Identity when widen_factor == 1
+            conv_module([flax_name, "conv3"], f"{tprefix}.conv3")
+        n = 0
+        while f"{tprefix}.bottlenecks.{n}.branch_3x3.conv.weight" in sd:
+            b = f"{tprefix}.bottlenecks.{n}"
+            _set(params, [flax_name, f"rep{n}"], "conv3", {"kernel": conv_kernel(sd[f"{b}.branch_3x3.conv.weight"])})
+            _set(params, [flax_name, f"rep{n}"], "bn3",
+                 {"scale": sd[f"{b}.branch_3x3.bn.weight"], "bias": sd[f"{b}.branch_3x3.bn.bias"]})
+            _set(stats, [flax_name, f"rep{n}"], "bn3",
+                 {"mean": sd[f"{b}.branch_3x3.bn.running_mean"], "var": sd[f"{b}.branch_3x3.bn.running_var"]})
+            _set(params, [flax_name, f"rep{n}"], "conv1", {"kernel": conv_kernel(sd[f"{b}.branch_1x1.conv.weight"])})
+            _set(params, [flax_name, f"rep{n}"], "bn1",
+                 {"scale": sd[f"{b}.branch_1x1.bn.weight"], "bias": sd[f"{b}.branch_1x1.bn.bias"]})
+            _set(stats, [flax_name, f"rep{n}"], "bn1",
+                 {"mean": sd[f"{b}.branch_1x1.bn.running_mean"], "var": sd[f"{b}.branch_1x1.bn.running_var"]})
+            n += 1
+
+    i = 0
+    while f"neck.input_proj.{i}.conv.weight" in sd:
+        conv_module([f"input_proj{i}"], f"neck.input_proj.{i}")
+        i += 1
+
+    j = 0
+    while f"neck.encoder.{j}.layers.0.norms.0.weight" in sd:
+        m = 0
+        while f"neck.encoder.{j}.layers.{m}.norms.0.weight" in sd:
+            p = f"neck.encoder.{j}.layers.{m}"
+            layer: Dict[str, Any] = {}
+            W = sd[f"{p}.self_attn.attn.in_proj_weight"]  # (3C, C), rows [q; k; v]
+            b = sd[f"{p}.self_attn.attn.in_proj_bias"]
+            C = W.shape[1]
+            hd = C // num_heads
+            attn = {}
+            for name, Wp, bp in (
+                ("query", W[:C], b[:C]), ("key", W[C : 2 * C], b[C : 2 * C]), ("value", W[2 * C :], b[2 * C :])
+            ):
+                attn[name] = {"kernel": Wp.T.reshape(C, num_heads, hd), "bias": bp.reshape(num_heads, hd)}
+            attn["out"] = {
+                "kernel": sd[f"{p}.self_attn.attn.out_proj.weight"].T.reshape(num_heads, hd, C),
+                "bias": sd[f"{p}.self_attn.attn.out_proj.bias"],
+            }
+            layer["self_attn"] = attn
+            layer["ffn1"] = {"kernel": sd[f"{p}.ffn.layers.0.0.weight"].T, "bias": sd[f"{p}.ffn.layers.0.0.bias"]}
+            layer["ffn2"] = {"kernel": sd[f"{p}.ffn.layers.1.weight"].T, "bias": sd[f"{p}.ffn.layers.1.bias"]}
+            layer["norm1"] = {"scale": sd[f"{p}.norms.0.weight"], "bias": sd[f"{p}.norms.0.bias"]}
+            layer["norm2"] = {"scale": sd[f"{p}.norms.1.weight"], "bias": sd[f"{p}.norms.1.bias"]}
+            _set(params, [f"encoder{j}"], f"layer{m}", layer)
+            m += 1
+        j += 1
+
+    k = 0
+    while f"neck.lateral_convs.{k}.conv.weight" in sd:
+        conv_module([f"lateral{k}"], f"neck.lateral_convs.{k}")
+        csp_rep_layer(f"fpn{k}", f"neck.fpn_blocks.{k}")
+        k += 1
+    k = 0
+    while f"neck.downsample_convs.{k}.conv.weight" in sd:
+        conv_module([f"down{k}"], f"neck.downsample_convs.{k}")
+        csp_rep_layer(f"pan{k}", f"neck.pan_blocks.{k}")
+        k += 1
+
+    i = 0
+    while f"neck.projector.convs.{i}.conv.weight" in sd:
+        conv_module([f"proj{i}"], f"neck.projector.convs.{i}")
+        i += 1
+    return params, stats
+
+
+def convert_torch_rtmo_head(sd: Dict[str, Any]):
+    """RTMOHead torch keys -> our flax head tree (head_module + dcc).
+
+    Reference ``rtmo_head.py``: RTMOHeadModule towers ``conv_cls.{i}.{j}`` /
+    ``conv_pose.{i}.{j}`` with 1x1 outputs ``out_{cls,bbox,kpt_reg,kpt_vis,
+    pose}.{i}`` (:98-170), and the DCC's ``pose_to_kpts`` (Linear+BN1d),
+    ``x_fc``/``y_fc`` bin adapters, ``sigma_fc`` (Linear+Sigmoid+Scale),
+    ``gau`` GAUEncoder and learnable ``pos_enc`` (:276-300).
+    """
+
+    def conv_kernel(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    params: Dict[str, Any] = {"head_module": {}, "dcc": {}}
+    stats: Dict[str, Any] = {"head_module": {}}
+    hm_p, hm_s = params["head_module"], stats["head_module"]
+
+    def conv_module(flax_path, tprefix):
+        _set(hm_p, flax_path, "conv", {"kernel": conv_kernel(sd[f"{tprefix}.conv.weight"])})
+        _set(hm_p, flax_path, "bn", {"scale": sd[f"{tprefix}.bn.weight"], "bias": sd[f"{tprefix}.bn.bias"]})
+        _set(hm_s, flax_path, "bn", {"mean": sd[f"{tprefix}.bn.running_mean"], "var": sd[f"{tprefix}.bn.running_var"]})
+
+    i = 0
+    while f"head.head_module.out_cls.{i}.weight" in sd:
+        j = 0
+        while f"head.head_module.conv_cls.{i}.{j}.conv.weight" in sd:
+            conv_module([f"conv_cls{i}", f"conv{j}"], f"head.head_module.conv_cls.{i}.{j}")
+            j += 1
+        j = 0
+        while f"head.head_module.conv_pose.{i}.{j}.conv.weight" in sd:
+            conv_module([f"conv_pose{i}_{j}"], f"head.head_module.conv_pose.{i}.{j}")
+            j += 1
+        for name in ("out_cls", "out_bbox", "out_kpt_reg", "out_kpt_vis", "out_pose"):
+            tkey = f"head.head_module.{name}.{i}.weight"
+            if tkey in sd:
+                hm_p[f"{name}{i}"] = {
+                    "kernel": conv_kernel(sd[tkey]),
+                    "bias": sd[f"head.head_module.{name}.{i}.bias"],
+                }
+        i += 1
+
+    dcc = params["dcc"]
+    dcc["pose_to_kpts"] = {"kernel": sd["head.dcc.pose_to_kpts.0.weight"].T, "bias": sd["head.dcc.pose_to_kpts.0.bias"]}
+    dcc["pose_bn"] = {"scale": sd["head.dcc.pose_to_kpts.1.weight"], "bias": sd["head.dcc.pose_to_kpts.1.bias"]}
+    stats["dcc"] = {
+        "pose_bn": {"mean": sd["head.dcc.pose_to_kpts.1.running_mean"], "var": sd["head.dcc.pose_to_kpts.1.running_var"]}
+    }
+    for fc in ("x_fc", "y_fc"):
+        dcc[fc] = {"kernel": sd[f"head.dcc.{fc}.weight"].T, "bias": sd[f"head.dcc.{fc}.bias"]}
+    dcc["sigma_fc"] = {"kernel": sd["head.dcc.sigma_fc.0.weight"].T, "bias": sd["head.dcc.sigma_fc.0.bias"]}
+    dcc["sigma_scale"] = np.asarray(sd["head.dcc.sigma_fc.2.scale"]).reshape(())
+    if "head.dcc.pos_enc" in sd:
+        dcc["pos_enc"] = sd["head.dcc.pos_enc"]
+    gau = {
+        "ln": {"g": sd["head.dcc.gau.ln.g"]},
+        "uv": {"kernel": sd["head.dcc.gau.uv.weight"].T},
+        "gamma": sd["head.dcc.gau.gamma"],
+        "beta": sd["head.dcc.gau.beta"],
+        "o": {"kernel": sd["head.dcc.gau.o.weight"].T},
+    }
+    if "head.dcc.gau.res_scale.scale" in sd:
+        gau["res_scale"] = {"scale": sd["head.dcc.gau.res_scale.scale"]}
+    dcc["gau"] = gau
+    return params, stats
+
+
+def _convert_rtmo_model(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """RTMO (CSPDarknet + HybridEncoder + RTMOHead) checkpoint -> variables."""
+    bb_p, bb_s = convert_torch_cspdarknet_backbone(sd)
+    params: Dict[str, Any] = {"backbone": bb_p}
+    stats: Dict[str, Any] = {"backbone": bb_s}
+    if any(k.startswith("neck.input_proj.") for k in sd):
+        params["neck"], stats["neck"] = convert_torch_hybrid_encoder(sd)
+    if "head.dcc.pose_to_kpts.0.weight" in sd:
+        params["head"], stats["head"] = convert_torch_rtmo_head(sd)
+    return {"params": params, "batch_stats": stats}
+
+
 def _convert_rtmcc_head(sd: Dict[str, Any]):
     """RTMCCHead torch keys -> flax tree: final conv, ScaleNorm+Linear token
     MLP, GAU (ln/uv/gamma/beta/o/res_scale[/w rel-bias]), SimCC classifiers."""
@@ -333,6 +505,8 @@ def convert_torch_state_dict(state_dict: Dict[str, Any], num_layers: int = 12) -
     """
     sd = {k: _t(v) for k, v in state_dict.items()}
 
+    if "backbone.stem.conv.conv.weight" in sd:  # CSPDarknet Focus stem (RTMO / YOLOX-Pose)
+        return _convert_rtmo_model(sd)
     if any(k.startswith("backbone.stem.") for k in sd):  # CSPNeXt (before HRNet: both have stage2)
         return _convert_cspnext_model(sd)
     if any(k.startswith("backbone.stage2.") for k in sd):

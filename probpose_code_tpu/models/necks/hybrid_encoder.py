@@ -29,7 +29,9 @@ def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class ConvBN(nn.Module):
-    """Conv + BN with optional activation (act_cfg=None in the reference)."""
+    """Conv + BN with optional SiLU (reference uses default BN eps=1e-5 in
+    this neck, unlike the YOLOX-style eps=1e-3 of the CSPNeXt/CSPDarknet
+    ConvModule). Padding is the explicit torch ``k // 2`` on both sides."""
 
     out_channels: int
     kernel_size: int = 1
@@ -39,9 +41,10 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        pad = self.kernel_size // 2
         x = nn.Conv(
             self.out_channels, (self.kernel_size, self.kernel_size), strides=(self.stride, self.stride),
-            padding="SAME", use_bias=False, dtype=self.dtype, name="conv",
+            padding=((pad, pad), (pad, pad)), use_bias=False, dtype=self.dtype, name="conv",
         )(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
         return nn.silu(x) if self.act else x
@@ -58,13 +61,13 @@ class CSPRepLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.out_channels * self.widen_factor)
-        x1 = ConvModule(hidden, 1, dtype=self.dtype, name="conv1")(x, train=train)
+        x1 = ConvBN(hidden, 1, dtype=self.dtype, name="conv1")(x, train=train)
         for i in range(self.num_blocks):
             x1 = RepVGGBlock(hidden, dtype=self.dtype, name=f"rep{i}")(x1, train=train)
-        x2 = ConvModule(hidden, 1, dtype=self.dtype, name="conv2")(x, train=train)
+        x2 = ConvBN(hidden, 1, dtype=self.dtype, name="conv2")(x, train=train)
         out = x1 + x2
         if hidden != self.out_channels:
-            out = ConvModule(self.out_channels, 1, dtype=self.dtype, name="conv3")(out, train=train)
+            out = ConvBN(self.out_channels, 1, dtype=self.dtype, name="conv3")(out, train=train)
         return out
 
 
@@ -116,7 +119,7 @@ class HybridEncoder(nn.Module):
         n = len(feats)
         inner = [feats[-1]]
         for k, idx in enumerate(range(n - 1, 0, -1)):
-            high = ConvModule(self.hidden_dim, 1, dtype=self.dtype, name=f"lateral{k}")(inner[0], train=train)
+            high = ConvBN(self.hidden_dim, 1, dtype=self.dtype, name=f"lateral{k}")(inner[0], train=train)
             inner[0] = high
             merged = jnp.concatenate([_upsample2x(high), feats[idx - 1]], axis=-1)
             inner.insert(
@@ -129,7 +132,7 @@ class HybridEncoder(nn.Module):
         # bottom-up PAN
         outs = [inner[0]]
         for k in range(n - 1):
-            down = ConvModule(self.hidden_dim, 3, stride=2, dtype=self.dtype, name=f"down{k}")(outs[-1], train=train)
+            down = ConvBN(self.hidden_dim, 3, stride=2, dtype=self.dtype, name=f"down{k}")(outs[-1], train=train)
             merged = jnp.concatenate([down, inner[k + 1]], axis=-1)
             outs.append(
                 CSPRepLayer(self.hidden_dim, nb, self.widen_factor, dtype=self.dtype, name=f"pan{k}")(

@@ -36,18 +36,20 @@ def sine_pos_encoding(position: jnp.ndarray, out_channels: int, temperature: flo
 
 
 def sine_pos_encoding_2d(h: int, w: int, out_channels: int, temperature: float = 1e5) -> np.ndarray:
-    """Grid sine encoding -> (h*w, 2*C) with (enc_h, enc_w) interleaved on the
-    last axis like the reference's stacked layout flattened (:491-513, used
-    flattened by HybridEncoder :204-206)."""
+    """Grid sine encoding -> (h*w, 2*C) laid out ``[enc_h | enc_w]``.
+
+    The reference stacks (enc_h, enc_w) on a trailing dim (:491-513) and the
+    HybridEncoder flattens it with ``transpose(-1, -2).reshape(1, h*w, -1)``
+    (hybrid_encoder.py:202) — i.e. per-position CONCATENATION of the h- and
+    w-encodings, which converted torch checkpoints depend on.
+    """
     dim_t = sine_dim_t(out_channels, temperature)
     gh, gw = np.meshgrid(np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32), indexing="ij")
     def enc(g):
         freq = g.reshape(-1)[:, None] / dim_t
         return np.concatenate([np.cos(freq), np.sin(freq)], axis=-1)
-    # reference stacks (enc_h, enc_w) on a trailing dim then transposes/
-    # reshapes to (1, h*w, 2C); equivalent to interleaving per-channel pairs
     e_h, e_w = enc(gh), enc(gw)  # (hw, C)
-    return np.stack([e_h, e_w], axis=-1).reshape(h * w, -1)
+    return np.concatenate([e_h, e_w], axis=-1)
 
 
 class ChannelWiseScale(nn.Module):
@@ -120,11 +122,11 @@ class DetrTransformerEncoderLayer(nn.Module):
             num_heads=self.num_heads, qkv_features=self.embed_dims, out_features=self.embed_dims,
             dtype=self.dtype, name="self_attn",
         )(inputs_q=q, inputs_k=q, inputs_v=x)
-        x = nn.LayerNorm(name="norm1")(x + attn)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
         h = nn.Dense(self.feedforward_channels, dtype=self.dtype, name="ffn1")(x)
         h = nn.gelu(h, approximate=False) if self.act == "GELU" else nn.relu(h)
         h = nn.Dense(self.embed_dims, dtype=self.dtype, name="ffn2")(h)
-        return nn.LayerNorm(name="norm2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
 
 
 class DetrTransformerEncoder(nn.Module):

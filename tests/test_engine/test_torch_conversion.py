@@ -911,3 +911,424 @@ def test_cspdarknet_conversion_forward_parity():
     assert len(outs) == len(refs)
     for o, r in zip(outs, refs):
         np.testing.assert_allclose(np.asarray(o), r, atol=5e-4)
+
+
+def _build_torch_hybrid_encoder(in_channels=(32, 64, 128), hidden=64, heads=4,
+                                ffn=128, widen=0.5, num_blocks=1, proj=48):
+    """Reference-layout HybridEncoder (``mmpose/models/necks/hybrid_encoder.py``):
+    input_proj ConvModules (no act, BN eps 1e-5), one DETR encoder level with
+    mmcv-style ``self_attn.attn``/``ffn.layers``/``norms`` keys, CSPRepLayer
+    FPN/PAN over RepVGG bottlenecks, ChannelMapper projector."""
+    import math
+
+    import torch.nn.functional as F
+
+    class ConvModule(tnn.Module):
+        def __init__(self, cin, cout, k, stride=1, act=True):
+            super().__init__()
+            self.conv = tnn.Conv2d(cin, cout, k, stride, k // 2, bias=False)
+            self.bn = tnn.BatchNorm2d(cout)
+            self.act = tnn.SiLU() if act else tnn.Identity()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class RepVGG(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.branch_3x3 = ConvModule(c, c, 3, act=False)
+            self.branch_1x1 = ConvModule(c, c, 1, act=False)
+
+        def forward(self, x):
+            return F.silu(self.branch_3x3(x) + self.branch_1x1(x))
+
+    class CSPRep(tnn.Module):
+        def __init__(self, cin, cout, n, widen_):
+            super().__init__()
+            mid = int(cout * widen_)
+            self.conv1 = ConvModule(cin, mid, 1)
+            self.conv2 = ConvModule(cin, mid, 1)
+            self.bottlenecks = tnn.Sequential(*[RepVGG(mid) for _ in range(n)])
+            self.conv3 = ConvModule(mid, cout, 1) if mid != cout else tnn.Identity()
+
+        def forward(self, x):
+            return self.conv3(self.bottlenecks(self.conv1(x)) + self.conv2(x))
+
+    class Attn(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.attn = tnn.MultiheadAttention(hidden, heads, batch_first=True)
+
+    class EncLayer(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.self_attn = Attn()
+
+            class FFN(tnn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.layers = tnn.Sequential(
+                        tnn.Sequential(tnn.Linear(hidden, ffn), tnn.GELU()), tnn.Linear(ffn, hidden)
+                    )
+
+            self.ffn = FFN()
+            self.norms = tnn.ModuleList([tnn.LayerNorm(hidden), tnn.LayerNorm(hidden)])
+
+        def forward(self, x, pos):
+            q = x + pos
+            out = self.self_attn.attn(q, q, x)[0]
+            x = self.norms[0](x + out)
+            return self.norms[1](x + self.ffn.layers(x))
+
+    class Enc(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layers = tnn.ModuleList([EncLayer()])
+
+        def forward(self, x, pos):
+            for layer in self.layers:
+                x = layer(x, pos)
+            return x
+
+    def pos_enc_2d(h, w, c, temp=10000.0):
+        # SinePositionalEncoding(spatial_dim=2) stacked + the HybridEncoder's
+        # transpose(-1, -2).reshape flatten == concat [enc_h | enc_w]
+        pos_dim = c // 2
+        dim_t = temp ** (torch.arange(pos_dim, dtype=torch.float32) / pos_dim)
+        gh, gw = torch.meshgrid(torch.arange(h, dtype=torch.float32),
+                                torch.arange(w, dtype=torch.float32), indexing="ij")
+        fh = gh.flatten()[:, None] / dim_t
+        fw = gw.flatten()[:, None] / dim_t
+        eh = torch.cat([fh.cos(), fh.sin()], -1)
+        ew = torch.cat([fw.cos(), fw.sin()], -1)
+        return torch.cat([eh, ew], -1)
+
+    class Projector(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.convs = tnn.ModuleList([ConvModule(hidden, proj, 1, act=False) for _ in range(2)])
+
+    class Neck(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.input_proj = tnn.ModuleList([ConvModule(c, hidden, 1, act=False) for c in in_channels])
+            self.encoder = tnn.ModuleList([Enc()])
+            self.lateral_convs = tnn.ModuleList([ConvModule(hidden, hidden, 1) for _ in range(2)])
+            self.fpn_blocks = tnn.ModuleList([CSPRep(hidden * 2, hidden, num_blocks, widen) for _ in range(2)])
+            self.downsample_convs = tnn.ModuleList([ConvModule(hidden, hidden, 3, 2) for _ in range(2)])
+            self.pan_blocks = tnn.ModuleList([CSPRep(hidden * 2, hidden, num_blocks, widen) for _ in range(2)])
+            self.projector = Projector()
+
+        def forward(self, feats):
+            feats = [self.input_proj[i](x) for i, x in enumerate(feats)]
+            b, c, h, w = feats[2].shape
+            tokens = feats[2].flatten(2).permute(0, 2, 1)
+            tokens = self.encoder[0](tokens, pos_enc_2d(h, w, hidden // 2)[None])
+            feats[2] = tokens.permute(0, 2, 1).reshape(b, c, h, w)
+            inner = [feats[2]]
+            for idx in (2, 1):
+                high = self.lateral_convs[2 - idx](inner[0])
+                inner[0] = high
+                up = F.interpolate(high, scale_factor=2.0, mode="nearest")
+                inner.insert(0, self.fpn_blocks[2 - idx](torch.cat([up, feats[idx - 1]], 1)))
+            outs = [inner[0]]
+            for idx in range(2):
+                down = self.downsample_convs[idx](outs[-1])
+                outs.append(self.pan_blocks[idx](torch.cat([down, inner[idx + 1]], 1)))
+            outs = [outs[1], outs[2]]  # output_indices=[1, 2]
+            return [self.projector.convs[i](o) for i, o in enumerate(outs)]
+
+    class Model(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.neck = Neck()
+
+        def forward(self, feats):
+            return self.neck(feats)
+
+    return Model()
+
+
+def test_hybrid_encoder_conversion_forward_parity():
+    """Reference-layout torch HybridEncoder (RTMO neck) -> flax parity,
+    including the [enc_h | enc_w] sine positional-encoding flatten layout."""
+    from probpose_code_tpu.engine.checkpoint import _t, convert_torch_hybrid_encoder
+    from probpose_code_tpu.models.necks.hybrid_encoder import HybridEncoder
+
+    torch.manual_seed(5)
+    tm = _build_torch_hybrid_encoder()
+    rng = np.random.RandomState(5)
+    feats = [rng.rand(2, c, s, s).astype(np.float32)
+             for c, s in zip((32, 64, 128), (16, 8, 4))]
+    with torch.no_grad():
+        tm.train()
+        tm([torch.from_numpy(f) for f in feats])
+        tm.eval()
+        refs = [t.numpy().transpose(0, 2, 3, 1) for t in tm([torch.from_numpy(f) for f in feats])]
+
+    sd = {k: _t(v) for k, v in tm.state_dict().items()}
+    neck_p, neck_s = convert_torch_hybrid_encoder(sd, num_heads=4)
+
+    flax_neck = HybridEncoder(
+        in_channels=(32, 64, 128), hidden_dim=64, num_heads=4, feedforward_channels=128,
+        widen_factor=0.5, deepen_factor=1 / 3, output_indices=(1, 2), projector_channels=48,
+    )
+    xs = tuple(jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats)
+    init_vars = flax_neck.init(jax.random.PRNGKey(0), xs, train=False)
+    init_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(init_vars["params"])[0]}
+    conv_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(neck_p)[0]}
+    assert init_paths == conv_paths, (
+        f"missing: {sorted(init_paths - conv_paths)[:6]} extra: {sorted(conv_paths - init_paths)[:6]}"
+    )
+
+    outs = flax_neck.apply({"params": neck_p, "batch_stats": neck_s}, xs, train=False)
+    assert len(outs) == len(refs)
+    for o, r in zip(outs, refs):
+        np.testing.assert_allclose(np.asarray(o), r, atol=1e-3)
+
+
+def _build_torch_rtmo_head(num_kpts=5, in_ch=64, widen=0.5, cls_feat=32, num_groups=4,
+                           cpg=12, pose_vec=32, dcc_feat=16, num_bins=(8, 10), spe_ch=12,
+                           gau_s=8, spe_temp=300.0):
+    """Reference-layout RTMOHead (``rtmo_head.py``): RTMOHeadModule cls/pose
+    towers over split-channel features (:180-219, BN eps 1e-3) and the DCC
+    (:228-555) with pose_to_kpts Linear+BN1d, sine bin encodings (temp 300),
+    GAU with additive learnable pos_enc, and sigma_fc Linear+Sigmoid+Scale."""
+    import math
+
+    import torch.nn.functional as F
+
+    hm_in = int(in_ch * widen)          # per-branch input channels (:89)
+    cls_ch = int(cls_feat * widen)
+    pose_ch = num_groups * int(widen * cpg)
+
+    class ConvModule(tnn.Module):
+        def __init__(self, cin, cout, k, groups=1):
+            super().__init__()
+            self.conv = tnn.Conv2d(cin, cout, k, 1, k // 2, groups=groups, bias=False)
+            self.bn = tnn.BatchNorm2d(cout, momentum=0.03, eps=1e-3)
+            self.act = tnn.SiLU()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class HeadModule(tnn.Module):
+        def __init__(self, n_levels=2):
+            super().__init__()
+            self.conv_cls = tnn.ModuleList(
+                tnn.Sequential(*[ConvModule(hm_in if j == 0 else cls_ch, cls_ch, 3) for j in range(2)])
+                for _ in range(n_levels)
+            )
+            self.conv_pose = tnn.ModuleList(
+                tnn.Sequential(*[
+                    ConvModule(hm_in if j == 0 else pose_ch, pose_ch, 3, groups=1 if j == 0 else num_groups)
+                    for j in range(4)
+                ])
+                for _ in range(n_levels)
+            )
+            self.out_cls = tnn.ModuleList(tnn.Conv2d(cls_ch, 1, 1) for _ in range(n_levels))
+            self.out_bbox = tnn.ModuleList(tnn.Conv2d(pose_ch, 4, 1) for _ in range(n_levels))
+            self.out_kpt_reg = tnn.ModuleList(tnn.Conv2d(pose_ch, num_kpts * 2, 1) for _ in range(n_levels))
+            self.out_kpt_vis = tnn.ModuleList(tnn.Conv2d(pose_ch, num_kpts, 1) for _ in range(n_levels))
+            self.out_pose = tnn.ModuleList(tnn.Conv2d(pose_ch, pose_vec, 1) for _ in range(n_levels))
+
+        def forward(self, feats):
+            out = []
+            for i, x in enumerate(feats):
+                cls_feat_, reg_feat = x.split(x.size(1) // 2, 1)
+                cf = self.conv_cls[i](cls_feat_)
+                pf = self.conv_pose[i](reg_feat)
+                out.append((self.out_cls[i](cf), self.out_bbox[i](pf), self.out_kpt_reg[i](pf),
+                            self.out_kpt_vis[i](pf), self.out_pose[i](pf)))
+            return out
+
+    class ScaleNorm(tnn.Module):
+        def __init__(self, dim, eps=1e-5):
+            super().__init__()
+            self.scale = dim ** -0.5
+            self.eps = eps
+            self.g = tnn.Parameter(torch.ones(1))
+
+        def forward(self, x):
+            norm = torch.norm(x, dim=-1, keepdim=True) * self.scale
+            return x / norm.clamp(min=self.eps) * self.g
+
+    class ChannelScale(tnn.Module):
+        def __init__(self, d):
+            super().__init__()
+            self.scale = tnn.Parameter(torch.ones(d))
+
+        def forward(self, x):
+            return x * self.scale
+
+    class GAU(tnn.Module):
+        def __init__(self, dim, expansion=2):
+            super().__init__()
+            e = dim * expansion
+            self.e, self.s = e, gau_s
+            self.ln = ScaleNorm(dim)
+            self.uv = tnn.Linear(dim, 2 * e + gau_s, bias=False)
+            self.gamma = tnn.Parameter(torch.rand(2, gau_s))
+            self.beta = tnn.Parameter(torch.rand(2, gau_s))
+            self.o = tnn.Linear(e, dim, bias=False)
+            self.res_scale = ChannelScale(dim)
+            self.sqrt_s = math.sqrt(gau_s)
+
+        def forward(self, x, pos_enc):
+            shortcut = x
+            h = self.ln(x)
+            uv = F.silu(self.uv(h))
+            u, v, base = torch.split(uv, [self.e, self.e, self.s], dim=-1)
+            q = base * self.gamma[0] + self.beta[0] + pos_enc
+            k = base * self.gamma[1] + self.beta[1] + pos_enc
+            qk = torch.einsum("...ns,...ms->...nm", q, k)
+            kernel = torch.square(torch.relu(qk / self.sqrt_s))
+            out = u * torch.einsum("...nm,...me->...ne", kernel, v)
+            return self.res_scale(shortcut) + self.o(out)
+
+    class Scale(tnn.Module):
+        def __init__(self, v):
+            super().__init__()
+            self.scale = tnn.Parameter(torch.tensor(float(v)))
+
+        def forward(self, x):
+            return x * self.scale
+
+    class DCC(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gau = GAU(dcc_feat)
+            self.pos_enc = tnn.Parameter(torch.randn(num_kpts, gau_s))
+            self.pose_to_kpts = tnn.Sequential(
+                tnn.Linear(pose_vec, dcc_feat * num_kpts), tnn.BatchNorm1d(dcc_feat * num_kpts)
+            )
+            self.x_fc = tnn.Linear(spe_ch, dcc_feat)
+            self.y_fc = tnn.Linear(spe_ch, dcc_feat)
+            self.sigma_fc = tnn.Sequential(tnn.Linear(pose_vec, num_kpts), tnn.Sigmoid(), Scale(0.1))
+            self.register_buffer("x_bins", torch.linspace(-0.5, 0.5, num_bins[0]))
+            self.register_buffer("y_bins", torch.linspace(-0.5, 0.5, num_bins[1]))
+
+        def spe(self, position):
+            pos_dim = spe_ch // 2
+            dim_t = spe_temp ** (torch.arange(pos_dim, dtype=torch.float32) / pos_dim)
+            freq = position.unsqueeze(-1) / dim_t
+            return torch.cat([freq.cos(), freq.sin()], -1)
+
+        def forward_test(self, pose_feats, bbox_cs, grids):
+            center, scale = bbox_cs.split(2, dim=-1)
+            rel = center - grids
+            x_bins = self.x_bins.view(1, -1) * scale[..., 0:1] + rel[..., 0:1]
+            y_bins = self.y_bins.view(1, -1) * scale[..., 1:2] + rel[..., 1:2]
+            x_enc = self.x_fc(self.spe(x_bins))
+            y_enc = self.y_fc(self.spe(y_bins))
+            kf = self.pose_to_kpts(pose_feats)
+            kf = kf.reshape(*kf.shape[:-1], num_kpts, dcc_feat)
+            kf = self.gau(kf, self.pos_enc)
+            x_hms = torch.matmul(kf, x_enc.transpose(-1, -2))
+            y_hms = torch.matmul(kf, y_enc.transpose(-1, -2))
+            x_hms = x_hms.clamp(min=-5e4, max=5e4)
+            y_hms = y_hms.clamp(min=-5e4, max=5e4)
+            x_hms = (x_hms - x_hms.max(dim=-1, keepdim=True).values).exp()
+            y_hms = (y_hms - y_hms.max(dim=-1, keepdim=True).values).exp()
+            x_hms = x_hms / (x_hms.sum(dim=-1, keepdim=True) + 1e-8)
+            y_hms = y_hms / (y_hms.sum(dim=-1, keepdim=True) + 1e-8)
+            # reference decodes with ABSOLUTE bins (center, not center - grid)
+            ax_bins = self.x_bins.view(1, -1) * scale[..., 0:1] + center[..., 0:1]
+            ay_bins = self.y_bins.view(1, -1) * scale[..., 1:2] + center[..., 1:2]
+            x = (x_hms * ax_bins.unsqueeze(1)).sum(dim=-1)
+            y = (y_hms * ay_bins.unsqueeze(1)).sum(dim=-1)
+            sigmas = self.sigma_fc(pose_feats)
+            return torch.stack((x, y), dim=-1), sigmas
+
+    class Head(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.head_module = HeadModule()
+            self.dcc = DCC()
+
+    class Model(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.head = Head()
+
+    return Model()
+
+
+def test_rtmo_head_conversion_forward_parity():
+    """Reference-layout torch RTMOHead (module towers + DCC) -> flax parity."""
+    from probpose_code_tpu.engine.checkpoint import _t, convert_torch_rtmo_head
+    from probpose_code_tpu.models.heads.rtmo_head import DCC, RTMOHeadModule
+
+    torch.manual_seed(7)
+    tm = _build_torch_rtmo_head()
+    rng = np.random.RandomState(7)
+    feats = [rng.rand(2, 64, s, s).astype(np.float32) for s in (8, 4)]
+    pose_feats = rng.rand(6, 32).astype(np.float32)
+    bbox_cs = np.concatenate([rng.rand(6, 2) * 32, 5 + rng.rand(6, 2) * 40], -1).astype(np.float32)
+    grids = (rng.rand(6, 2) * 32).astype(np.float32)
+
+    with torch.no_grad():
+        tm.train()
+        for _ in range(2):
+            tm.head.head_module([torch.from_numpy(f) for f in feats])
+            tm.head.dcc.forward_test(torch.from_numpy(pose_feats), torch.from_numpy(bbox_cs),
+                                     torch.from_numpy(grids))
+        tm.eval()
+        level_outs = tm.head.head_module([torch.from_numpy(f) for f in feats])
+        ref_kpts, ref_sigmas = tm.head.dcc.forward_test(
+            torch.from_numpy(pose_feats), torch.from_numpy(bbox_cs), torch.from_numpy(grids))
+
+    def flat(field):
+        return np.concatenate(
+            [level_outs[i][field].numpy().transpose(0, 2, 3, 1).reshape(2, -1, level_outs[i][field].shape[1])
+             for i in range(2)], axis=1)
+
+    sd = {k: _t(v) for k, v in tm.state_dict().items()}
+    head_p, head_s = convert_torch_rtmo_head(sd)
+
+    fm = RTMOHeadModule(num_keypoints=5, in_channels=64, widen_factor=0.5, cls_feat_channels=32,
+                        num_groups=4, channels_per_group=12, pose_vec_channels=32,
+                        featmap_strides=(16, 32))
+    xs = tuple(jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats)
+    init_vars = fm.init(jax.random.PRNGKey(0), xs, train=False)
+    init_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(init_vars["params"])[0]}
+    conv_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(head_p["head_module"])[0]}
+    assert init_paths == conv_paths, (
+        f"missing: {sorted(init_paths - conv_paths)[:6]} extra: {sorted(conv_paths - init_paths)[:6]}"
+    )
+    out = fm.apply({"params": head_p["head_module"], "batch_stats": head_s["head_module"]}, xs, train=False)
+    np.testing.assert_allclose(np.asarray(out["cls_scores"]), flat(0), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["bbox_preds"]), flat(1), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["kpt_offsets"]).reshape(2, -1, 10), flat(2), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["kpt_vis"]), flat(3), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["pose_vecs"]), flat(4), atol=5e-4)
+
+    fd = DCC(in_channels=32, num_keypoints=5, feat_channels=16, num_bins=(8, 10),
+             spe_channels=12, spe_temperature=300.0, gau_s=8)
+    dcc_init = fd.init(jax.random.PRNGKey(0), jnp.asarray(pose_feats), jnp.asarray(bbox_cs),
+                       jnp.asarray(grids), train=False)
+    init_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(dcc_init["params"])[0]}
+    conv_paths = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(head_p["dcc"])[0]}
+    assert init_paths == conv_paths, (
+        f"missing: {sorted(init_paths - conv_paths)[:6]} extra: {sorted(conv_paths - init_paths)[:6]}"
+    )
+    preds, _, sigmas = fd.apply(
+        {"params": head_p["dcc"], "batch_stats": head_s["dcc"]},
+        jnp.asarray(pose_feats), jnp.asarray(bbox_cs), jnp.asarray(grids), train=False)
+    np.testing.assert_allclose(np.asarray(preds) + grids[:, None, :], ref_kpts.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sigmas), ref_sigmas.numpy(), atol=1e-5)
+
+
+def test_rtmo_full_checkpoint_dispatch():
+    """convert_torch_state_dict routes a combined CSPDarknet+HybridEncoder+
+    RTMOHead state dict through the RTMO converter (backbone/neck/head)."""
+    torch.manual_seed(1)
+    sd = {}
+    sd.update(_build_torch_cspdarknet().state_dict())
+    sd.update(_build_torch_hybrid_encoder().state_dict())
+    sd.update(_build_torch_rtmo_head().state_dict())
+    out = convert_torch_state_dict({k: v.detach().numpy() for k, v in sd.items()})
+    assert set(out["params"]) == {"backbone", "neck", "head"}
+    assert "head_module" in out["params"]["head"] and "dcc" in out["params"]["head"]
+    assert "encoder0" in out["params"]["neck"] and "proj1" in out["params"]["neck"]
+    assert "pose_bn" in out["batch_stats"]["head"]["dcc"]
