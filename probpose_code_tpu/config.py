@@ -20,6 +20,29 @@ _DELETE_KEY = "_delete_"
 _RESERVED = ("_base_", "__builtins__")
 
 
+def _run_custom_imports(spec) -> None:
+    """mmengine-style ``custom_imports``: import project modules so their
+    registry decorators run (e.g. ``projects/example_project``). Accepts a
+    dict ``{"imports": [...], "allow_failed_imports": bool}`` or a plain list."""
+    if not spec:
+        return
+    import importlib
+
+    if isinstance(spec, dict):
+        modules = spec.get("imports", [])
+        allow_failed = spec.get("allow_failed_imports", False)
+    else:
+        modules, allow_failed = spec, False
+    if isinstance(modules, str):
+        modules = [modules]
+    for mod in modules:
+        try:
+            importlib.import_module(mod)
+        except ImportError:
+            if not allow_failed:
+                raise
+
+
 class Config(dict):
     """A dict with attribute access and deep-merge config semantics."""
 
@@ -41,6 +64,7 @@ class Config(dict):
     def fromfile(filename: Union[str, os.PathLike]) -> "Config":
         filename = os.path.abspath(os.fspath(filename))
         cfg_dict = _load_py(filename)
+        _run_custom_imports(cfg_dict.get("custom_imports"))
         return Config(_wrap(cfg_dict))
 
     @staticmethod
