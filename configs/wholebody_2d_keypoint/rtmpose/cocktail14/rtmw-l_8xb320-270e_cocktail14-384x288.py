@@ -1,0 +1,30 @@
+# RTMW-l 384x288: higher-resolution variant (sigma rescaled per reference).
+# TPU-native counterpart of the reference config of the same name.
+_base_ = ["./rtmw-l_8xb1024-270e_cocktail14-256x192.py"]
+
+auto_scale_lr = dict(base_batch_size=2560)
+
+codec = dict(type="SimCCLabel", input_size=(288, 384), sigma=(6.0, 6.93), simcc_split_ratio=2.0,
+             normalize=False, use_dark=False)
+
+model = dict(head=dict(input_size=codec["input_size"], in_featuremap_size=(9, 12), decoder=codec))
+
+train_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="RandomHalfBody"),
+    dict(type="RandomBBoxTransform", scale_factor=(0.5, 1.5), rotate_factor=90),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="PackPoseInputs"),
+]
+val_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="PackPoseInputs"),
+]
+train_dataloader = dict(batch_size=320, dataset=dict(pipeline=train_pipeline))
+val_dataloader = dict(dataset=dict(pipeline=val_pipeline))
+test_dataloader = val_dataloader

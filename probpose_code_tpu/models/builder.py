@@ -391,7 +391,14 @@ class PoseModel:
             return jax.jit(_predict_onestage_p) if jit else _predict_onestage_p
         flip_test = test_cfg.get("flip_test", False) if flip_test is None else flip_test
         shift_heatmap = test_cfg.get("shift_heatmap", False)
-        flip_indices = list(self.metainfo["flip_indices"]) if self.metainfo else list(range(17))
+        if self.metainfo:
+            flip_indices = list(self.metainfo["flip_indices"])
+        else:
+            # no metainfo: identity permutation sized to the head's keypoint
+            # count (a 17-kpt default would mis-gather e.g. 133-kpt wholebody)
+            hc = self.aux["head_cfg"]
+            num_kpts = hc.get("out_channels") or hc.get("num_joints") or hc.get("num_keypoints") or 17
+            flip_indices = list(range(num_kpts))
         freeze_oks = self.aux["head_cfg"].get("freeze_oks", False)
         head_type = self.head_type
         input_size = self.input_size
