@@ -169,3 +169,10 @@ class SyncBuffersHook(Hook):
     """No-op on TPU: buffers (BN stats) are computed over the global batch
     inside the jitted step, so there is nothing to synchronize
     (reference sync-buffer semantics are subsumed — see parallel/train_step)."""
+
+
+@HOOKS.register_module()
+class SyncNormHook(Hook):
+    """No-op on TPU (reference ``engine/hooks/sync_norm_hook.py:22`` all-reduces
+    norm-layer states across ranks before val; jit's global-view BN makes the
+    states identical on every device by construction)."""
