@@ -483,16 +483,111 @@ def _convert_rtmcc_head(sd: Dict[str, Any]):
     return head_p, {}
 
 
+def convert_torch_cspnext_pafpn(sd: Dict[str, Any]):
+    """CSPNeXtPAFPN torch keys -> flax tree (reference
+    ``mmpose/models/necks/cspnext_pafpn.py:75-146``): ``reduce_layers.{j}`` /
+    ``top_down_blocks.{j}`` indexed high-to-low (j=0 is the highest level,
+    our ``reduce{n-1}``/``top_down{n-1}``), ``downsamples.{k}`` /
+    ``bottom_up_blocks.{k}`` low-to-high, CSP layers with CSPNeXt blocks.
+    Out convs (only present when out_channels is not None) map per level."""
+
+    def conv_kernel(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv_module(flax_path, tprefix):
+        _set(params, flax_path, "conv", {"kernel": conv_kernel(sd[f"{tprefix}.conv.weight"])})
+        _set(params, flax_path, "bn", {"scale": sd[f"{tprefix}.bn.weight"], "bias": sd[f"{tprefix}.bn.bias"]})
+        _set(stats, flax_path, "bn", {"mean": sd[f"{tprefix}.bn.running_mean"], "var": sd[f"{tprefix}.bn.running_var"]})
+
+    def csp_layer(flax_name, tprefix):
+        for nm in ("main_conv", "short_conv", "final_conv"):
+            conv_module([flax_name, nm], f"{tprefix}.{nm}")
+        m = 0
+        while f"{tprefix}.blocks.{m}.conv1.conv.weight" in sd:
+            conv_module([flax_name, f"block{m}", "conv1"], f"{tprefix}.blocks.{m}.conv1")
+            conv_module([flax_name, f"block{m}", "conv2", "depthwise"],
+                        f"{tprefix}.blocks.{m}.conv2.depthwise_conv")
+            conv_module([flax_name, f"block{m}", "conv2", "pointwise"],
+                        f"{tprefix}.blocks.{m}.conv2.pointwise_conv")
+            m += 1
+
+    n_red = 0
+    while f"neck.reduce_layers.{n_red}.conv.weight" in sd:
+        n_red += 1
+    n = n_red + 1  # number of input levels
+    for j in range(n_red):
+        conv_module([f"reduce{n - 1 - j}"], f"neck.reduce_layers.{j}")
+        csp_layer(f"top_down{n - 1 - j}", f"neck.top_down_blocks.{j}")
+    for k in range(n - 1):
+        conv_module([f"down{k}"], f"neck.downsamples.{k}")
+        csp_layer(f"bottom_up{k}", f"neck.bottom_up_blocks.{k}")
+    i = 0
+    while f"neck.out_convs.{i}.conv.weight" in sd:
+        conv_module([f"out_conv{i}"], f"neck.out_convs.{i}")
+        i += 1
+    return params, stats
+
+
+def _convert_rtmw_head(sd: Dict[str, Any]):
+    """RTMWHead torch keys -> flax tree (reference
+    ``heads/coord_cls_heads/rtmw_head.py:96-158``): three ConvModule branches
+    (final_layer / conv_dec / final_layer2, BN+ReLU), two ScaleNorm+Linear
+    token MLPs, one RTMCC GAU, and the SimCC x/y classifiers."""
+
+    def conv_kernel(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    head_p: Dict[str, Any] = {}
+    head_s: Dict[str, Any] = {}
+    for name in ("final_layer", "conv_dec", "final_layer2"):
+        head_p[f"{name}_conv"] = {"kernel": conv_kernel(sd[f"head.{name}.conv.weight"])}
+        head_p[f"{name}_bn"] = {"scale": sd[f"head.{name}.bn.weight"], "bias": sd[f"head.{name}.bn.bias"]}
+        head_s[f"{name}_bn"] = {
+            "mean": sd[f"head.{name}.bn.running_mean"], "var": sd[f"head.{name}.bn.running_var"]
+        }
+    head_p["mlp_norm"] = {"g": sd["head.mlp.0.g"]}
+    head_p["mlp"] = {"kernel": sd["head.mlp.1.weight"].T}
+    head_p["mlp2_norm"] = {"g": sd["head.mlp2.0.g"]}
+    head_p["mlp2"] = {"kernel": sd["head.mlp2.1.weight"].T}
+    gau = {
+        "ln": {"g": sd["head.gau.ln.g"]},
+        "uv": {"kernel": sd["head.gau.uv.weight"].T},
+        "gamma": sd["head.gau.gamma"],
+        "beta": sd["head.gau.beta"],
+        "o": {"kernel": sd["head.gau.o.weight"].T},
+    }
+    if "head.gau.res_scale.scale" in sd:
+        gau["res_scale"] = sd["head.gau.res_scale.scale"]
+    if "head.gau.w" in sd:
+        gau["w"] = sd["head.gau.w"]
+    head_p["gau"] = gau
+    head_p["cls_x"] = {"kernel": sd["head.cls_x.weight"].T}
+    head_p["cls_y"] = {"kernel": sd["head.cls_y.weight"].T}
+    return head_p, head_s
+
+
 def _convert_cspnext_model(sd: Dict[str, Any]) -> Dict[str, Any]:
     bb_p, bb_s = convert_torch_cspnext_backbone(sd)
-    if "head.gau.uv.weight" in sd:
+    neck_p = neck_s = None
+    if "neck.reduce_layers.0.conv.weight" in sd or "neck.downsample_layers.0.conv.weight" in sd:
+        neck_p, neck_s = convert_torch_cspnext_pafpn(sd)
+    if "head.final_layer2.conv.weight" in sd:
+        head_p, head_s = _convert_rtmw_head(sd)
+    elif "head.gau.uv.weight" in sd:
         head_p, head_s = _convert_rtmcc_head(sd)
     else:
         head_p, head_s = _convert_head(sd)
-    return {
+    out = {
         "params": {"backbone": bb_p, "head": head_p},
         "batch_stats": {"backbone": bb_s, **({"head": head_s} if head_s else {})},
     }
+    if neck_p is not None:
+        out["params"]["neck"] = neck_p
+        out["batch_stats"]["neck"] = neck_s
+    return out
 
 
 def convert_torch_state_dict(state_dict: Dict[str, Any], num_layers: int = 12) -> Dict[str, Any]:

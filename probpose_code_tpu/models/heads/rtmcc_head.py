@@ -111,10 +111,15 @@ class RTMCCHead(nn.Module):
 
 
 def _pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
-    """NHWC pixel shuffle: (B, H, W, C) -> (B, rH, rW, C/r^2)."""
+    """NHWC pixel shuffle: (B, H, W, C) -> (B, rH, rW, C/r^2).
+
+    Channel ordering matches ``torch.nn.PixelShuffle`` (output-channel major:
+    input channel ``co*r*r + i*r + j`` feeds output pixel offset (i, j)), so
+    converted torch weights downstream of the shuffle stay aligned.
+    """
     b, h, w, c = x.shape
-    x = x.reshape(b, h, w, r, r, c // (r * r))
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * r, w * r, c // (r * r))
+    x = x.reshape(b, h, w, c // (r * r), r, r)
+    return x.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * r, w * r, c // (r * r))
 
 
 @MODELS.register_module()
@@ -138,25 +143,35 @@ class RTMWHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        from probpose_code_tpu.models.backbones.cspnext import ConvModule
+        def conv_bn_relu(out_ch, name):
+            # reference rtmw_head.py:103-130: ConvModule with default-eps BN
+            # and ReLU (NOT the YOLOX-style eps-1e-3/SiLU ConvModule)
+            k = self.final_layer_kernel_size
+            pad = k // 2
+
+            def apply(x):
+                x = nn.Conv(out_ch, (k, k), padding=((pad, pad), (pad, pad)), use_bias=False,
+                            dtype=self.dtype, name=f"{name}_conv")(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                                 name=f"{name}_bn")(x)
+                return nn.relu(x)
+
+            return apply
 
         enc_b, enc_t = feats[-2], feats[-1]  # (B, 2h, 2w, C/2), (B, h, w, C)
         gau_cfg = dict(self.gau_cfg or {})
         hidden = gau_cfg.get("hidden_dims", 256)
         flat = self.in_featuremap_size[0] * self.in_featuremap_size[1]
 
-        ft = ConvModule(self.out_channels, self.final_layer_kernel_size, dtype=self.dtype,
-                        name="final_layer")(enc_t, train=train)
+        ft = conv_bn_relu(self.out_channels, "final_layer")(enc_t)
         ft = ft.reshape(ft.shape[0], -1, self.out_channels).transpose(0, 2, 1)  # (B, K, h*w)
         ft = ScaleNorm(name="mlp_norm")(ft)
         ft = nn.Dense(hidden // 2, use_bias=False, dtype=self.dtype, name="mlp")(ft)
 
         dec = _pixel_shuffle(enc_t, 2)
-        dec = ConvModule(self.in_channels // 4, self.final_layer_kernel_size, dtype=self.dtype,
-                         name="conv_dec")(dec, train=train)
+        dec = conv_bn_relu(self.in_channels // 4, "conv_dec")(dec)
         eb = jnp.concatenate([dec, enc_b], axis=-1)
-        fb = ConvModule(self.out_channels, self.final_layer_kernel_size, dtype=self.dtype,
-                        name="final_layer2")(eb, train=train)
+        fb = conv_bn_relu(self.out_channels, "final_layer2")(eb)
         fb = fb.reshape(fb.shape[0], -1, self.out_channels).transpose(0, 2, 1)  # (B, K, 4*h*w)
         fb = ScaleNorm(name="mlp2_norm")(fb)
         fb = nn.Dense(hidden // 2, use_bias=False, dtype=self.dtype, name="mlp2")(fb)

@@ -179,7 +179,7 @@ class CSPNeXtPAFPN(nn.Module):
             merged = jnp.concatenate([up, feats[i - 1]], axis=-1)
             merged = CSPLayer(
                 self.in_channels[i - 1], expand_ratio=self.expand_ratio, num_blocks=self.num_csp_blocks,
-                add_identity=False, dtype=self.dtype, name=f"top_down{i}",
+                add_identity=False, channel_attention=False, dtype=self.dtype, name=f"top_down{i}",
             )(merged, train=train)
             inner.insert(0, merged)
 
@@ -192,21 +192,17 @@ class CSPNeXtPAFPN(nn.Module):
             merged = jnp.concatenate([down, inner[i + 1]], axis=-1)
             merged = CSPLayer(
                 self.in_channels[i + 1], expand_ratio=self.expand_ratio, num_blocks=self.num_csp_blocks,
-                add_identity=False, dtype=self.dtype, name=f"bottom_up{i}",
+                add_identity=False, channel_attention=False, dtype=self.dtype, name=f"bottom_up{i}",
             )(merged, train=train)
             outs.append(merged)
 
+        if self.out_channels is not None:
+            # reference applies per-level out convs BEFORE out_indices selection
+            # (cspnext_pafpn.py:180-184); out_channels=None has no out convs
+            outs = [
+                ConvModule(self.out_channels, 3, dtype=self.dtype, name=f"out_conv{i}")(o, train=train)
+                for i, o in enumerate(outs)
+            ]
         if self.out_indices is not None:
             outs = [outs[i] for i in self.out_indices]
-        if self.out_channels is None:
-            # keep per-level channels (reference out_channels=None form)
-            return tuple(
-                ConvModule(o.shape[-1], 3, dtype=self.dtype, name=f"out_conv{i}")(o, train=train).astype(jnp.float32)
-                for i, o in enumerate(outs)
-            )
-        return tuple(
-            ConvModule(self.out_channels, 3, dtype=self.dtype, name=f"out_conv{i}")(o, train=train).astype(
-                jnp.float32
-            )
-            for i, o in enumerate(outs)
-        )
+        return tuple(o.astype(jnp.float32) for o in outs)

@@ -1332,3 +1332,207 @@ def test_rtmo_full_checkpoint_dispatch():
     assert "head_module" in out["params"]["head"] and "dcc" in out["params"]["head"]
     assert "encoder0" in out["params"]["neck"] and "proj1" in out["params"]["neck"]
     assert "pose_bn" in out["batch_stats"]["head"]["dcc"]
+
+
+def _build_torch_rtmw_neck_head(in_chs=(32, 64), K=6, hidden=32, s=16, csp_blocks=1):
+    """Reference-layout CSPNeXtPAFPN (``necks/cspnext_pafpn.py:75-146``,
+    out_channels=None -> no out convs) + RTMWHead (``rtmw_head.py:96-194``:
+    BN+ReLU conv branches, PixelShuffle fusion, ScaleNorm+Linear MLPs, GAU)."""
+    import math
+
+    import torch.nn.functional as F
+
+    class ConvModule(tnn.Module):  # YOLOX-style BN for the neck
+        def __init__(self, cin, cout, k, stride=1, groups=1):
+            super().__init__()
+            self.conv = tnn.Conv2d(cin, cout, k, stride, k // 2, groups=groups, bias=False)
+            self.bn = tnn.BatchNorm2d(cout, momentum=0.03, eps=1e-3)
+            self.act = tnn.SiLU()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class DWSep(tnn.Module):
+        def __init__(self, cin, cout, k=5):
+            super().__init__()
+            self.depthwise_conv = ConvModule(cin, cin, k, groups=cin)
+            self.pointwise_conv = ConvModule(cin, cout, 1)
+
+        def forward(self, x):
+            return self.pointwise_conv(self.depthwise_conv(x))
+
+    class CSPNeXtBlock(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv1 = ConvModule(c, c, 3)
+            self.conv2 = DWSep(c, c, 5)
+
+        def forward(self, x):
+            return self.conv2(self.conv1(x))  # add_identity=False in PAFPN
+
+    class CSPLayer(tnn.Module):
+        def __init__(self, cin, cout, n):
+            super().__init__()
+            mid = int(cout * 0.5)
+            self.main_conv = ConvModule(cin, mid, 1)
+            self.short_conv = ConvModule(cin, mid, 1)
+            self.final_conv = ConvModule(2 * mid, cout, 1)
+            self.blocks = tnn.Sequential(*[CSPNeXtBlock(mid) for _ in range(n)])
+
+        def forward(self, x):
+            return self.final_conv(torch.cat([self.blocks(self.main_conv(x)), self.short_conv(x)], 1))
+
+    class Neck(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.reduce_layers = tnn.ModuleList([ConvModule(in_chs[1], in_chs[0], 1)])
+            self.top_down_blocks = tnn.ModuleList([CSPLayer(in_chs[0] * 2, in_chs[0], csp_blocks)])
+            self.downsamples = tnn.ModuleList([ConvModule(in_chs[0], in_chs[0], 3, 2)])
+            self.bottom_up_blocks = tnn.ModuleList([CSPLayer(in_chs[0] * 2, in_chs[1], csp_blocks)])
+
+        def forward(self, feats):
+            high = self.reduce_layers[0](feats[1])
+            up = F.interpolate(high, scale_factor=2.0, mode="nearest")
+            low = self.top_down_blocks[0](torch.cat([up, feats[0]], 1))
+            down = self.downsamples[0](low)
+            out_high = self.bottom_up_blocks[0](torch.cat([down, high], 1))
+            return low, out_high
+
+    class HeadConv(tnn.Module):  # rtmw_head ConvModule: default-eps BN + ReLU
+        def __init__(self, cin, cout, k):
+            super().__init__()
+            self.conv = tnn.Conv2d(cin, cout, k, 1, k // 2, bias=False)
+            self.bn = tnn.BatchNorm2d(cout)
+            self.act = tnn.ReLU()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class ScaleNorm(tnn.Module):
+        def __init__(self, dim, eps=1e-5):
+            super().__init__()
+            self.scale = dim ** -0.5
+            self.eps = eps
+            self.g = tnn.Parameter(torch.ones(1))
+
+        def forward(self, x):
+            norm = torch.norm(x, dim=-1, keepdim=True) * self.scale
+            return x / norm.clamp(min=self.eps) * self.g
+
+    class GAU(tnn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            e = dim * 2
+            self.e, self.s = e, s
+            self.ln = ScaleNorm(dim)
+            self.uv = tnn.Linear(dim, 2 * e + s, bias=False)
+            self.gamma = tnn.Parameter(torch.rand(2, s))
+            self.beta = tnn.Parameter(torch.rand(2, s))
+            self.o = tnn.Linear(e, dim, bias=False)
+
+            class Scale(tnn.Module):
+                def __init__(self, d):
+                    super().__init__()
+                    self.scale = tnn.Parameter(torch.ones(d))
+
+                def forward(self, x):
+                    return x * self.scale
+
+            self.res_scale = Scale(dim)
+            self.sqrt_s = math.sqrt(s)
+
+        def forward(self, x):
+            shortcut = x
+            h = self.ln(x)
+            uv = F.silu(self.uv(h))
+            u, v, base = torch.split(uv, [self.e, self.e, self.s], dim=-1)
+            q = base * self.gamma[0] + self.beta[0]
+            k = base * self.gamma[1] + self.beta[1]
+            qk = torch.einsum("...ns,...ms->...nm", q, k)
+            kernel = torch.square(torch.relu(qk / self.sqrt_s))
+            out = u * torch.einsum("...nm,...me->...ne", kernel, v)
+            return self.res_scale(shortcut) + self.o(out)
+
+    C = in_chs[1]
+    flat = 16  # 4x4 top featuremap
+
+    class Head(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ps = tnn.PixelShuffle(2)
+            self.conv_dec = HeadConv(C // 4, C // 4, 1)
+            self.final_layer = HeadConv(C, K, 1)
+            self.final_layer2 = HeadConv(C // 2 + C // 4, K, 1)
+            self.mlp = tnn.Sequential(ScaleNorm(flat), tnn.Linear(flat, hidden // 2, bias=False))
+            self.mlp2 = tnn.Sequential(ScaleNorm(flat * 4), tnn.Linear(flat * 4, hidden // 2, bias=False))
+            self.gau = GAU(hidden)
+            self.cls_x = tnn.Linear(hidden, 128, bias=False)
+            self.cls_y = tnn.Linear(hidden, 128, bias=False)
+
+        def forward(self, feats):
+            enc_b, enc_t = feats
+            ft = self.mlp(torch.flatten(self.final_layer(enc_t), 2))
+            dec = self.conv_dec(self.ps(enc_t))
+            fb = self.mlp2(torch.flatten(self.final_layer2(torch.cat([dec, enc_b], 1)), 2))
+            tokens = self.gau(torch.cat([ft, fb], dim=2))
+            return self.cls_x(tokens), self.cls_y(tokens)
+
+    class Model(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.neck = Neck()
+            self.head = Head()
+
+        def forward(self, feats):
+            return self.head(self.neck(feats))
+
+    return Model()
+
+
+def test_rtmw_neck_head_conversion_forward_parity():
+    """Reference-layout CSPNeXtPAFPN + RTMWHead -> flax parity (pixel-shuffle
+    channel order, BN+ReLU head convs, two-level token fusion)."""
+    from probpose_code_tpu.engine.checkpoint import (
+        _convert_rtmw_head,
+        _t,
+        convert_torch_cspnext_pafpn,
+    )
+    from probpose_code_tpu.models.heads.rtmcc_head import RTMWHead
+    from probpose_code_tpu.models.necks import CSPNeXtPAFPN
+
+    torch.manual_seed(11)
+    tm = _build_torch_rtmw_neck_head()
+    rng = np.random.RandomState(11)
+    feats = [rng.rand(2, c, sdim, sdim).astype(np.float32) for c, sdim in ((32, 8), (64, 4))]
+    with torch.no_grad():
+        tm.train()
+        for _ in range(2):
+            tm([torch.from_numpy(f) for f in feats])
+        tm.eval()
+        ref_x, ref_y = tm([torch.from_numpy(f) for f in feats])
+
+    sd = {k: _t(v) for k, v in tm.state_dict().items()}
+    neck_p, neck_s = convert_torch_cspnext_pafpn(sd)
+    head_p, head_s = _convert_rtmw_head(sd)
+
+    flax_neck = CSPNeXtPAFPN(in_channels=(32, 64), out_channels=None, num_csp_blocks=1)
+    flax_head = RTMWHead(in_channels=64, out_channels=6, input_size=(64, 64),
+                         in_featuremap_size=(4, 4), simcc_split_ratio=2.0,
+                         gau_cfg=dict(hidden_dims=32, s=16, expansion_factor=2,
+                                      act_fn="SiLU", use_rel_bias=False, pos_enc=False))
+    xs = tuple(jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats)
+
+    init_n = flax_neck.init(jax.random.PRNGKey(0), xs, train=False)
+    ip = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(init_n["params"])[0]}
+    cp = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(neck_p)[0]}
+    assert ip == cp, f"missing: {sorted(ip - cp)[:6]} extra: {sorted(cp - ip)[:6]}"
+    neck_out = flax_neck.apply({"params": neck_p, "batch_stats": neck_s}, xs, train=False)
+
+    init_h = flax_head.init(jax.random.PRNGKey(0), neck_out, train=False)
+    ip = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(init_h["params"])[0]}
+    cp = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(head_p)[0]}
+    assert ip == cp, f"missing: {sorted(ip - cp)[:6]} extra: {sorted(cp - ip)[:6]}"
+    px, py = flax_head.apply({"params": head_p, "batch_stats": head_s}, neck_out, train=False)
+
+    np.testing.assert_allclose(np.asarray(px), ref_x.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(py), ref_y.numpy(), atol=1e-3)
