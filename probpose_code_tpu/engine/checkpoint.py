@@ -439,15 +439,97 @@ def convert_torch_rtmo_head(sd: Dict[str, Any]):
     return params, stats
 
 
+def convert_torch_yolox_pafpn(sd: Dict[str, Any]):
+    """YOLOXPAFPN torch keys -> flax tree (reference
+    ``mmpose/models/necks/yolox_pafpn.py:61-147``): ``reduce_layers.{j}`` /
+    ``top_down_blocks.{j}`` (j=0 is the highest level — matching our
+    ``reduce{j}``/``td_csp{j}`` enumeration order), ``downsamples.{k}`` /
+    ``bottom_up_blocks.{k}``, per-level 1x1 ``out_convs.{i}``; CSP layers
+    use plain Darknet bottlenecks (conv1 1x1 + conv2 3x3)."""
+
+    def conv_kernel(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv_module(flax_path, tprefix):
+        _set(params, flax_path, "conv", {"kernel": conv_kernel(sd[f"{tprefix}.conv.weight"])})
+        _set(params, flax_path, "bn", {"scale": sd[f"{tprefix}.bn.weight"], "bias": sd[f"{tprefix}.bn.bias"]})
+        _set(stats, flax_path, "bn", {"mean": sd[f"{tprefix}.bn.running_mean"], "var": sd[f"{tprefix}.bn.running_var"]})
+
+    def csp_layer(flax_name, tprefix):
+        for nm in ("main_conv", "short_conv", "final_conv"):
+            conv_module([flax_name, nm], f"{tprefix}.{nm}")
+        m = 0
+        while f"{tprefix}.blocks.{m}.conv1.conv.weight" in sd:
+            conv_module([flax_name, f"block{m}", "conv1"], f"{tprefix}.blocks.{m}.conv1")
+            conv_module([flax_name, f"block{m}", "conv2"], f"{tprefix}.blocks.{m}.conv2")
+            m += 1
+
+    j = 0
+    while f"neck.reduce_layers.{j}.conv.weight" in sd:
+        conv_module([f"reduce{j}"], f"neck.reduce_layers.{j}")
+        csp_layer(f"td_csp{j}", f"neck.top_down_blocks.{j}")
+        j += 1
+    k = 0
+    while f"neck.downsamples.{k}.conv.weight" in sd:
+        conv_module([f"down{k}"], f"neck.downsamples.{k}")
+        csp_layer(f"bu_csp{k}", f"neck.bottom_up_blocks.{k}")
+        k += 1
+    i = 0
+    while f"neck.out_convs.{i}.conv.weight" in sd:
+        conv_module([f"out{i}"], f"neck.out_convs.{i}")
+        i += 1
+    return params, stats
+
+
+def convert_torch_yoloxpose_head(sd: Dict[str, Any]):
+    """YOLOXPoseHead torch keys -> flax head tree (reference
+    ``yoloxpose_head.py:21-226``): per-level cls/reg/pose ConvModule towers
+    and 1x1 outputs (out_cls / out_obj / out_bbox / out_kpt / out_kpt_vis)."""
+
+    def conv_kernel(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    params: Dict[str, Any] = {"head_module": {}}
+    stats: Dict[str, Any] = {"head_module": {}}
+    hm_p, hm_s = params["head_module"], stats["head_module"]
+
+    def conv_module(flax_path, tprefix):
+        _set(hm_p, flax_path, "conv", {"kernel": conv_kernel(sd[f"{tprefix}.conv.weight"])})
+        _set(hm_p, flax_path, "bn", {"scale": sd[f"{tprefix}.bn.weight"], "bias": sd[f"{tprefix}.bn.bias"]})
+        _set(hm_s, flax_path, "bn", {"mean": sd[f"{tprefix}.bn.running_mean"], "var": sd[f"{tprefix}.bn.running_var"]})
+
+    i = 0
+    while f"head.head_module.out_cls.{i}.weight" in sd:
+        for tower in ("conv_cls", "conv_reg", "conv_pose"):
+            j = 0
+            while f"head.head_module.{tower}.{i}.{j}.conv.weight" in sd:
+                conv_module([f"{tower}{i}", f"conv{j}"], f"head.head_module.{tower}.{i}.{j}")
+                j += 1
+        for name in ("out_cls", "out_obj", "out_bbox", "out_kpt", "out_kpt_vis"):
+            hm_p[f"{name}{i}"] = {
+                "kernel": conv_kernel(sd[f"head.head_module.{name}.{i}.weight"]),
+                "bias": sd[f"head.head_module.{name}.{i}.bias"],
+            }
+        i += 1
+    return params, stats
+
+
 def _convert_rtmo_model(sd: Dict[str, Any]) -> Dict[str, Any]:
-    """RTMO (CSPDarknet + HybridEncoder + RTMOHead) checkpoint -> variables."""
+    """RTMO / YOLOX-Pose (CSPDarknet + neck + head) checkpoint -> variables."""
     bb_p, bb_s = convert_torch_cspdarknet_backbone(sd)
     params: Dict[str, Any] = {"backbone": bb_p}
     stats: Dict[str, Any] = {"backbone": bb_s}
-    if any(k.startswith("neck.input_proj.") for k in sd):
+    if any(k.startswith("neck.input_proj.") for k in sd):  # HybridEncoder (RTMO)
         params["neck"], stats["neck"] = convert_torch_hybrid_encoder(sd)
+    elif "neck.reduce_layers.0.conv.weight" in sd:  # YOLOXPAFPN (YOLOX-Pose)
+        params["neck"], stats["neck"] = convert_torch_yolox_pafpn(sd)
     if "head.dcc.pose_to_kpts.0.weight" in sd:
         params["head"], stats["head"] = convert_torch_rtmo_head(sd)
+    elif "head.head_module.out_kpt.0.weight" in sd:
+        params["head"], stats["head"] = convert_torch_yoloxpose_head(sd)
     return {"params": params, "batch_stats": stats}
 
 

@@ -1536,3 +1536,170 @@ def test_rtmw_neck_head_conversion_forward_parity():
 
     np.testing.assert_allclose(np.asarray(px), ref_x.numpy(), atol=1e-3)
     np.testing.assert_allclose(np.asarray(py), ref_y.numpy(), atol=1e-3)
+
+
+def _build_torch_yoloxpose_neck_head(in_chs=(16, 32, 64), out_ch=32, K=4, feat=32, stacked=2):
+    """Reference-layout YOLOXPAFPN (``necks/yolox_pafpn.py:61-147``) +
+    YOLOXPoseHeadModule (``yoloxpose_head.py:21-226``) with YOLOX-style BN."""
+    import torch.nn.functional as F
+
+    class ConvModule(tnn.Module):
+        def __init__(self, cin, cout, k, stride=1):
+            super().__init__()
+            self.conv = tnn.Conv2d(cin, cout, k, stride, k // 2, bias=False)
+            self.bn = tnn.BatchNorm2d(cout, momentum=0.03, eps=1e-3)
+            self.act = tnn.SiLU()
+
+        def forward(self, x):
+            return self.act(self.bn(self.conv(x)))
+
+    class Bottleneck(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.conv1 = ConvModule(c, c, 1)
+            self.conv2 = ConvModule(c, c, 3)
+
+        def forward(self, x):
+            return self.conv2(self.conv1(x))  # add_identity=False
+
+    class CSPLayer(tnn.Module):
+        def __init__(self, cin, cout, n=1):
+            super().__init__()
+            mid = cout // 2
+            self.main_conv = ConvModule(cin, mid, 1)
+            self.short_conv = ConvModule(cin, mid, 1)
+            self.final_conv = ConvModule(2 * mid, cout, 1)
+            self.blocks = tnn.Sequential(*[Bottleneck(mid) for _ in range(n)])
+
+        def forward(self, x):
+            return self.final_conv(torch.cat([self.blocks(self.main_conv(x)), self.short_conv(x)], 1))
+
+    class Neck(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            n = len(in_chs)
+            self.reduce_layers = tnn.ModuleList(
+                ConvModule(in_chs[idx], in_chs[idx - 1], 1) for idx in range(n - 1, 0, -1))
+            self.top_down_blocks = tnn.ModuleList(
+                CSPLayer(in_chs[idx - 1] * 2, in_chs[idx - 1]) for idx in range(n - 1, 0, -1))
+            self.downsamples = tnn.ModuleList(
+                ConvModule(in_chs[k], in_chs[k], 3, 2) for k in range(n - 1))
+            self.bottom_up_blocks = tnn.ModuleList(
+                CSPLayer(in_chs[k] * 2, in_chs[k + 1]) for k in range(n - 1))
+            self.out_convs = tnn.ModuleList(ConvModule(c, out_ch, 1) for c in in_chs)
+
+        def forward(self, feats):
+            n = len(feats)
+            inner = [feats[-1]]
+            for j, idx in enumerate(range(n - 1, 0, -1)):
+                high = self.reduce_layers[j](inner[0])
+                inner[0] = high
+                up = F.interpolate(high, scale_factor=2.0, mode="nearest")
+                inner.insert(0, self.top_down_blocks[j](torch.cat([up, feats[idx - 1]], 1)))
+            outs = [inner[0]]
+            for k in range(n - 1):
+                down = self.downsamples[k](outs[-1])
+                outs.append(self.bottom_up_blocks[k](torch.cat([down, inner[k + 1]], 1)))
+            return [self.out_convs[i](o) for i, o in enumerate(outs)]
+
+    class HeadModule(tnn.Module):
+        def __init__(self, n_levels=3):
+            super().__init__()
+
+            def tower(depth):
+                return tnn.ModuleList(
+                    tnn.Sequential(*[ConvModule(out_ch if j == 0 else feat, feat, 3) for j in range(depth)])
+                    for _ in range(n_levels)
+                )
+
+            self.conv_cls = tower(stacked)
+            self.conv_reg = tower(stacked)
+            self.conv_pose = tower(stacked * 2)
+            self.out_cls = tnn.ModuleList(tnn.Conv2d(feat, 1, 1) for _ in range(n_levels))
+            self.out_obj = tnn.ModuleList(tnn.Conv2d(feat, 1, 1) for _ in range(n_levels))
+            self.out_bbox = tnn.ModuleList(tnn.Conv2d(feat, 4, 1) for _ in range(n_levels))
+            self.out_kpt = tnn.ModuleList(tnn.Conv2d(feat, K * 2, 1) for _ in range(n_levels))
+            self.out_kpt_vis = tnn.ModuleList(tnn.Conv2d(feat, K, 1) for _ in range(n_levels))
+
+        def forward(self, feats):
+            out = []
+            for i, x in enumerate(feats):
+                cf = self.conv_cls[i](x)
+                rf = self.conv_reg[i](x)
+                pf = self.conv_pose[i](x)
+                out.append((self.out_cls[i](cf), self.out_obj[i](rf), self.out_bbox[i](rf),
+                            self.out_kpt[i](pf), self.out_kpt_vis[i](pf)))
+            return out
+
+    class Head(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.head_module = HeadModule()
+
+    class Model(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.neck = Neck()
+            self.head = Head()
+
+        def forward(self, feats):
+            return self.head.head_module(self.neck(feats))
+
+    return Model()
+
+
+def test_yoloxpose_neck_head_conversion_forward_parity():
+    """Reference-layout YOLOXPAFPN + YOLOXPose head module -> flax parity."""
+    from probpose_code_tpu.engine.checkpoint import (
+        _t,
+        convert_torch_yolox_pafpn,
+        convert_torch_yoloxpose_head,
+    )
+    from probpose_code_tpu.models.heads.yoloxpose_head import YOLOXPoseHeadModule
+    from probpose_code_tpu.models.necks.hybrid_encoder import YOLOXPAFPN
+
+    torch.manual_seed(13)
+    tm = _build_torch_yoloxpose_neck_head()
+    rng = np.random.RandomState(13)
+    feats = [rng.rand(2, c, sdim, sdim).astype(np.float32)
+             for c, sdim in ((16, 16), (32, 8), (64, 4))]
+    with torch.no_grad():
+        tm.train()
+        for _ in range(2):
+            tm([torch.from_numpy(f) for f in feats])
+        tm.eval()
+        neck_ref = tm.neck([torch.from_numpy(f) for f in feats])
+        level_outs = tm.head.head_module(neck_ref)
+
+    sd = {k: _t(v) for k, v in tm.state_dict().items()}
+    neck_p, neck_s = convert_torch_yolox_pafpn(sd)
+    head_conv = convert_torch_yoloxpose_head(sd)
+
+    flax_neck = YOLOXPAFPN(in_channels=(16, 32, 64), out_channels=32, num_csp_blocks=1)
+    xs = tuple(jnp.asarray(f.transpose(0, 2, 3, 1)) for f in feats)
+    init_n = flax_neck.init(jax.random.PRNGKey(0), xs, train=False)
+    ip = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(init_n["params"])[0]}
+    cp = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(neck_p)[0]}
+    assert ip == cp, f"missing: {sorted(ip - cp)[:6]} extra: {sorted(cp - ip)[:6]}"
+    neck_out = flax_neck.apply({"params": neck_p, "batch_stats": neck_s}, xs, train=False)
+    for o, r in zip(neck_out, neck_ref):
+        np.testing.assert_allclose(np.asarray(o), r.numpy().transpose(0, 2, 3, 1), atol=1e-3)
+
+    fm = YOLOXPoseHeadModule(num_keypoints=4, in_channels=32, feat_channels=32,
+                             stacked_convs=2, featmap_strides=(8, 16, 32))
+    init_h = fm.init(jax.random.PRNGKey(0), neck_out, train=False)
+    ip = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(init_h["params"])[0]}
+    cp = {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(head_conv[0]["head_module"])[0]}
+    assert ip == cp, f"missing: {sorted(ip - cp)[:6]} extra: {sorted(cp - ip)[:6]}"
+    out = fm.apply({"params": head_conv[0]["head_module"], "batch_stats": head_conv[1]["head_module"]},
+                   neck_out, train=False)
+
+    def flat(field, ch):
+        return np.concatenate(
+            [level_outs[i][field].numpy().transpose(0, 2, 3, 1).reshape(2, -1, ch) for i in range(3)], axis=1)
+
+    np.testing.assert_allclose(np.asarray(out["cls_scores"]), flat(0, 1), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["objectness"]), flat(1, 1), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["bbox_preds"]), flat(2, 4), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["kpt_offsets"]).reshape(2, -1, 8), flat(3, 8), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["kpt_vis"]), flat(4, 4), atol=5e-4)
