@@ -49,6 +49,8 @@ def oks_iou(
         sigmas = COCO_KPT_SIGMAS
     vars_ = (np.asarray(sigmas) * 2) ** 2
     xg, yg, vg = g[0::3], g[1::3], g[2::3]
+    if len(d) == 0:  # the reference's per-instance loop is a no-op here
+        return np.zeros(0, dtype=np.float64)
     d = np.asarray(d).reshape(len(d), -1)
     xd, yd, vd = d[:, 0::3], d[:, 1::3], d[:, 2::3]
 
