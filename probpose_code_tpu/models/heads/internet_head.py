@@ -99,49 +99,84 @@ def _bilinear_warp(feat: jnp.ndarray, offset: jnp.ndarray) -> jnp.ndarray:
 
 @MODELS.register_module()
 class PoseWarperNeck(nn.Module):
-    """Temporal feature alignment (reference ``posewarper_neck.py``).
+    """Temporal feature alignment (reference ``posewarper_neck.py:24-310``).
 
-    Predicts offset fields from concat(key, support) features at several
-    dilation scales and aggregates the warped support features.
+    Reference semantics: a shared trans conv projects every frame; diff
+    features ``offset_feats(key - frame)`` (1x1+BN downsample then a chain of
+    BasicBlocks) feed one dilated 3x3 offset conv per dilation, whose output
+    drives a true deformable 3x3 conv (DCN, ``ops/deform_conv.py``) over that
+    frame at the same dilation; warped maps average over dilations and sum
+    over frames (key frame included) weighted by ``frame_weights``.
     """
 
     in_channels: int = 48
     out_channels: int = 48
     inner_channels: int = 128
     dilations: Sequence[int] = (3, 6, 12, 18, 24)
+    trans_conv_kernel: int = 1
+    deform_groups: int = 17
+    num_res_blocks: int = 20  # reference res_blocks_cfg default num_blocks=20
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, key_feat, support_feats, frame_weights=None, train: bool = False):
-        """Align each support frame's features to the key frame.
+        """Warp key + support frames onto the key frame and aggregate.
 
-        ``frame_weights``: optional (1 + len(support_feats),) weights — the
-        reference's per-frame aggregation weights (key frame first). Without
-        them the warped supports are averaged onto the key features.
+        ``frame_weights``: optional (1 + len(support_feats),) per-frame
+        aggregation weights, key frame first (uniform if omitted).
         """
-        key_proj = nn.Conv(self.out_channels, (1, 1), name="key_proj")
-        support_proj = nn.Conv(self.out_channels, (1, 1), name="support_proj")
-        offset_feat = nn.Conv(self.inner_channels, (3, 3), padding="SAME", name="offset_feat")
-        offset_convs = {
-            d: nn.Conv(2, (3, 3), padding="SAME", kernel_dilation=(d, d), name=f"offset_d{d}")
-            for d in self.dilations
-        }
+        from probpose_code_tpu.models.backbones.hrnet import BasicBlock
+        from probpose_code_tpu.ops.deform_conv import deform_conv2d
 
-        key = key_proj(key_feat)
-        outs = []
-        for sup_feat in support_feats:
-            sup = support_proj(sup_feat)
-            diff = jnp.concatenate([key, sup], axis=-1)
-            h = nn.relu(offset_feat(diff))
-            warped_sum = 0.0
-            for d in self.dilations:
-                off = offset_convs[d](h)
-                warped_sum = warped_sum + _bilinear_warp(sup, off)
-            outs.append(warped_sum / len(self.dilations))
-        if frame_weights is not None:
+        K = 3  # deform_conv_kernel (reference default)
+        # deform_groups must divide the projected channels; the reference uses
+        # 17 groups on 17-channel heatmaps — fall back to 1 otherwise
+        G = self.deform_groups if self.out_channels % self.deform_groups == 0 else 1
+
+        k = self.trans_conv_kernel
+        trans = nn.Conv(self.out_channels, (k, k), padding=((k // 2,) * 2,) * 2,
+                        dtype=self.dtype, name="trans_layer")
+
+        down_conv = nn.Conv(self.inner_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                            name="offset_down_conv")
+        down_bn = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                               name="offset_down_bn")
+        res_blocks = [
+            BasicBlock(self.inner_channels, dtype=self.dtype, name=f"offset_res{i}")
+            for i in range(self.num_res_blocks)
+        ]
+
+        def offset_feats(x):
+            x = down_bn(down_conv(x))
+            for blk in res_blocks:
+                x = blk(x, train=train)
+            return x
+
+        frames = [trans(key_feat)] + [trans(s) for s in support_feats]
+        key = frames[0]
+        if frame_weights is None:
+            w = jnp.full((len(frames),), 1.0 / len(frames), jnp.float32)
+        else:
             w = jnp.asarray(frame_weights, jnp.float32).reshape(-1)
-            agg = key * w[0]
-            for i, o in enumerate(outs):
-                agg = agg + o * w[i + 1]
-            return agg
-        return key + sum(outs) / max(len(outs), 1)
+
+        offset_convs, deform_weights = [], []
+        for j, d in enumerate(self.dilations):
+            offset_convs.append(
+                nn.Conv(2 * K * K * G, (K, K), padding=((d, d), (d, d)), kernel_dilation=(d, d),
+                        use_bias=False, dtype=self.dtype, name=f"offset_layer{j}")
+            )
+            deform_weights.append(
+                self.param(f"deform_weight{j}", nn.initializers.he_normal(),
+                           (K, K, self.out_channels, self.out_channels))
+            )
+
+        out = 0.0
+        for i, frame in enumerate(frames):
+            h = offset_feats(key - frame)
+            warped = 0.0
+            for j, d in enumerate(self.dilations):
+                offs = offset_convs[j](h)
+                warped = warped + deform_conv2d(frame, offs, deform_weights[j],
+                                                dilation=d, deform_groups=G)
+            out = out + warped / len(self.dilations) * w[i]
+        return out

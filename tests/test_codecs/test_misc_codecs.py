@@ -57,7 +57,7 @@ def test_internet_head_and_posewarper():
     assert out["heatmaps"].shape == (2, 42, 16, 32, 32)
     assert out["root_depth"].shape == (2, 1) and out["hand_type"].shape == (2, 2)
 
-    n = M.PoseWarperNeck(in_channels=32, out_channels=32, inner_channels=32, dilations=(1, 2))
+    n = M.PoseWarperNeck(in_channels=32, out_channels=32, inner_channels=32, dilations=(1, 2), num_res_blocks=2)
     key = jnp.zeros((2, 16, 16, 32))
     sup = [jnp.ones((2, 16, 16, 32))]
     nv = n.init(jr.PRNGKey(0), key, sup, train=False)

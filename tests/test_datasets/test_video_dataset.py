@@ -122,7 +122,7 @@ def test_posewarper_multiframe_forward_and_loss():
         data_preprocessor=dict(mean=[0, 0, 0], std=[255, 255, 255]),
         backbone=dict(type="ResNet", depth=18, out_indices=(3,)),
         neck=dict(type="PoseWarperNeck", in_channels=512, out_channels=64, inner_channels=32,
-                  dilations=(3, 6)),
+                  dilations=(3, 6), num_res_blocks=2),
         head=dict(
             type="HeatmapHead", in_channels=64, out_channels=17,
             deconv_out_channels=(32, 32), deconv_kernel_sizes=(4, 4),
