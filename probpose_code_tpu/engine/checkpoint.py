@@ -675,9 +675,11 @@ def _convert_cspnext_model(sd: Dict[str, Any]) -> Dict[str, Any]:
 def convert_torch_state_dict(state_dict: Dict[str, Any], num_layers: int = 12) -> Dict[str, Any]:
     """Reference torch state dict -> flax variables dict.
 
-    Detects the backbone family — mmpretrain ViT (ProbPose), mmpose HRNet,
-    or CSPNeXt (RTMPose) — and the matching head layout (deconv/final/
-    scalar towers or the RTMCC GAU head).
+    Detects the model family and routes to the matching converters:
+    mmpretrain ViT (ProbPose), HRNet, ResNet (SimpleBaseline), CSPNeXt
+    (RTMPose deconv/scalar-tower or RTMCC-GAU heads; RTMW with
+    CSPNeXtPAFPN neck + two-level head), and CSPDarknet one-stage models
+    (RTMO: HybridEncoder + DCC; YOLOX-Pose: YOLOXPAFPN + tower head).
     Returns {"params": ..., "batch_stats": ...}.
     """
     sd = {k: _t(v) for k, v in state_dict.items()}
