@@ -89,3 +89,44 @@ def test_sharded_train_step_runs_and_descends(tiny_model):
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], f"loss did not descend: {losses}"
     assert int(state.step) == 5
+
+
+def test_sharded_onestage_train_step_runs_and_descends():
+    """The RTMO one-stage train step (SimOTA assignment + DCC losses) jits
+    and descends over the 8-device mesh — extends the multi-chip validation
+    beyond the top-down flagship (SURVEY §2.4)."""
+    import jax
+
+    from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
+    from probpose_code_tpu.engine.optim import build_optimizer
+    from probpose_code_tpu.models import PoseModel
+    from tests.test_models.test_onestage import _synthetic_batch, _tiny_rtmo_cfg
+
+    model = PoseModel(_tiny_rtmo_cfg(), metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
+    model.init(input_shape=(2, 128, 128, 3))
+    tx, _ = build_optimizer(
+        model.variables["params"],
+        dict(optimizer=dict(type="AdamW", lr=1e-3, weight_decay=0.05)),
+        steps_per_epoch=10, max_epochs=2,
+    )
+    mesh = make_mesh(n_data=8)
+    state = create_train_state(model.variables, tx)
+    step = make_train_step(model, tx, mesh=mesh)
+
+    rng = np.random.RandomState(0)
+    b = _synthetic_batch(rng, B=2)
+    batch = {k: jnp.concatenate([v] * 8, axis=0) for k, v in b.items()}  # B=16 over 8 devices
+    batch = shard_batch(batch, mesh)
+
+    key = jax.random.PRNGKey(0)
+    state, m0 = step(state, batch, key)
+    first = float(m0["loss"])
+    losses = []
+    for _ in range(5):
+        state, m = step(state, batch, key)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(first) and np.all(np.isfinite(losses))
+    # SimOTA reassignment makes per-step loss non-monotone; require progress
+    # over the short trajectory rather than strict per-step descent
+    assert min(losses) < first
+    assert int(state.step) == 6
