@@ -1,0 +1,91 @@
+"""Color-aug / annotation-filter / mosaic-mixup transforms
+(reference ``datasets/transforms/common_transforms.py:962-1578``,
+``mix_img_transforms.py``)."""
+
+import numpy as np
+
+
+def _img_sample(h=64, w=48, n=2, K=17):
+    rng = np.random.RandomState(0)
+    return dict(
+        img=rng.randint(0, 255, (h, w, 3), dtype=np.uint8),
+        img_shape=(h, w), ori_shape=(h, w),
+        bbox=np.array([[2.0, 2.0, 40.0, 60.0], [5.0, 5.0, 6.0, 6.0]], np.float32)[:n],
+        bbox_score=np.ones(n, np.float32),
+        keypoints=(rng.rand(n, K, 2) * [w, h]).astype(np.float32),
+        keypoints_visible=np.ones((n, K), np.float32),
+    )
+
+
+def test_photometric_distortion_valid_uint8():
+    from probpose_code_tpu.datasets.transforms.common import PhotometricDistortion
+
+    np.random.seed(3)
+    data = _img_sample()
+    orig = data["img"].copy()
+    out = PhotometricDistortion()(data)
+    img = out["img"]
+    assert img.dtype == np.uint8 and img.shape == orig.shape
+
+
+def test_yolox_hsv_aug_valid_and_bounded():
+    from probpose_code_tpu.datasets.transforms.common import YOLOXHSVRandomAug
+
+    np.random.seed(5)
+    data = _img_sample()
+    out = YOLOXHSVRandomAug()(data)
+    assert out["img"].dtype == np.uint8 and out["img"].shape == (64, 48, 3)
+
+
+def test_filter_annotations_by_kpt_and_box():
+    from probpose_code_tpu.datasets.transforms.common import FilterAnnotations
+
+    data = _img_sample()
+    data["keypoints_visible"][1] = 0.0  # second instance loses all kpts
+    out = FilterAnnotations(min_kpt_vis=1, by_kpt=True)(dict(data))
+    assert out["keypoints"].shape[0] == 1 and out["bbox"].shape[0] == 1
+
+    data2 = _img_sample()
+    out2 = FilterAnnotations(by_box=True, by_kpt=False, min_gt_bbox_wh=(10, 10))(dict(data2))
+    assert out2["bbox"].shape[0] == 1  # the 1x1 box is dropped
+
+
+class _FakeDataset:
+    """Minimal dataset protocol for MixImageTransform."""
+
+    def __len__(self):
+        return 4
+
+    def get_data_info(self, i):
+        return _img_sample()
+
+
+def test_mosaic_mixes_four_images():
+    from probpose_code_tpu.datasets.transforms.mix_img_transforms import Mosaic
+
+    import random
+
+    random.seed(0)
+    np.random.seed(0)
+    t = Mosaic(img_scale=(64, 64), prob=1.0)
+    data = _img_sample()
+    data["dataset"] = _FakeDataset()
+    out = t(data)
+    assert out["img"].shape[0] == 128 and out["img"].shape[1] == 128  # 2x img_scale
+    assert out["keypoints"].shape[0] >= 2  # instances from several tiles
+    assert "dataset" in out  # restored for downstream transforms
+
+
+def test_yolox_mixup_combines_two():
+    from probpose_code_tpu.datasets.transforms.mix_img_transforms import YOLOXMixUp
+
+    import random
+
+    random.seed(1)
+    np.random.seed(1)
+    t = YOLOXMixUp(img_scale=(64, 48), ratio_range=(1.0, 1.0), prob=1.0)
+    data = _img_sample()
+    data["dataset"] = _FakeDataset()
+    out = t(data)
+    assert out["img"].shape[2] == 3
+    assert out["keypoints"].shape[0] >= 2
