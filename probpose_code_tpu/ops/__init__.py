@@ -1,3 +1,4 @@
+from .deform_conv import deform_conv2d
 from .decode import (
     argmax_probmap_decode_batch,
     dark_udp_refine_batch,
@@ -16,6 +17,7 @@ from .tta import flip_coordinates, flip_heatmaps, flip_vectors
 from .warp import invert_affine, transform_points, warp_affine_batch
 
 __all__ = [
+    "deform_conv2d",
     "argmax_probmap_decode_batch",
     "batch_heatmap_nms",
     "dark_udp_refine_batch",
