@@ -25,9 +25,13 @@ Prints ONE JSON line.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_HISTORY = os.path.join(_REPO, "BENCH_HISTORY.json")
 
 
 def _enable_compile_cache():
@@ -37,6 +41,63 @@ def _enable_compile_cache():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def _bench_decode_us():
+    """Expected-OKS decode cost in µs/heatmap (separable banded-matmul path,
+    B=128 ProbPose-S heatmaps) — the secondary BASELINE.md metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from probpose_code_tpu.ops.decode import heatmap_expected_value_batch
+
+    B, K, H, W = 128, 17, 64, 48
+    rng = np.random.RandomState(0)
+    hm = jax.device_put(jnp.asarray(rng.rand(B, K, H, W).astype(np.float32)))
+
+    def step(hm):
+        locs, scores = heatmap_expected_value_batch(hm)
+        return hm + scores.mean() * 1e-6, locs.sum()
+
+    step = jax.jit(step)
+    hm, acc = step(hm)
+    _ = np.asarray(acc)
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        hm, acc = step(hm)
+    _ = np.asarray(acc)
+    dt = time.perf_counter() - t0
+    return dt / (iters * B * K) * 1e6
+
+
+def _check_history(metric: str, value: float) -> dict:
+    """Regression guard: compare against the best recorded value for this
+    metric in BENCH_HISTORY.json, warn loudly on >5% drops, append the run."""
+    hist = []
+    if os.path.exists(_HISTORY):
+        try:
+            hist = json.load(open(_HISTORY))
+        except Exception:
+            hist = []
+    prior = [h["value"] for h in hist if h.get("metric") == metric]
+    best = max(prior) if prior else None
+    out = {}
+    if best is not None:
+        out["vs_best"] = round(value / best, 3)
+        if value < best * 0.95:
+            print(
+                f"WARNING: {metric} regressed {100 * (1 - value / best):.1f}% vs best "
+                f"recorded {best:.1f} (see BENCH_HISTORY.json)",
+                file=sys.stderr,
+            )
+    hist.append({"metric": metric, "value": round(value, 1), "ts": time.strftime("%Y-%m-%d %H:%M:%S")})
+    try:
+        with open(_HISTORY, "w") as f:
+            json.dump(hist, f, indent=1)
+    except OSError:
+        pass
+    return out
 
 
 def main():
@@ -64,6 +125,8 @@ def main():
     model_cfg["backbone"]["dtype"] = dtype
     model_cfg["backbone"]["approximate_gelu"] = dtype == "bfloat16"
     model_cfg["head"]["dtype"] = dtype
+    if os.environ.get("BENCH_QUANT"):  # int8 MXU matmuls in the backbone
+        model_cfg["backbone"]["quant"] = os.environ["BENCH_QUANT"]
 
     model = PoseModel(model_cfg, metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
     variables = model.init()
@@ -92,38 +155,81 @@ def main():
     dt = time.perf_counter() - t0
 
     crops_per_sec = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "probpose_s_256x192_infer_throughput" if not flip else "probpose_s_256x192_flip_tta_throughput",
-                "value": round(crops_per_sec, 1),
-                "unit": "crops/sec/chip",
-                "vs_baseline": round(crops_per_sec / 5000.0, 3),
-            }
-        )
-    )
+    metric = "probpose_s_256x192_infer_throughput" if not flip else "probpose_s_256x192_flip_tta_throughput"
+    record = {
+        "metric": metric,
+        "value": round(crops_per_sec, 1),
+        "unit": "crops/sec/chip",
+        "vs_baseline": round(crops_per_sec / 5000.0, 3),
+    }
+    if os.environ.get("BENCH_DECODE", "1") == "1":
+        record["decode_us_per_heatmap"] = round(_bench_decode_us(), 3)
+    record.update(_check_history(metric, crops_per_sec))
+    print(json.dumps(record))
 
 
 def main_train():
-    """Training-side bench: full train step (fwd + bwd + AdamW + on-device
-    OKS/error targets) in crops/sec on one chip, plus the host input
-    pipeline (affine warp + ProbMap encode) rate — SURVEY §7's "input
-    pipeline throughput" number. Set BENCH_MODE=train to select.
+    """Training-side bench — end-to-end through the REAL dataset pipeline.
+
+    Builds a synthetic on-disk COCO (real JPEG decode), runs the full
+    training data path — LoadImage -> augmentations -> deferred affine
+    (canvas) -> loader prefetch -> host->device transfer -> jitted train
+    step with on-device warp + ProbMap target encode + fwd/bwd/AdamW — and
+    reports sustained crops/s on one chip. Set BENCH_MODE=train to select.
+
+    Env: BENCH_BATCH (64), BENCH_STEPS (30), BENCH_DTYPE (bfloat16),
+    BENCH_WORKERS (8), BENCH_CANVAS (512), BENCH_DEVICE_PIPELINE (1; 0
+    selects the host cv2-warp + host-encode pipeline for comparison).
     """
+    import tempfile
+
     import jax
     import jax.numpy as jnp
 
     _enable_compile_cache()
 
     from probpose_code_tpu.config import Config
+    from probpose_code_tpu.datasets import DataLoader
     from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
     from probpose_code_tpu.engine.optim import build_optimizer
     from probpose_code_tpu.models import PoseModel
     from probpose_code_tpu.parallel import create_train_state, make_mesh, make_train_step, shard_batch
+    from probpose_code_tpu.registry import DATASETS
+    from probpose_code_tpu.testing import make_synthetic_coco
 
     batch = int(os.environ.get("BENCH_BATCH", "64"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    dtype = os.environ.get("BENCH_DTYPE", "float32")  # reference trains f32
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    workers = int(os.environ.get("BENCH_WORKERS", "8"))
+    canvas = int(os.environ.get("BENCH_CANVAS", "512"))
+    device_pipeline = os.environ.get("BENCH_DEVICE_PIPELINE", "1") == "1"
+
+    root = os.path.join(tempfile.gettempdir(), "probpose_bench_coco")
+    if not os.path.exists(os.path.join(root, "annotations.json")):
+        make_synthetic_coco(root, num_images=256, instances_per_image=2, img_size=(480, 640))
+
+    codec = dict(type="ProbMap", input_size=(192, 256), heatmap_size=(48, 64), sigma=-1)
+    affine = dict(type="TopdownAffine", input_size=(192, 256), use_udp=True, input_padding=1.25)
+    target = dict(type="GenerateTarget", encoder=codec)
+    if device_pipeline:
+        affine.update(device_warp=True, canvas_size=(canvas, canvas))
+        target.update(device=True)
+    train_pipeline = [
+        dict(type="LoadImage"),
+        dict(type="GetBBoxCenterScale"),
+        dict(type="RandomFlip", direction="horizontal"),
+        dict(type="RandomHalfBody"),
+        dict(type="RandomBBoxTransform"),
+        affine,
+        target,
+        dict(type="PackPoseInputs"),
+    ]
+    ds = DATASETS.build(dict(
+        type="CocoDataset", data_root=root, data_mode="topdown",
+        ann_file="annotations.json", data_prefix=dict(img="images/"),
+        pipeline=train_pipeline,
+    ))
+    loader = DataLoader(ds, batch_size=batch, shuffle=True, num_workers=workers, prefetch=3)
 
     cfg = Config.fromfile(
         os.path.join(
@@ -144,72 +250,41 @@ def main_train():
     mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
     state = create_train_state(variables, tx)
     train_step = make_train_step(model, tx, mesh=mesh)
-
-    rng = np.random.RandomState(0)
-    K, H, W = 17, 64, 48
-    base = dict(
-        inputs=jnp.asarray(rng.rand(batch, 256, 192, 3).astype(np.float32) * 255),
-        heatmaps=jnp.asarray(rng.rand(batch, K, H, W).astype(np.float32)),
-        keypoint_weights=jnp.ones((batch, K), jnp.float32),
-        in_image=jnp.ones((batch, K), jnp.float32),
-        annotated=jnp.ones((batch, K), jnp.float32),
-        keypoints_visibility=jnp.asarray((rng.rand(batch, K) > 0.5).astype(np.float32)),
-    )
-    base = shard_batch(base, mesh)
-
     key = jax.random.PRNGKey(0)
-    # compile + settle: the first few post-compile steps still pay relay /
-    # cache-load costs (measured: step0 ~2.6s, steady-state ~85ms at B=64)
-    for _ in range(4):
-        state, metrics = train_step(state, base, key)
+
+    def batches():
+        epoch = 0
+        while True:
+            loader.set_epoch(epoch)
+            for b in loader:
+                b.pop("data_samples", None)
+                yield shard_batch({k: jnp.asarray(v) for k, v in b.items()}, mesh)
+            epoch += 1
+
+    gen = batches()
+    for _ in range(3):  # compile + warmup
+        state, metrics = train_step(state, next(gen), key)
         _ = np.asarray(metrics["loss"])
 
     t0 = time.perf_counter()
-    for i in range(iters):
-        # data-chain: perturb inputs from the last loss so calls stay distinct
-        base = dict(base, inputs=base["inputs"] + metrics["loss"] * 1e-6 + 0.01)
-        state, metrics = train_step(state, base, key)
+    for _ in range(steps):
+        state, metrics = train_step(state, next(gen), key)
     _ = np.asarray(metrics["loss"])
     dt = time.perf_counter() - t0
-    train_crops = batch * iters / dt
+    train_crops = batch * steps / dt
 
-    # host input pipeline: LoadImage-equivalent array -> UDP affine warp ->
-    # ProbMap encode, single process (the runner's per-worker rate)
-    from probpose_code_tpu.datasets import Compose
-
-    pipeline = Compose([
-        dict(type="GetBBoxCenterScale"),
-        dict(type="TopdownAffine", input_size=(192, 256), use_udp=True, input_padding=1.25),
-        dict(type="GenerateTarget", encoder=dict(type="ProbMap", input_size=(192, 256), heatmap_size=(48, 64), sigma=-1)),
-        dict(type="PackPoseInputs"),
-    ])
-    n_host = 200
-    imgs = (rng.rand(4, 480, 640, 3) * 255).astype(np.uint8)
-    t0 = time.perf_counter()
-    for i in range(n_host):
-        data = dict(
-            img=imgs[i % 4], img_shape=(480, 640), ori_shape=(480, 640),
-            bbox=np.array([[50.0, 40.0, 400.0, 440.0]], np.float32),
-            bbox_score=np.ones(1, np.float32),
-            keypoints=(rng.rand(1, K, 2) * [600, 440]).astype(np.float32),
-            keypoints_visible=np.ones((1, K), np.float32),
-            keypoints_visibility=np.ones((1, K), np.float32),
-            flip_indices=list(range(K)), id=i, img_id=i,
-        )
-        out = pipeline(data)
-    host_crops = n_host / (time.perf_counter() - t0)
-
-    print(
-        json.dumps(
-            {
-                "metric": "probpose_s_256x192_train_throughput",
-                "value": round(train_crops, 1),
-                "unit": "crops/sec/chip",
-                "vs_baseline": round(train_crops / 5000.0, 3),
-                "input_pipeline_crops_per_sec_per_worker": round(host_crops, 1),
-            }
-        )
-    )
+    metric = "probpose_s_256x192_e2e_train_throughput"
+    record = {
+        "metric": metric,
+        "value": round(train_crops, 1),
+        "unit": "crops/sec/chip",
+        "vs_baseline": round(train_crops / 1300.0, 3),  # VERDICT r2 bar: >=1.3k e2e bf16
+        "dtype": dtype,
+        "device_pipeline": device_pipeline,
+        "workers": workers,
+    }
+    record.update(_check_history(metric, train_crops))
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -33,7 +33,20 @@ def collate_pose_samples(samples: List[dict]) -> Dict:
     samples = [s for s in samples if s is not None]
     assert samples, "empty batch after pipeline drops"
     batch: Dict = {}
-    batch["inputs"] = np.stack([s["inputs"] for s in samples]).astype(np.float32)
+    if "canvas" in samples[0]:
+        # device-pipeline batch: uint8 canvases + warp matrices + heatmap-
+        # space keypoints; the jitted train step warps/encodes on device
+        batch["canvas"] = np.stack([s["canvas"] for s in samples])
+        batch["warp_mat"] = np.stack([s["warp_mat"] for s in samples]).astype(np.float32)
+        if "device_kpts_hm" in samples[0]:
+            batch["kpts_hm"] = np.stack(
+                [np.asarray(s["device_kpts_hm"]).reshape(-1, 2) for s in samples]
+            ).astype(np.float32)
+            batch["kpts_visible"] = np.stack(
+                [np.asarray(s["device_kpts_visible"]).reshape(-1) for s in samples]
+            ).astype(np.float32)
+    else:
+        batch["inputs"] = np.stack([s["inputs"] for s in samples]).astype(np.float32)
     data_samples = [s["data_samples"] for s in samples]
     batch["data_samples"] = data_samples
 
@@ -83,6 +96,8 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         collate_fn=collate_pose_samples,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -93,15 +108,27 @@ class DataLoader:
         self.prefetch = prefetch
         self.collate_fn = collate_fn
         self.epoch = 0
+        # multi-host sharding (reference: torch DistributedSampler +
+        # DistSamplerSeedHook, ``configs/_base_/default_runtime.py:16``):
+        # every process loads a disjoint interleaved subset; the shared seed
+        # keeps the global permutation identical across hosts. ``batch_size``
+        # stays per-process; the global batch spans process_count shards.
+        if process_index is None or process_count is None:
+            try:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:
+                process_index, process_count = 0, 1
+        self.process_index = process_index
+        self.process_count = process_count
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
     def __len__(self) -> int:
-        n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        return len(self._index_batches())
 
     def _index_batches(self) -> List[np.ndarray]:
         n = len(self.dataset)
@@ -109,8 +136,17 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(indices)
+        if self.process_count > 1:
+            if self.shuffle or self.drop_last:
+                # training: pad to a multiple of (batch * count) by wrapping
+                # (DistributedSampler round_up semantics), then interleave
+                step = self.batch_size * self.process_count
+                pad = (-len(indices)) % step
+                if pad:
+                    indices = np.concatenate([indices, indices[:pad]])
+            indices = indices[self.process_index::self.process_count]
         batches = []
-        for i in range(0, n, self.batch_size):
+        for i in range(0, len(indices), self.batch_size):
             chunk = indices[i:i + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:
                 continue

@@ -17,7 +17,6 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import cv2
 import numpy as np
-from scipy.stats import truncnorm
 
 from probpose_code_tpu.registry import KEYPOINT_CODECS, TRANSFORMS
 from probpose_code_tpu.structures.bbox import bbox_cs2xyxy, bbox_xyxy2cs, flip_bbox
@@ -222,8 +221,20 @@ class RandomBBoxTransform:
         self.rotate_factor = rotate_factor
         self.rotate_prob = rotate_prob
 
+    @staticmethod
+    def _truncnorm_rvs(shape) -> np.ndarray:
+        """Standard normal truncated to [-1, 1] by rejection — identical
+        distribution to ``scipy.stats.truncnorm.rvs(-1, 1)`` without its
+        ~0.6 ms/call ppf machinery (this runs per pipeline sample)."""
+        out = np.random.randn(*shape)
+        bad = np.abs(out) > 1.0
+        while bad.any():
+            out[bad] = np.random.randn(int(bad.sum()))
+            bad = np.abs(out) > 1.0
+        return out
+
     def _params(self, n: int):
-        rv = truncnorm.rvs(-1.0, 1.0, size=(n, 4)).astype(np.float32)
+        rv = self._truncnorm_rvs((n, 4)).astype(np.float32)
         offset = rv[:, :2] * self.shift_factor
         offset = np.where(np.random.rand(n, 1) < self.shift_prob, offset, 0.0)
         lo, hi = self.scale_factor
@@ -474,21 +485,84 @@ class GenerateTarget:
     """Run the keypoint codec(s) to generate training targets
     (reference :1277)."""
 
+    _DEVICE_ENCODERS = ("ProbMap", "ArgMaxProbMap", "UDPHeatmap")
+
     def __init__(
         self,
         encoder,
         target_type: Optional[str] = None,
         multilevel: bool = False,
         use_dataset_keypoint_weights: bool = False,
+        device: bool = False,
     ):
         self.encoder_cfg = copy.deepcopy(encoder)
         self.multilevel = multilevel
         self.use_dataset_keypoint_weights = use_dataset_keypoint_weights
+        self.device = device
         if isinstance(self.encoder_cfg, list):
             self.encoder = [KEYPOINT_CODECS.build(cfg) for cfg in self.encoder_cfg]
+            assert not device, "device target generation supports a single encoder"
         else:
             assert not multilevel
             self.encoder = KEYPOINT_CODECS.build(self.encoder_cfg)
+            if device:
+                etype = self.encoder_cfg.get("type")
+                if etype not in self._DEVICE_ENCODERS or (
+                    getattr(self.encoder, "heatmap_type", "gaussian") != "gaussian"
+                ):
+                    raise ValueError(
+                        f"device target generation supports {self._DEVICE_ENCODERS} "
+                        f"(gaussian heatmap_type), got {etype}"
+                    )
+
+    def _device_defer(self, results, keypoints, keypoints_visible, keypoints_visibility) -> Dict:
+        """Defer the heatmap rendering to the device encode (ops.encode):
+        emit the heatmap-space keypoints plus every auxiliary output the host
+        encoder would have produced (identical formulas, no (K, H, W) maps).
+        """
+        enc = self.encoder
+        etype = self.encoder_cfg.get("type")
+        assert keypoints.shape[0] == 1, "device target generation is per-instance (topdown)"
+        if keypoints_visible is None:
+            keypoints_visible = np.ones(keypoints.shape[:2], dtype=np.float32)
+        kpts_hm = (keypoints[..., :2] / enc.scale_factor).astype(np.float32)
+
+        if etype == "UDPHeatmap":
+            # weight gate: visible keypoints whose 3*sigma window misses the
+            # map are dropped (gaussian_heatmap.py:146-150 semantics)
+            W, H = enc.heatmap_size
+            radius = enc.sigma * 3
+            mu = np.trunc(kpts_hm + 0.5)
+            lt = np.trunc(mu - radius)
+            rb = np.trunc(mu + radius + 1)
+            in_bounds = ~((lt[..., 0] >= W) | (lt[..., 1] >= H) | (rb[..., 0] < 0) | (rb[..., 1] < 0))
+            weights = np.asarray(keypoints_visible, np.float32).copy()
+            weights[(keypoints_visible >= 0.5) & ~in_bounds] = 0
+            encoded = dict(keypoint_weights=weights)
+        else:  # ProbMap family: exp(-finite) > 0, so weight = 1 where visible
+            weights = np.asarray(keypoints_visible, np.float32).copy()
+            weights[keypoints_visible >= 0.5] = 1
+            annotated = keypoints_visible > 0
+            in_image = (
+                (keypoints[:, :, 0] >= 0)
+                & (keypoints[:, :, 0] < enc.input_size[0])
+                & (keypoints[:, :, 1] >= 0)
+                & (keypoints[:, :, 1] < enc.input_size[1])
+            )
+            encoded = dict(
+                keypoint_weights=weights,
+                annotated=annotated,
+                in_image=in_image,
+                keypoints_scaled=keypoints,
+                heatmap_keypoints=kpts_hm,
+            )
+        encoded["device_kpts_hm"] = kpts_hm
+        encoded["device_kpts_visible"] = np.asarray(keypoints_visible, np.float32)
+        if enc.label_mapping_table:
+            encoded["label_mapping_table"] = enc.label_mapping_table
+        if enc.instance_mapping_table:
+            encoded["instance_mapping_table"] = enc.instance_mapping_table
+        return encoded
 
     def _encode_single(self, encoder, results, keypoints, keypoints_visible, keypoints_visibility):
         aux = {key: results[key] for key in encoder.auxiliary_encode_keys if key in results}
@@ -518,6 +592,13 @@ class GenerateTarget:
             results["keypoints_visible"] = keypoints_visible
             results["keypoints_visible_weights"] = keypoints_visible_weights
         keypoints_visibility = results.get("keypoints_visibility", None)
+
+        if self.device:
+            encoded = self._device_defer(results, keypoints, keypoints_visible, keypoints_visibility)
+            if self.use_dataset_keypoint_weights and "keypoint_weights" in encoded:
+                encoded["keypoint_weights"] = encoded["keypoint_weights"] * results["dataset_keypoint_weights"]
+            results.update(encoded)
+            return results
 
         if not isinstance(self.encoder, list):
             encoded = self._encode_single(

@@ -130,7 +130,14 @@ class PackPoseInputs:
         metainfo = {k: results[k] for k in self.meta_keys if k in results}
         data_sample.set_metainfo(metainfo)
 
-        return dict(inputs=inputs, data_samples=data_sample)
+        packed = dict(inputs=inputs, data_samples=data_sample)
+        # device-pipeline passthrough (TopdownAffine(device_warp=True) +
+        # GenerateTarget(device=True)): ship the canvas + geometry instead of
+        # a pre-warped crop / pre-rendered heatmaps
+        for key in ("canvas", "warp_mat", "device_kpts_hm", "device_kpts_visible"):
+            if key in results:
+                packed[key] = results[key]
+        return packed
 
 
 @TRANSFORMS.register_module()

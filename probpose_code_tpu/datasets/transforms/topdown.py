@@ -27,11 +27,80 @@ from probpose_code_tpu.structures.bbox import (
 
 @TRANSFORMS.register_module()
 class TopdownAffine:
-    def __init__(self, input_size: Tuple[int, int], input_padding: float = 1.25, use_udp: bool = False):
+    """``device_warp=True`` defers the image warp to the device program:
+    instead of ``cv2.warpAffine`` (the hottest host op, reference
+    ``topdown_transforms.py:126``), the transform pastes the warp's source
+    region-of-interest into a fixed-size uint8 ``canvas`` and emits the
+    composed ``warp_mat`` (canvas -> crop); the jitted train step then runs
+    ``ops.warp.warp_affine_batch`` fused with the model forward. The ROI is
+    pasted 1:1 whenever it fits ``canvas_size`` (numerically equivalent
+    sampling), and only downscaled — with the scale folded into the warp
+    matrix — when it does not. ``bbox_mask`` is not produced in this mode.
+    """
+
+    def __init__(
+        self,
+        input_size: Tuple[int, int],
+        input_padding: float = 1.25,
+        use_udp: bool = False,
+        device_warp: bool = False,
+        canvas_size: Tuple[int, int] = (640, 640),
+    ):
         assert len(input_size) == 2
         self.input_size = input_size
         self.use_udp = use_udp
         self.input_padding = input_padding
+        self.device_warp = device_warp
+        self.canvas_size = tuple(canvas_size)
+
+    def _make_canvas(self, img: np.ndarray, warp_mat: np.ndarray, dst_size: Tuple[int, int]):
+        """Extract the warp's source ROI into the fixed canvas and compose
+        the canvas -> crop affine. Returns (canvas uint8 (Hc, Wc, 3),
+        mat (2, 3) float32)."""
+        cw, ch = self.canvas_size
+        img_h, img_w = img.shape[:2]
+        w, h = dst_size
+
+        inv = cv2.invertAffineTransform(warp_mat.astype(np.float64))
+        corners = np.array(
+            [[-0.5, -0.5], [w - 0.5, -0.5], [w - 0.5, h - 0.5], [-0.5, h - 0.5]], np.float64
+        )
+        src = corners @ inv[:, :2].T + inv[:, 2]
+        x0 = int(np.clip(np.floor(src[:, 0].min()) - 1, 0, img_w))
+        y0 = int(np.clip(np.floor(src[:, 1].min()) - 1, 0, img_h))
+        x1 = int(np.clip(np.ceil(src[:, 0].max()) + 2, 0, img_w))
+        y1 = int(np.clip(np.ceil(src[:, 1].max()) + 2, 0, img_h))
+
+        roi = img[y0:y1, x0:x1]
+        rh, rw = roi.shape[:2]
+        canvas = np.zeros((ch, cw, 3), np.uint8)
+        f = 1.0
+        if rh > 0 and rw > 0:
+            if rh > ch or rw > cw:
+                f = min(ch / rh, cw / rw)
+                roi = cv2.resize(roi, (max(1, int(rw * f)), max(1, int(rh * f))), interpolation=cv2.INTER_LINEAR)
+                # the actual integer resize target defines the true scale
+                f_x = roi.shape[1] / rw
+                f_y = roi.shape[0] / rh
+            else:
+                f_x = f_y = 1.0
+            canvas[: roi.shape[0], : roi.shape[1]] = roi
+        else:
+            f_x = f_y = 1.0
+
+        # src <- canvas with cv2.resize pixel-center alignment:
+        # x_src = (x_c + 0.5) / f_x - 0.5 + x0 ; compose with warp (src -> dst)
+        A = np.array(
+            [
+                [1.0 / f_x, 0.0, x0 + 0.5 / f_x - 0.5],
+                [0.0, 1.0 / f_y, y0 + 0.5 / f_y - 0.5],
+            ],
+            np.float64,
+        )
+        R = warp_mat[:, :2].astype(np.float64) @ A[:, :2]
+        t = warp_mat[:, :2].astype(np.float64) @ A[:, 2] + warp_mat[:, 2]
+        mat = np.concatenate([R, t[:, None]], axis=1).astype(np.float32)
+        return canvas, mat
 
     @staticmethod
     def _fix_aspect_ratio(bbox_scale: np.ndarray, aspect_ratio: float) -> np.ndarray:
@@ -69,7 +138,12 @@ class TopdownAffine:
             warp_mat = get_warp_matrix(center, scale, rot, output_size=(w, h))
         warp_mat = warp_mat.astype(np.float32)
 
-        if isinstance(results["img"], list):
+        if self.device_warp:
+            assert not isinstance(results["img"], list), "device_warp does not support multi-frame inputs"
+            canvas, canvas_mat = self._make_canvas(results.pop("img"), warp_mat, (w, h))
+            results["canvas"] = canvas
+            results["warp_mat"] = canvas_mat
+        elif isinstance(results["img"], list):
             results["img"] = [
                 cv2.warpAffine(img, warp_mat, warp_size, flags=cv2.INTER_LINEAR) for img in results["img"]
             ]

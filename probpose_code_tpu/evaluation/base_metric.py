@@ -43,11 +43,25 @@ class BaseMetric:
         raise NotImplementedError
 
     def evaluate(self, size: Optional[int] = None) -> Dict[str, float]:
-        metrics = self.compute_metrics(self.results)
+        results = self._collect_results()
+        metrics = self.compute_metrics(results)
         self.results.clear()
         if self.prefix:
             metrics = {f"{self.prefix}/{k}": v for k, v in metrics.items()}
         return metrics
+
+    def _collect_results(self) -> list:
+        """Cross-process gather of per-rank results (reference: mmengine
+        BaseMetric ``collect_device``/``collect_results``); every process
+        computes the same metrics on the concatenated list."""
+        import jax
+
+        if jax.process_count() == 1:
+            return self.results
+        from probpose_code_tpu.utils.misc import all_gather_object
+
+        gathered = all_gather_object(self.results)
+        return [r for rank_results in gathered for r in rank_results]
 
 
 @EVALUATORS.register_module()

@@ -58,25 +58,38 @@ class Attention(nn.Module):
     On TPU the attention block runs as a VMEM-fused Pallas kernel
     (``ops/pallas/attention.py``) so the (B, h, N, N) matrix never touches
     HBM; elsewhere (and as the numeric reference) plain XLA einsums.
+    ``quant='int8'`` runs the qkv / output projections as int8 MXU matmuls
+    (models/utils/quant.py) for the serving path.
     """
 
     embed_dims: int
     num_heads: int
     qkv_bias: bool = True
     dtype: Any = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from probpose_code_tpu.ops.pallas.attention import attention
 
+        Dense = _dense_cls(self.quant)
         B, N, C = x.shape
         head_dim = C // self.num_heads
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
 
         out = attention(q, k, v, head_dim**-0.5).reshape(B, N, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        return Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+def _dense_cls(quant: Optional[str]):
+    if quant == "int8":
+        from probpose_code_tpu.models.utils.quant import QuantDense
+
+        return QuantDense
+    assert quant is None, f"unknown quant mode {quant}"
+    return nn.Dense
 
 
 class TransformerBlock(nn.Module):
@@ -89,20 +102,22 @@ class TransformerBlock(nn.Module):
     # tanh-approximate GELU: ~10% faster on the VPU; keep exact (False) when
     # bit-level parity with reference checkpoints matters
     approximate_gelu: bool = False
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # the residual stream runs in self.dtype (bf16 on TPU) end-to-end;
         # softmax accumulates in f32 inside Attention
+        Dense = _dense_cls(self.quant)
         x = x.astype(self.dtype)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln1")(x)
-        h = Attention(self.embed_dims, self.num_heads, self.qkv_bias, self.dtype, name="attn")(h)
+        h = Attention(self.embed_dims, self.num_heads, self.qkv_bias, self.dtype, self.quant, name="attn")(h)
         x = x + DropPath(self.drop_path_rate, name="drop_path1")(h, deterministic=not train)
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln2")(x)
-        h = nn.Dense(self.feedforward_channels, dtype=self.dtype, name="mlp_fc1")(h)
+        h = Dense(self.feedforward_channels, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=self.approximate_gelu)
-        h = nn.Dense(self.embed_dims, dtype=self.dtype, name="mlp_fc2")(h)
+        h = Dense(self.embed_dims, dtype=self.dtype, name="mlp_fc2")(h)
         x = x + DropPath(self.drop_path_rate, name="drop_path2")(h, deterministic=not train)
         return x
 
@@ -129,6 +144,7 @@ class VisionTransformer(nn.Module):
     out_indices: Sequence[int] = (-1,)
     dtype: Any = jnp.float32
     approximate_gelu: bool = False
+    quant: Optional[str] = None
 
     def setup(self):
         arch = VIT_ARCH_ZOO[self.arch] if isinstance(self.arch, str) else dict(self.arch)
@@ -168,6 +184,7 @@ class VisionTransformer(nn.Module):
                 qkv_bias=self.qkv_bias,
                 dtype=self.dtype,
                 approximate_gelu=self.approximate_gelu,
+                quant=self.quant,
                 name=f"block{i}",
             )
             for i in range(self.num_layers)

@@ -299,10 +299,49 @@ class PoseModel:
         total = sum(v for k, v in losses.items() if k.startswith("loss_"))
         return total, (losses, new_state)
 
+    def device_preprocess_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Device half of the input pipeline (fused into the jitted step).
+
+        When the host pipeline ran with ``TopdownAffine(device_warp=True)``
+        [+ ``GenerateTarget(device=True)``], the batch carries uint8
+        ``canvas`` images, ``warp_mat`` affines and heatmap-space keypoints
+        instead of pre-warped crops / pre-rendered target maps; this method
+        performs the warp (ops.warp) and the target encode (ops.encode) on
+        device, replacing the reference's cv2.warpAffine + NumPy
+        ``generate_probmaps`` host hot loops (SURVEY §3.1).
+        """
+        if "canvas" not in batch:
+            return batch
+        from probpose_code_tpu.ops.encode import (
+            generate_probmaps_device,
+            generate_udp_gaussian_device,
+            probmap_encode_scales,
+        )
+        from probpose_code_tpu.ops.warp import warp_affine_batch
+
+        batch = dict(batch)
+        canvas = batch.pop("canvas")
+        mats = batch.pop("warp_mat")
+        batch["inputs"] = warp_affine_batch(canvas.astype(jnp.float32), mats, self.input_size)
+        if "kpts_hm" in batch and "heatmaps" not in batch:
+            kpts = batch.pop("kpts_hm")
+            vis = batch.pop("kpts_visible")
+            dc = self.decoder_cfg or {}
+            hm_size = tuple(dc.get("heatmap_size", (48, 64)))
+            if dc.get("type") == "UDPHeatmap":
+                batch["heatmaps"] = generate_udp_gaussian_device(
+                    kpts, vis, hm_size, float(dc.get("sigma", 2.0))
+                )
+            else:  # ProbMap family
+                scales = probmap_encode_scales(kpts.shape[1], hm_size, float(dc.get("sigma", -1.0)))
+                batch["heatmaps"] = generate_probmaps_device(kpts, vis, hm_size, scales)
+        return batch
+
     def loss_fn(self, variables, batch, rngs=None):
         """Returns (total_loss, (loss_dict, new_mutable_state))."""
         if self.onestage:
             return self._onestage_loss(variables, batch, rngs=rngs)
+        batch = self.device_preprocess_batch(batch)
         x = self.preprocess(batch["inputs"])
         outputs, new_state = self.module.apply(
             variables, x, train=True, rngs=rngs, mutable=["batch_stats"]

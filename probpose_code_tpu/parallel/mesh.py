@@ -47,6 +47,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch dict onto the mesh, sharded over 'data'."""
+    """Place a host batch dict onto the mesh, sharded over 'data'.
+
+    Single-process: a plain sharded ``device_put`` of the full batch.
+    Multi-host (``jax.process_count() > 1``): each process holds only its
+    local shard of the global batch (the loader's DistributedSampler-style
+    partition), so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — per-process data lands on
+    that process's addressable devices, no cross-host copy of inputs
+    (reference equivalent: per-rank DataLoader + DDP, ``dist_train.sh``).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -157,3 +157,71 @@ def get_pose_estimator_cfg(config_name: str):
 
     cfg = Config.fromfile(get_config_file(config_name))
     return copy.deepcopy(cfg.model)
+
+
+def make_synthetic_coco(
+    root: str,
+    num_images: int = 64,
+    instances_per_image: int = 2,
+    img_size: Tuple[int, int] = (480, 640),
+    num_keypoints: int = 17,
+    seed: int = 0,
+) -> dict:
+    """Write a synthetic COCO-style keypoint dataset to disk.
+
+    Real JPEG files + a person-keypoints annotation json — used by pipeline
+    throughput benchmarks and integration tests that must exercise the full
+    on-disk data path (image decode -> transform pipeline -> loader), not
+    synthetic device tensors. Returns dict(root, ann_file, img_dir).
+    """
+    import json as _json
+    import os as _os
+
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    img_dir = _os.path.join(root, "images")
+    _os.makedirs(img_dir, exist_ok=True)
+    h, w = img_size
+
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, num_images + 1):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        # blur for a realistic JPEG entropy profile (decode cost tracks detail)
+        img = cv2.GaussianBlur(img, (5, 5), 2.0)
+        fname = f"{img_id:08d}.jpg"
+        cv2.imwrite(_os.path.join(img_dir, fname), img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        images.append(dict(id=img_id, file_name=fname, width=w, height=h))
+        for _ in range(instances_per_image):
+            x, y = rng.randint(10, w // 2), rng.randint(10, h // 2)
+            bw, bh = rng.randint(w // 5, w // 2), rng.randint(h // 3, h // 2)
+            kpts = []
+            num_vis = 0
+            for _k in range(num_keypoints):
+                kx = x + rng.rand() * bw
+                ky = y + rng.rand() * bh
+                v = int(rng.choice([0, 1, 2], p=[0.15, 0.25, 0.6]))
+                num_vis += int(v > 0)
+                kpts.extend([float(kx), float(ky), v])
+            annotations.append(
+                dict(
+                    id=ann_id, image_id=img_id, category_id=1,
+                    bbox=[float(x), float(y), float(bw), float(bh)],
+                    area=float(bw * bh), iscrowd=0,
+                    keypoints=kpts, num_keypoints=num_vis,
+                )
+            )
+            ann_id += 1
+
+    ann_file = _os.path.join(root, "annotations.json")
+    with open(ann_file, "w") as f:
+        _json.dump(
+            dict(
+                images=images,
+                annotations=annotations,
+                categories=[dict(id=1, name="person", supercategory="person")],
+            ),
+            f,
+        )
+    return dict(root=root, ann_file=ann_file, img_dir=img_dir)

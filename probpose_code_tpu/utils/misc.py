@@ -130,6 +130,34 @@ def reduce_mean(value):
     return value
 
 
+def all_gather_object(obj):
+    """Gather an arbitrary picklable object from every process.
+
+    Returns ``[obj_rank0, obj_rank1, ...]`` on every process (the reference
+    gathers metric results across ranks the same way — mmengine
+    ``collect_results`` over torch.distributed, consumed at
+    ``coco_metric.py:118`` via ``collect_device``). Implemented as pickled
+    bytes padded to the global max and exchanged with
+    ``multihost_utils.process_allgather``; single-process returns ``[obj]``.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    sizes = np.asarray(
+        multihost_utils.process_allgather(np.asarray([payload.size], np.int64))
+    ).reshape(-1)
+    buf = np.zeros(int(sizes.max()), np.uint8)
+    buf[: payload.size] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(buf)).reshape(len(sizes), -1)
+    return [pickle.loads(gathered[i, : int(sizes[i])].tobytes()) for i in range(len(sizes))]
+
+
 def to_numpy(x, return_device: bool = False, unzip: bool = False):
     """Device/tracer-safe numpy conversion (reference ``tensor_utils.py``)."""
     arr = np.asarray(x)
