@@ -177,9 +177,16 @@ def main_train():
     step with on-device warp + ProbMap target encode + fwd/bwd/AdamW — and
     reports sustained crops/s on one chip. Set BENCH_MODE=train to select.
 
+    The recommended split (measured on the 1-core bench host + v5e):
+    host cv2 warp (0.4 ms/crop) + uint8 crop transfer + DEVICE target
+    encode (ops.encode), because TPU gathers make a full device-side warp
+    of rotated training crops scalar-bound (~28 ms/crop) while the host
+    warp is trivially cheap. `BENCH_CANVAS>0` selects the deferred-canvas
+    mode instead (device gather warp — useful to quantify, not to ship).
+
     Env: BENCH_BATCH (64), BENCH_STEPS (30), BENCH_DTYPE (bfloat16),
-    BENCH_WORKERS (8), BENCH_CANVAS (512), BENCH_DEVICE_PIPELINE (1; 0
-    selects the host cv2-warp + host-encode pipeline for comparison).
+    BENCH_WORKERS (1; >1 only helps on multi-core hosts), BENCH_CANVAS (0),
+    BENCH_DEVICE_PIPELINE (1; 0 = the reference-style all-host pipeline).
     """
     import tempfile
 
@@ -200,8 +207,8 @@ def main_train():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    workers = int(os.environ.get("BENCH_WORKERS", "8"))
-    canvas = int(os.environ.get("BENCH_CANVAS", "512"))
+    workers = int(os.environ.get("BENCH_WORKERS", "1"))
+    canvas = int(os.environ.get("BENCH_CANVAS", "0"))
     device_pipeline = os.environ.get("BENCH_DEVICE_PIPELINE", "1") == "1"
 
     root = os.path.join(tempfile.gettempdir(), "probpose_bench_coco")
@@ -212,8 +219,9 @@ def main_train():
     affine = dict(type="TopdownAffine", input_size=(192, 256), use_udp=True, input_padding=1.25)
     target = dict(type="GenerateTarget", encoder=codec)
     if device_pipeline:
-        affine.update(device_warp=True, canvas_size=(canvas, canvas))
         target.update(device=True)
+        if canvas:
+            affine.update(device_warp=True, canvas_size=(canvas, canvas))
     train_pipeline = [
         dict(type="LoadImage"),
         dict(type="GetBBoxCenterScale"),
@@ -273,6 +281,17 @@ def main_train():
     dt = time.perf_counter() - t0
     train_crops = batch * steps / dt
 
+    # device-only step rate on a resident batch — separates the chip's
+    # capability from the host pipeline / transfer share of the e2e number
+    resident = next(gen)
+    state, metrics = train_step(state, resident, key)
+    _ = np.asarray(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        state, metrics = train_step(state, resident, key)
+    _ = np.asarray(metrics["loss"])
+    device_rate = batch * 10 / (time.perf_counter() - t0)
+
     metric = "probpose_s_256x192_e2e_train_throughput"
     record = {
         "metric": metric,
@@ -282,6 +301,7 @@ def main_train():
         "dtype": dtype,
         "device_pipeline": device_pipeline,
         "workers": workers,
+        "device_step_crops_per_sec": round(device_rate, 1),
     }
     record.update(_check_history(metric, train_crops))
     print(json.dumps(record))

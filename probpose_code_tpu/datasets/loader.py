@@ -34,19 +34,28 @@ def collate_pose_samples(samples: List[dict]) -> Dict:
     assert samples, "empty batch after pipeline drops"
     batch: Dict = {}
     if "canvas" in samples[0]:
-        # device-pipeline batch: uint8 canvases + warp matrices + heatmap-
-        # space keypoints; the jitted train step warps/encodes on device
-        batch["canvas"] = np.stack([s["canvas"] for s in samples])
-        batch["warp_mat"] = np.stack([s["warp_mat"] for s in samples]).astype(np.float32)
-        if "device_kpts_hm" in samples[0]:
-            batch["kpts_hm"] = np.stack(
-                [np.asarray(s["device_kpts_hm"]).reshape(-1, 2) for s in samples]
-            ).astype(np.float32)
-            batch["kpts_visible"] = np.stack(
-                [np.asarray(s["device_kpts_visible"]).reshape(-1) for s in samples]
-            ).astype(np.float32)
+        # deferred-warp batch: uint8 canvases + warp matrices; the jitted
+        # train step warps on device (TopdownAffine(device_warp=True)).
+        # All-rotation-free batches use the ``_sep`` keys, dispatching to the
+        # separable MXU warp (a distinct jit trace keyed by batch structure).
+        sep = all(s.get("warp_separable", False) for s in samples)
+        suffix = "_sep" if sep else ""
+        batch["canvas" + suffix] = np.stack([s["canvas"] for s in samples])
+        batch["warp_mat" + suffix] = np.stack([s["warp_mat"] for s in samples]).astype(np.float32)
     else:
-        batch["inputs"] = np.stack([s["inputs"] for s in samples]).astype(np.float32)
+        inputs = np.stack([s["inputs"] for s in samples])
+        # uint8 crops stay uint8: 4x less host->device traffic; the jitted
+        # program's normalize casts on device
+        batch["inputs"] = inputs if inputs.dtype == np.uint8 else inputs.astype(np.float32)
+    if "device_kpts_hm" in samples[0]:
+        # deferred-encode batch (GenerateTarget(device=True)): heatmap-space
+        # keypoints; target maps are rendered on device (ops.encode)
+        batch["kpts_hm"] = np.stack(
+            [np.asarray(s["device_kpts_hm"]).reshape(-1, 2) for s in samples]
+        ).astype(np.float32)
+        batch["kpts_visible"] = np.stack(
+            [np.asarray(s["device_kpts_visible"]).reshape(-1) for s in samples]
+        ).astype(np.float32)
     data_samples = [s["data_samples"] for s in samples]
     batch["data_samples"] = data_samples
 

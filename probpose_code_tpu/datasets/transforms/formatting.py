@@ -134,7 +134,7 @@ class PackPoseInputs:
         # device-pipeline passthrough (TopdownAffine(device_warp=True) +
         # GenerateTarget(device=True)): ship the canvas + geometry instead of
         # a pre-warped crop / pre-rendered heatmaps
-        for key in ("canvas", "warp_mat", "device_kpts_hm", "device_kpts_visible"):
+        for key in ("canvas", "warp_mat", "warp_separable", "device_kpts_hm", "device_kpts_visible"):
             if key in results:
                 packed[key] = results[key]
         return packed

@@ -143,6 +143,9 @@ class TopdownAffine:
             canvas, canvas_mat = self._make_canvas(results.pop("img"), warp_mat, (w, h))
             results["canvas"] = canvas
             results["warp_mat"] = canvas_mat
+            # rotation-free warps run as MXU matmuls on device (ops.warp.
+            # warp_affine_separable); rotated ones need the gather path
+            results["warp_separable"] = bool(rot == 0)
         elif isinstance(results["img"], list):
             results["img"] = [
                 cv2.warpAffine(img, warp_mat, warp_size, flags=cv2.INTER_LINEAR) for img in results["img"]

@@ -310,19 +310,24 @@ class PoseModel:
         device, replacing the reference's cv2.warpAffine + NumPy
         ``generate_probmaps`` host hot loops (SURVEY §3.1).
         """
-        if "canvas" not in batch:
+        if not ({"canvas", "canvas_sep", "kpts_hm"} & set(batch)):
             return batch
         from probpose_code_tpu.ops.encode import (
             generate_probmaps_device,
             generate_udp_gaussian_device,
             probmap_encode_scales,
         )
-        from probpose_code_tpu.ops.warp import warp_affine_batch
+        from probpose_code_tpu.ops.warp import warp_affine_batch, warp_affine_separable
 
         batch = dict(batch)
-        canvas = batch.pop("canvas")
-        mats = batch.pop("warp_mat")
-        batch["inputs"] = warp_affine_batch(canvas.astype(jnp.float32), mats, self.input_size)
+        if "canvas_sep" in batch:  # rotation-free: MXU matmul warp
+            canvas = batch.pop("canvas_sep")
+            mats = batch.pop("warp_mat_sep")
+            batch["inputs"] = warp_affine_separable(canvas.astype(jnp.float32), mats, self.input_size)
+        elif "canvas" in batch:
+            canvas = batch.pop("canvas")
+            mats = batch.pop("warp_mat")
+            batch["inputs"] = warp_affine_batch(canvas.astype(jnp.float32), mats, self.input_size)
         if "kpts_hm" in batch and "heatmaps" not in batch:
             kpts = batch.pop("kpts_hm")
             vis = batch.pop("kpts_visible")

@@ -14,7 +14,8 @@ from .heatmap import (
 )
 from .sparsemax import sparsemax
 from .tta import flip_coordinates, flip_heatmaps, flip_vectors
-from .warp import invert_affine, transform_points, warp_affine_batch
+from .encode import generate_probmaps_device, generate_udp_gaussian_device, probmap_encode_scales
+from .warp import invert_affine, transform_points, warp_affine_batch, warp_affine_separable
 
 __all__ = [
     "deform_conv2d",

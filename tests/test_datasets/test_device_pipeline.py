@@ -134,7 +134,8 @@ def test_train_step_on_device_batch():
 
     samples = [_pipelines(device=True)(_sample(seed=i)) for i in range(4)]
     batch = collate_pose_samples(samples)
-    assert batch["canvas"].dtype == np.uint8
+    # rotation-free pipeline -> separable-warp batch keys
+    assert batch["canvas_sep"].dtype == np.uint8
     batch.pop("data_samples")
 
     model_cfg = dict(
