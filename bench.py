@@ -219,6 +219,7 @@ def main_train():
     affine = dict(type="TopdownAffine", input_size=(192, 256), use_udp=True, input_padding=1.25)
     target = dict(type="GenerateTarget", encoder=codec)
     if device_pipeline:
+        affine.update(with_bbox_mask=False)  # DoubleProbMap-only output
         target.update(device=True)
         if canvas:
             affine.update(device_warp=True, canvas_size=(canvas, canvas))

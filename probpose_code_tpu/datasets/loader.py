@@ -69,7 +69,10 @@ def collate_pose_samples(samples: List[dict]) -> Dict:
             v = v[:, 0]
         return v
 
-    for name in ("keypoint_weights", "keypoint_labels", "keypoint_x_labels", "keypoint_y_labels"):
+    for name in (
+        "keypoint_weights", "keypoint_labels", "keypoint_x_labels", "keypoint_y_labels",
+        "lifting_target_label", "lifting_target_weight", "trajectory_weights",
+    ):
         if name in ds0.gt_instance_labels:
             batch[name] = stack_label(name).astype(np.float32)
 

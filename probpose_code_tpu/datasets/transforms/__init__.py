@@ -14,6 +14,7 @@ from .common import (
 )
 from .formatting import PackOneStageInputs, PackPoseInputs, collate_onestage
 from .mix_img_transforms import Mosaic, YOLOXMixUp
+from .pose3d_and_hand import HandRandomFlip, RandomFlipAroundRoot
 from .loading import LoadImage
 from .topdown import TopdownAffine
 
@@ -25,6 +26,7 @@ __all__ = [
     "KeypointConverter",
     "GenerateTarget",
     "GetBBoxCenterScale",
+    "HandRandomFlip",
     "LoadImage",
     "Mosaic",
     "PackOneStageInputs",
@@ -35,6 +37,7 @@ __all__ = [
     "RandomBBoxTransform",
     "RandomEdgesBlackout",
     "RandomFlip",
+    "RandomFlipAroundRoot",
     "RandomHalfBody",
     "RandomPatchesBlackout",
     "TopdownAffine",

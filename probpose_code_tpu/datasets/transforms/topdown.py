@@ -45,6 +45,7 @@ class TopdownAffine:
         use_udp: bool = False,
         device_warp: bool = False,
         canvas_size: Tuple[int, int] = (640, 640),
+        with_bbox_mask: bool = True,
     ):
         assert len(input_size) == 2
         self.input_size = input_size
@@ -52,6 +53,10 @@ class TopdownAffine:
         self.input_padding = input_padding
         self.device_warp = device_warp
         self.canvas_size = tuple(canvas_size)
+        # the warped bbox coverage mask costs a second cv2.warpAffine per
+        # sample but is only consumed by the DoubleProbMap family; pipelines
+        # that don't need it can switch it off
+        self.with_bbox_mask = with_bbox_mask
 
     def _make_canvas(self, img: np.ndarray, warp_mat: np.ndarray, dst_size: Tuple[int, int]):
         """Extract the warp's source ROI into the fixed canvas and compose
@@ -113,12 +118,13 @@ class TopdownAffine:
         first_img = results["img"][0] if isinstance(results["img"], list) else results["img"]
         img_h, img_w = first_img.shape[:2]
 
-        bbox_xyxy = np.asarray(results["bbox_xyxy_wrt_input"], dtype=np.float64).flatten().copy()
-        bbox_xyxy[:2] = np.maximum(bbox_xyxy[:2], 0)
-        bbox_xyxy[2:4] = np.minimum(bbox_xyxy[2:4], [img_w, img_h])
-        x0, y0, x1, y1 = bbox_xyxy[:4].astype(int)
-        bbox_mask = np.zeros((img_h, img_w), dtype=np.uint8)
-        bbox_mask[y0:y1, x0:x1] = 1
+        if self.with_bbox_mask:
+            bbox_xyxy = np.asarray(results["bbox_xyxy_wrt_input"], dtype=np.float64).flatten().copy()
+            bbox_xyxy[:2] = np.maximum(bbox_xyxy[:2], 0)
+            bbox_xyxy[2:4] = np.minimum(bbox_xyxy[2:4], [img_w, img_h])
+            x0, y0, x1, y1 = bbox_xyxy[:4].astype(int)
+            bbox_mask = np.zeros((img_h, img_w), dtype=np.uint8)
+            bbox_mask[y0:y1, x0:x1] = 1
 
         # re-derive center/scale from the (possibly cropped) activation bbox
         _c, _s = bbox_xyxy2cs(np.asarray(results["bbox_xyxy_wrt_input"]), padding=self.input_padding)
@@ -152,8 +158,9 @@ class TopdownAffine:
             ]
         else:
             results["img"] = cv2.warpAffine(results["img"], warp_mat, warp_size, flags=cv2.INTER_LINEAR)
-            bbox_mask = cv2.warpAffine(bbox_mask, warp_mat, warp_size, flags=cv2.INTER_LINEAR)
-            results["bbox_mask"] = bbox_mask.reshape(1, h, w)
+            if self.with_bbox_mask:
+                bbox_mask = cv2.warpAffine(bbox_mask, warp_mat, warp_size, flags=cv2.INTER_LINEAR)
+                results["bbox_mask"] = bbox_mask.reshape(1, h, w)
 
         if results.get("keypoints", None) is not None:
             if results.get("transformed_keypoints", None) is not None:

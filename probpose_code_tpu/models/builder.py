@@ -167,8 +167,8 @@ class PoseModel:
                 bb = self.aux["backbone_cfg"]
                 if bb.get("type") == "DSTFormer":
                     input_shape = (1, 9, bb.get("num_joints", 17), bb.get("in_channels", 3))
-                else:  # TCN-style (B, T, K*2)
-                    input_shape = (1, 27, bb.get("in_channels", 34))
+                else:  # TCN-style (B, K*2, T) — channels-first sequences
+                    input_shape = (1, bb.get("in_channels", 34), 27)
             else:
                 w, h = self.input_size
                 input_shape = (1, h, w, 3)
@@ -380,6 +380,24 @@ class PoseModel:
             from .pose_estimators.topdown import internet_head_loss
 
             losses = internet_head_loss(outputs, batch)
+        elif self.head_type in ("TemporalRegressionHead", "TrajectoryRegressionHead", "MotionRegressionHead"):
+            # PoseLifter training (reference ``pose_lifter.py:loss`` ->
+            # temporal_regression_head.loss: MPJPE on root-centered labels)
+            pred = outputs[0] if isinstance(outputs, tuple) else outputs
+            target = batch["lifting_target_label"].reshape(pred.shape)
+            weight = batch.get("lifting_target_weight")
+            if weight is None:
+                weight = jnp.ones(pred.shape[:-1], jnp.float32)
+            if self.aux["head_cfg"].get("loss"):
+                loss_mod = self.loss_modules["keypoint"]
+            else:  # reference default for lifting heads
+                from probpose_code_tpu.models.losses.regression_loss import MPJPELoss
+
+                loss_mod = MPJPELoss(use_target_weight=True)
+            losses = {"loss_kpt": loss_mod(pred, target, weight.reshape(pred.shape[:-1]))}
+            dist = jnp.linalg.norm(jax.lax.stop_gradient(pred) - target, axis=-1)
+            valid = weight.reshape(pred.shape[:-1]) > 0
+            losses["mpjpe"] = (dist * valid).sum() / jnp.maximum(valid.sum(), 1)
         else:
             losses = heatmap_head_loss(outputs, batch, self.loss_modules["keypoint"])
         total = sum(v for k, v in losses.items() if k.startswith("loss_"))

@@ -156,6 +156,21 @@ class SoftWingLoss:
         return self._criterion(output, target) * self.loss_weight
 
 
+
+
+def _safe_norm(x, axis=-1):
+    """L2 norm with a zero (not NaN) gradient at exactly-zero vectors.
+
+    ``jnp.linalg.norm`` differentiates to ``x / ||x||`` — NaN when a joint
+    difference is exactly zero, which happens whenever a target weight is 0
+    (the reference's torch.norm has the same pole but never sees it because
+    weights multiply the *summed* loss there).
+    """
+    sq = jnp.sum(x * x, axis=axis)
+    positive = sq > 0
+    return jnp.sqrt(jnp.where(positive, sq, 1.0)) * positive
+
+
 @MODELS.register_module()
 class MPJPELoss:
     """Mean per-joint position error (3D pipelines)."""
@@ -170,9 +185,9 @@ class MPJPELoss:
             w = target_weight
             while w.ndim < output.ndim:
                 w = w[..., None]
-            loss = jnp.mean(jnp.linalg.norm((output - target) * w, axis=-1))
+            loss = jnp.mean(_safe_norm((output - target) * w))
         else:
-            loss = jnp.mean(jnp.linalg.norm(output - target, axis=-1))
+            loss = jnp.mean(_safe_norm(output - target))
         return loss * self.loss_weight
 
 
@@ -207,14 +222,14 @@ class MPJPEVelocityJointLoss:
             w = target_weight
             while w.ndim < output.ndim:
                 w = w[..., None]
-            mpjpe = jnp.mean(jnp.linalg.norm((output - target) * w, axis=-1))
-            nmpjpe = jnp.mean(jnp.linalg.norm((scaled - target) * w, axis=-1))
+            mpjpe = jnp.mean(_safe_norm((output - target) * w))
+            nmpjpe = jnp.mean(_safe_norm((scaled - target) * w))
             w_vel = w[..., 1:, :, :] if w.shape[-3] == output.shape[-3] else w
-            vel = jnp.mean(jnp.linalg.norm((vel_out - vel_tgt) * w_vel, axis=-1))
+            vel = jnp.mean(_safe_norm((vel_out - vel_tgt) * w_vel))
         else:
-            mpjpe = jnp.mean(jnp.linalg.norm(output - target, axis=-1))
-            nmpjpe = jnp.mean(jnp.linalg.norm(scaled - target, axis=-1))
-            vel = jnp.mean(jnp.linalg.norm(vel_out - vel_tgt, axis=-1))
+            mpjpe = jnp.mean(_safe_norm(output - target))
+            nmpjpe = jnp.mean(_safe_norm(scaled - target))
+            vel = jnp.mean(_safe_norm(vel_out - vel_tgt))
         return (mpjpe + nmpjpe * self.lambda_scale + vel * self.lambda_3d_velocity) * self.loss_weight
 
 
