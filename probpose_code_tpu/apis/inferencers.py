@@ -28,12 +28,56 @@ from .inference import inference_topdown, init_model
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
+def _webcam_inputs(inputs: str) -> Generator:
+    """Frame generator for ``"webcam"`` / ``"webcam:id"`` inputs.
+
+    Parity: reference ``BaseMMPoseInferencer._get_webcam_inputs``
+    (``base_mmpose_inferencer.py:216-276``) — camera id parsed from the
+    spec, frames streamed until the capture ends or ESC is pressed (the
+    key poll is skipped when no GUI backend is available).
+    """
+    import cv2
+
+    spec = inputs.lower().split(":")
+    if len(spec) == 1:
+        camera_id = 0
+    elif len(spec) == 2 and spec[1].isdigit():
+        camera_id = int(spec[1])
+    else:
+        raise ValueError(f'Expected webcam input to have format "webcam:id", but got "{inputs}"')
+
+    vcap = cv2.VideoCapture(camera_id)
+    if not vcap.isOpened():
+        import warnings
+
+        warnings.warn(f"Cannot open camera (ID={camera_id})")
+        return
+    idx = 0
+    try:
+        while True:
+            try:
+                if cv2.waitKey(5) & 0xFF == 27:  # ESC closes the stream
+                    break
+            except cv2.error:
+                pass  # headless build: no HighGUI event loop
+            ok, frame = vcap.read()
+            if not ok:
+                break
+            yield f"webcam_{idx:06d}", frame
+            idx += 1
+    finally:
+        vcap.release()
+
+
 def _enumerate_inputs(inputs) -> Generator:
-    """Yield (name, BGR image) from path / folder / video / arrays."""
+    """Yield (name, BGR image) from path / folder / video / webcam / arrays."""
     import cv2
 
     if isinstance(inputs, np.ndarray):
         yield "array_0", inputs
+        return
+    if isinstance(inputs, str) and inputs.lower().startswith("webcam"):
+        yield from _webcam_inputs(inputs)
         return
     if isinstance(inputs, (list, tuple)):
         for i, item in enumerate(inputs):

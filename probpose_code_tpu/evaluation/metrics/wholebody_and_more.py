@@ -250,12 +250,14 @@ class InterHandMetric(BaseMetric):
 
 @METRICS.register_module()
 class PoseTrack18Metric(CocoMetric):
-    """PoseTrack18 AP via per-video json export (reference
-    ``posetrack18_metric.py``).
+    """PoseTrack18 AP via per-video json export + official-protocol scoring
+    (reference ``posetrack18_metric.py``).
 
-    The official scoring uses the external ``poseval`` toolkit; when it is
-    unavailable (as here) the exported jsons are still produced and a
-    COCO-style keypoint AP over all frames is reported instead.
+    Scoring uses the poseval-protocol PCKh-matched per-joint AP implemented
+    natively in ``evaluation/functional/poseval.py`` (the reference calls
+    the external ``poseval`` toolkit, ``posetrack18_metric.py:203-245``);
+    the per-video submission jsons are exported either way, and a COCO-style
+    AP over all frames is additionally reported with a ``coco_`` prefix.
     """
 
     def __init__(self, ann_file: Optional[str] = None, score_mode: str = "bbox_keypoint",
@@ -296,11 +298,43 @@ class PoseTrack18Metric(CocoMetric):
         return super().results2json(keypoints, os.path.join(outfile_prefix, "all"))
 
     def _do_python_keypoint_eval(self, outfile_prefix: str) -> list:
-        try:
-            import poseval  # noqa: F401
-        except ImportError:
-            return CocoMetric._do_python_keypoint_eval(self, os.path.join(outfile_prefix, "all"))
-        raise NotImplementedError("poseval scoring path not wired in this environment")
+        """Official-protocol per-joint AP (Head/Shou/.../AP) + COCO AP.
+
+        Mirrors the reference's ``evaluateAP`` consumption
+        (``posetrack18_metric.py:203-245``) using the native protocol
+        implementation in ``evaluation/functional/poseval.py``."""
+        from probpose_code_tpu.evaluation.functional.poseval import evaluate_ap
+
+        # GT frames from the loaded annotation file
+        gt_frames = {}
+        for img_id, anns in getattr(self.coco, "imgToAnns", {}).items():
+            gt_frames[img_id] = [
+                dict(
+                    keypoints=a["keypoints"],
+                    bbox_head=a.get("bbox_head"),
+                    bbox=a.get("bbox"),
+                )
+                for a in anns
+                if a.get("keypoints")
+            ]
+
+        # predictions from the exported flat results json
+        res_file = os.path.join(outfile_prefix, "all") + ".keypoints.json"
+        with open(res_file) as f:
+            dets = json.load(f)
+        pred_frames = defaultdict(list)
+        for d in dets:
+            kp = np.asarray(d["keypoints"], np.float64).reshape(-1, 3)
+            pred_frames[d["image_id"]].append(
+                dict(keypoints=d["keypoints"], scores=(kp[:, 2] * float(d.get("score", 1.0))).tolist())
+            )
+
+        info = evaluate_ap(gt_frames, dict(pred_frames))
+        # COCO-style AP over all frames, prefixed to avoid clobbering the
+        # official stat names
+        coco_info = CocoMetric._do_python_keypoint_eval(self, os.path.join(outfile_prefix, "all"))
+        info.extend((f"coco_{k}", v) for k, v in coco_info)
+        return info
 
     def compute_metrics(self, results: list) -> Dict[str, float]:
         # reroute the outfile prefix so per-video jsons land in a directory

@@ -81,3 +81,49 @@ def test_track_by_oks():
     cur = _make_result([0, 0, 100, 100], kpts + 1.0)
     track_id, remaining, oks = _track_by_oks(cur, last, thr=0.3)
     assert track_id == 3 and oks > 0.5
+
+
+def test_pose2d_inferencer_webcam_input(pose2d_cfg, monkeypatch, tmp_path):
+    """Webcam streaming input (reference base_mmpose_inferencer.py:216-276):
+    "webcam:N" enumerates frames from cv2.VideoCapture(N)."""
+    import cv2
+
+    from probpose_code_tpu.apis.inferencers import Pose2DInferencer, _enumerate_inputs
+
+    rng = np.random.RandomState(2)
+    frames = [(rng.rand(240, 320, 3) * 255).astype(np.uint8) for _ in range(3)]
+
+    class FakeCapture:
+        def __init__(self, cam_id):
+            assert cam_id == 1
+            self._i = 0
+
+        def isOpened(self):
+            return True
+
+        def read(self):
+            if self._i >= len(frames):
+                return False, None
+            self._i += 1
+            return True, frames[self._i - 1]
+
+        def release(self):
+            pass
+
+    monkeypatch.setattr(cv2, "VideoCapture", FakeCapture)
+
+    enumerated = list(_enumerate_inputs("webcam:1"))
+    assert [n for n, _ in enumerated] == ["webcam_000000", "webcam_000001", "webcam_000002"]
+
+    inferencer = Pose2DInferencer(pose2d_cfg)
+    outputs = inferencer("webcam:1", pred_out_dir=str(tmp_path / "preds"))
+    assert len(outputs) == 3
+    inst = outputs[0]["predictions"].pred_instances
+    assert np.asarray(inst.keypoints).shape[-2:] == (17, 2)
+
+
+def test_webcam_input_bad_spec():
+    from probpose_code_tpu.apis.inferencers import _webcam_inputs
+
+    with pytest.raises(ValueError):
+        list(_webcam_inputs("webcam:abc"))
