@@ -217,4 +217,26 @@ def build_optimizer(
         chain.append(scale_by_lr_tree(scales))
 
     chain.append(optax.scale_by_learning_rate(lr_fn))
-    return optax.chain(*chain), lr_fn
+    tx = optax.chain(*chain)
+
+    # gradient accumulation (mmengine OptimWrapper ``accumulative_counts``):
+    # apply the chained update every k steps on the mean of k gradients
+    accum = int(optim_wrapper.get("accumulative_counts", 1) or 1)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+
+    # AMP surface (mmengine AmpOptimWrapper): accepted for config parity.
+    # On TPU mixed precision is bfloat16 (set model-side via --amp or the
+    # backbone/head ``dtype`` config); bf16 keeps the f32 exponent range,
+    # so the reference's f16 loss scaling ('dynamic'/float) is a no-op here
+    # — parameters, optimizer state and the loss stay f32 either way.
+    if optim_wrapper.get("type") == "AmpOptimWrapper":
+        loss_scale = optim_wrapper.get("loss_scale", "dynamic")
+        if isinstance(loss_scale, (int, float)) and float(loss_scale) != 1.0:
+            import warnings
+
+            warnings.warn(
+                "AmpOptimWrapper.loss_scale is ignored on TPU: bfloat16 "
+                "compute needs no loss scaling (f32 exponent range)"
+            )
+    return tx, lr_fn

@@ -88,6 +88,11 @@ class Runner:
 
         self.hooks = [HOOKS.build(h) for h in cfg.get("custom_hooks", [])]
 
+        # scalar-logging backends (visualizer.vis_backends config surface)
+        from probpose_code_tpu.visualization import build_vis_backends
+
+        self.vis_backends = build_vis_backends(cfg, self.work_dir)
+
     # -- construction helpers ---------------------------------------------
 
     def _collate_fn(self):
@@ -204,6 +209,8 @@ class Runner:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 step = int(self.state.step)
                 lr = float(self.lr_fn(step))
+                for backend in self.vis_backends:
+                    backend.add_scalars({f"train/{k}": v for k, v in host_metrics.items()}, step)
                 self.logger.log(
                     f"Epoch [{epoch + 1}][{i + 1}/{len(self.train_loader)}] "
                     f"lr: {lr:.2e} "
@@ -213,14 +220,16 @@ class Runner:
 
     # -- validation -------------------------------------------------------
 
-    def val(self, evaluator=None) -> Dict[str, float]:
+    def val(self, evaluator=None, flip_test: Optional[bool] = None) -> Dict[str, float]:
+        """Validation pass. ``flip_test`` overrides the model's
+        ``test_cfg.flip_test`` (None keeps the config value)."""
         if self.val_loader is None:
             self.val_loader = self.build_val_loader()
         if evaluator is None:
             evaluator = self.build_evaluator()
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats} \
             if self.state is not None else self.model.variables
-        predict = self.model.make_predict(jit=True)
+        predict = self.model.make_predict(flip_test=flip_test, jit=True)
 
         for batch in self.val_loader:
             data_samples = batch["data_samples"]
@@ -229,6 +238,11 @@ class Runner:
             attach_predictions(preds, data_samples, self.model.input_size)
             evaluator.process(data_samples)
         metrics = evaluator.evaluate(len(self.val_loader.dataset))
+        for backend in self.vis_backends:
+            backend.add_scalars(
+                {f"val/{k}": v for k, v in metrics.items()},
+                int(self.state.step) if self.state is not None else 0,
+            )
         self.logger.log("val: " + " ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
         return metrics
 

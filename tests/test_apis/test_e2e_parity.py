@@ -25,9 +25,12 @@ torch = pytest.importorskip("torch")
 
 GOLDEN = pathlib.Path(__file__).parent.parent / "golden"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
     not (GOLDEN / "e2e_pipeline.npz").exists(), reason="e2e fixtures missing (run tools/make_golden_e2e.py)"
-)
+    ),
+]
 
 
 @pytest.fixture(scope="module")

@@ -25,10 +25,13 @@ torch = pytest.importorskip("torch")
 GOLDEN = pathlib.Path(__file__).parent.parent / "golden"
 REPO = pathlib.Path(__file__).parent.parent.parent
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
     not (GOLDEN / "e2e_full_pipeline.npz").exists(),
     reason="full e2e fixtures missing (run tools/make_golden_e2e.py --full)",
-)
+    ),
+]
 
 MODEL_CFG = dict(
     model=dict(

@@ -24,10 +24,13 @@ torch = pytest.importorskip("torch")
 
 GOLDEN = pathlib.Path(__file__).parent.parent / "golden"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
     not (GOLDEN / "e2e_udp_pipeline.npz").exists(),
     reason="UDP e2e fixtures missing (run tools/make_golden_e2e_udp.py)",
-)
+    ),
+]
 
 
 @pytest.fixture(scope="module")

@@ -17,6 +17,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 CHILD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_multihost_child.py")
 
 
