@@ -12,6 +12,7 @@ pseudo-collated batch).
 
 from __future__ import annotations
 
+import os
 import os.path as osp
 from typing import List, Optional, Sequence, Union
 
@@ -31,9 +32,21 @@ def init_model(
     device: Optional[str] = None,
     cfg_options: Optional[dict] = None,
 ) -> PoseModel:
-    """Build a PoseModel from config (+ checkpoint)."""
+    """Build a PoseModel from config (+ checkpoint).
+
+    ``config`` may be a path, a Config/dict, or a model-index alias/name
+    ("human", "vitpose", "probpose-s", ... — reference metafile machinery,
+    see ``apis/model_index.py``)."""
     if isinstance(config, (str, bytes)) or hasattr(config, "__fspath__"):
-        config = Config.fromfile(config)
+        from .model_index import resolve_model_cfg
+
+        resolved = resolve_model_cfg(os.fspath(config) if hasattr(config, "__fspath__") else config)
+        if resolved is None:
+            raise FileNotFoundError(
+                f"'{config}' is neither a config file nor a model-index alias "
+                "(see probpose_code_tpu.apis.get_model_aliases())"
+            )
+        config = Config.fromfile(resolved)
     elif not isinstance(config, Config):
         config = Config.fromdict(dict(config))
     if cfg_options:

@@ -60,3 +60,36 @@ def test_inference_with_image_path(model, tmp_path):
     cv2.imwrite(path, img)
     results = inference_topdown(model, path)  # whole-image bbox
     assert len(results) == 1
+
+
+def test_model_index_aliases_resolve_to_existing_configs():
+    """Metafile/alias machinery (reference get_model_alias.py): every index
+    entry resolves to a real config and loads."""
+    import os.path as osp
+
+    from probpose_code_tpu.apis import MODEL_INDEX, get_model_aliases, resolve_model_cfg
+    from probpose_code_tpu.config import Config
+
+    aliases = get_model_aliases()
+    assert aliases["human"].startswith("rtmpose-m")
+    assert "vitpose" in aliases and "wholebody" in aliases and "animal" in aliases
+    for name in MODEL_INDEX:
+        path = resolve_model_cfg(name)
+        assert path and osp.exists(path), name
+    for alias in ("human", "probpose-s", "face", "hand", "rtmo", "human3d", "hand3d"):
+        path = resolve_model_cfg(alias)
+        assert path and osp.exists(path), alias
+        cfg = Config.fromfile(path)
+        assert "model" in cfg
+    assert resolve_model_cfg("not-a-model") is None
+
+
+def test_init_model_accepts_alias():
+    import pytest as _pytest
+
+    from probpose_code_tpu.apis import init_model
+
+    model = init_model("rtmpose-t")  # tiny-ish real zoo model, no weights
+    assert model.head_type == "RTMCCHead"
+    with _pytest.raises(FileNotFoundError):
+        init_model("definitely-not-an-alias")
