@@ -207,7 +207,8 @@ def test_full_size_parity_on_tpu(weights_path, tmp_path):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
-    env["PYTHONPATH"] = str(REPO)
+    # prepend (not overwrite): the TPU plugin itself loads via PYTHONPATH
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
         [sys.executable, str(child), str(GOLDEN / "e2e_full_pipeline.npz"),
          str(GOLDEN / "e2e_full_coco.json"), str(REPO / ".jax_cache"), str(REPO), weights_path],

@@ -62,7 +62,8 @@ def test_config_forward_smoke(path):
     # shrink the ViT variants so CPU compiles stay cheap; conv nets keep
     # their shipped topology
     bb = dict(model_cfg.get("backbone") or {})
-    if "VisionTransformer" in str(bb.get("type", "")):
+    # exact-type check: "PyramidVisionTransformer" must not match
+    if str(bb.get("type", "")).split(".")[-1] == "VisionTransformer":
         bb["arch"] = {"embed_dims": 64, "num_layers": 2, "num_heads": 4, "feedforward_channels": 128}
         model_cfg["backbone"] = bb
         head = dict(model_cfg["head"])
