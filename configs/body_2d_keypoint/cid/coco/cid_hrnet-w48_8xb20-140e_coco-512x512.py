@@ -1,0 +1,100 @@
+# cid_hrnet-w48_8xb20-140e_coco-512x512
+# TPU-native counterpart of the reference recipe of the same name.
+_base_ = ["../../../_base_/default_runtime.py"]
+
+train_cfg = dict(max_epochs=140, val_interval=10)
+
+optim_wrapper = dict(optimizer=dict(type="Adam", lr=1e-3))
+
+param_scheduler = [
+    dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
+    dict(type="MultiStepLR", begin=0, end=140, milestones=[90, 120], gamma=0.1, by_epoch=True),
+]
+
+auto_scale_lr = dict(base_batch_size=20)
+
+default_hooks = dict(checkpoint=dict(save_best="coco/AP", rule="greater"))
+
+codec = dict(type="DecoupledHeatmap", input_size=(512, 512), heatmap_size=(128, 128))
+
+model = dict(
+    type="BottomupPoseEstimator",
+    data_preprocessor=dict(
+        type="PoseDataPreprocessor", mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], bgr_to_rgb=True
+    ),
+    backbone=dict(
+        type="HRNet",
+        in_channels=3,
+        extra=dict(
+            stage1=dict(num_modules=1, num_branches=1, block="BOTTLENECK", num_blocks=(4,), num_channels=(64,)),
+            stage2=dict(num_modules=1, num_branches=2, block="BASIC", num_blocks=(4, 4), num_channels=(48, 96)),
+            stage3=dict(num_modules=4, num_branches=3, block="BASIC", num_blocks=(4, 4, 4), num_channels=(48, 96, 192)),
+            stage4=dict(
+                num_modules=3, num_branches=4, block="BASIC", num_blocks=(4, 4, 4, 4), num_channels=(48, 96, 192, 384)
+            ),
+        ),
+    ),
+    head=dict(
+        type="CIDHead",
+        in_channels=48,
+        gfd_channels=32,
+        num_keypoints=17,
+        coupled_heatmap_loss=dict(type="FocalHeatmapLoss", loss_weight=1.0),
+        decoupled_heatmap_loss=dict(type="FocalHeatmapLoss", loss_weight=4.0),
+        decoder=codec,
+    ),
+    test_cfg=dict(flip_test=False),
+)
+
+train_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="BottomupRandomAffine", input_size=codec["input_size"]),
+    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="BottomupGetHeatmapMask"),
+    dict(type="PackPoseInputs"),
+]
+val_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="BottomupResize", input_size=codec["input_size"]),
+    dict(type="PackPoseInputs"),
+]
+
+data_root = "data/coco/"
+train_dataloader = dict(
+    batch_size=20,
+    num_workers=8,
+    sampler=dict(type="DefaultSampler", shuffle=True),
+    dataset=dict(
+        type="CocoDataset",
+        data_root=data_root,
+        data_mode="bottomup",
+        ann_file="annotations/person_keypoints_train2017.json",
+        data_prefix=dict(img="train2017/"),
+        pipeline=train_pipeline,
+    ),
+)
+val_dataloader = dict(
+    batch_size=1,
+    num_workers=2,
+    drop_last=False,
+    sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
+    dataset=dict(
+        type="CocoDataset",
+        data_root=data_root,
+        data_mode="bottomup",
+        ann_file="annotations/person_keypoints_val2017.json",
+        data_prefix=dict(img="val2017/"),
+        test_mode=True,
+        pipeline=val_pipeline,
+    ),
+)
+test_dataloader = val_dataloader
+
+val_evaluator = dict(
+    type="CocoMetric",
+    ann_file=data_root + "annotations/person_keypoints_val2017.json",
+    nms_mode="none",
+    score_mode="keypoint",
+)
+test_evaluator = val_evaluator

@@ -76,8 +76,10 @@ def test_config_forward_smoke(path):
         w, h = 320, 320
     else:
         # cap the smoke input: compiling e.g. EDPose at its shipped 800x800
-        # costs minutes on this 1-CPU box and adds no graph coverage
-        w, h = min(m.input_size[0], 320), min(m.input_size[1], 320)
+        # costs minutes on this 1-CPU box and adds no graph coverage.
+        # Hourglass needs power-of-two-friendly sizes (odd skip shapes break)
+        cap = 256 if "Hourglass" in str((model_cfg.get("backbone") or {}).get("type", "")) else 320
+        w, h = min(m.input_size[0], cap), min(m.input_size[1], cap)
     m.init(input_shape=(1, h, w, 3))
     import jax
 

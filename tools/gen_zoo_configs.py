@@ -777,5 +777,374 @@ def main():
     print(f"emitted {n} new config files")
 
 
+
+# ---------------------------------------------------------------------------
+# non-heatmap families: regression / RLE / integral / SimCC / RTMPose extra
+# datasets / bottomup (AE, DEKR, CID) / 3D lifting
+# ---------------------------------------------------------------------------
+
+
+def write_family_config(tree, dataset, name, codec, model_body, bs, in_size,
+                        use_udp=False, halfbody=True, force=False):
+    d = DATASETS[dataset]
+    family_dir = f"{tree}/{dataset}"
+    content = make_config(family_dir, name, dataset, in_size, None, model_body, bs,
+                          codec, use_udp=use_udp, halfbody=halfbody)
+    return emit(f"{family_dir}/{name}", content, force)
+
+
+def regression_model_body(bb_key, K, head_type="RegressionHead", in_size=(192, 256)):
+    bb_src, head_in, _extra, _bs = BACKBONES[bb_key]
+    W, H = in_size
+    bb_src = bb_src.replace("{H}", str(H)).replace("{W}", str(W))
+    if head_type == "RLEHead":
+        loss = 'dict(type="RLELoss", use_target_weight=True)'
+    else:
+        loss = 'dict(type="SmoothL1Loss", use_target_weight=True)'
+    # no GAP neck in the model tree: the regression heads pool internally
+    return (
+        f"backbone={bb_src},\n"
+        "    head=dict(\n"
+        f'        type="{head_type}",\n'
+        f"        in_channels={head_in},\n"
+        f"        num_joints={K},\n"
+        f"        loss={loss},\n"
+        "        decoder=codec,\n"
+        "    ),"
+    )
+
+
+def simcc_model_body(bb_key, K, in_size, feat_hw):
+    bb_src, head_in, _extra, _bs = BACKBONES[bb_key]
+    W, H = in_size
+    bb_src = bb_src.replace("{H}", str(H)).replace("{W}", str(W))
+    fh, fw = feat_hw
+    return (
+        f"backbone={bb_src},\n"
+        "    head=dict(\n"
+        '        type="SimCCHead",\n'
+        f"        in_channels={head_in},\n"
+        f"        out_channels={K},\n"
+        f'        input_size=codec["input_size"],\n'
+        f"        in_featuremap_size=({fw}, {fh}),\n"
+        f'        simcc_split_ratio=codec["simcc_split_ratio"],\n'
+        '        loss=dict(type="KLDiscretLoss", use_target_weight=True),\n'
+        "        decoder=codec,\n"
+        "    ),"
+    )
+
+
+def extra_main():
+    n = 0
+    # -- topdown_regression (reference: coco 9, mpii 4) -------------------
+    TR = "body_2d_keypoint/topdown_regression"
+    for ds, in_size in (("coco", (192, 256)), ("mpii", (256, 256))):
+        d = DATASETS[ds]
+        K = d["num_kpts"]
+        codec = f'dict(type="RegressionLabel", input_size={in_size})'
+        bbs = ["res50", "res101", "res152"] if ds == "coco" else ["res50", "res101"]
+        for bb in bbs:
+            for head, tag in (("RegressionHead", ""), ("RLEHead", "_rle")):
+                name = f"td-reg_{bb}{tag}_8xb64-210e_{ds}-{in_size[0]}x{in_size[1]}.py"
+                body = regression_model_body(bb, K, head, in_size)
+                n += write_family_config(TR, ds, name, codec, body, 64, in_size)
+        if ds == "coco":
+            name = f"td-reg_mobilenetv2_rle_8xb64-210e_{ds}-{in_size[0]}x{in_size[1]}.py"
+            n += write_family_config(TR, ds, name, codec,
+                                     regression_model_body("mobilenetv2", K, "RLEHead", in_size), 64, in_size)
+
+    # -- integral_regression coco (reference: 3) --------------------------
+    TI = "body_2d_keypoint/integral_regression"
+    codec = 'dict(type="IntegralRegressionLabel", input_size=(192, 256), heatmap_size=(48, 64), sigma=2.0)'
+    for name_tag, head, extra in (
+        ("ipr_res50_8xb64-210e_coco-192x256.py", "IntegralRegressionHead", ""),
+        ("ipr_res50_dsnt-8xb64-210e_coco-192x256.py", "DSNTHead", ""),
+        ("ipr_res50_debias-8xb64-210e_coco-192x256.py", "IntegralRegressionHead", "\n        debias=True,"),
+    ):
+        body = (
+            'backbone=dict(type="ResNet", depth=50, out_indices=(3,)),\n'
+            "    head=dict(\n"
+            f'        type="{head}",\n'
+            "        in_channels=2048,\n"
+            "        in_featuremap_size=(6, 8),\n"
+            "        num_joints=17,"
+            f"{extra}\n"
+            '        loss=dict(type="SmoothL1Loss", use_target_weight=True),\n'
+            "        decoder=codec,\n"
+            "    ),"
+        )
+        n += write_family_config(TI, "coco", name_tag, codec, body, 64, (192, 256))
+
+    # -- simcc coco (reference: 4) ---------------------------------------
+    TS = "body_2d_keypoint/simcc"
+    codec = 'dict(type="SimCCLabel", input_size=(192, 256), sigma=6.0, simcc_split_ratio=2.0)'
+    n += write_family_config(TS, "coco", "simcc_res50_8xb64-210e_coco-192x256.py", codec,
+                             simcc_model_body("res50", 17, (192, 256), (8, 6)), 64, (192, 256))
+    n += write_family_config(TS, "coco", "simcc_res50_8xb32-140e_coco-288x384.py",
+                             'dict(type="SimCCLabel", input_size=(288, 384), sigma=6.0, simcc_split_ratio=2.0)',
+                             simcc_model_body("res50", 17, (288, 384), (12, 9)), 32, (288, 384))
+    n += write_family_config(TS, "coco", "simcc_mobilenetv2_wo-deconv-8xb64-210e_coco-192x256.py", codec,
+                             simcc_model_body("mobilenetv2", 17, (192, 256), (8, 6)), 64, (192, 256))
+    n += write_family_config(TS, "coco", "simcc_vipnas-mbv3_8xb64-210e_coco-192x256.py", codec,
+                             simcc_model_body("res50", 17, (192, 256), (8, 6)).replace(
+                                 'dict(type="ResNet", depth=50, out_indices=(3,))',
+                                 'dict(type="ViPNAS_MobileNetV3")').replace("in_channels=2048", "in_channels=160"),
+                             64, (192, 256))
+
+    # -- bottomup: associative embedding / DEKR / CID (reference: 1+4+2) --
+    def bottomup_config(tree, name, codec, model_body, bs, in_size):
+        d = DATASETS["coco"]
+        family_dir = f"{tree}/coco"
+        W, H = in_size
+        content = BOTTOMUP_TEMPLATE.format(
+            title=name.replace(".py", ""), base="../../../_base_/default_runtime.py",
+            codec=codec, model_body=model_body, bs=bs, W=W, H=H,
+        )
+        return emit(f"{family_dir}/{name}", content)
+
+    hrnet32 = BACKBONES["hrnet-w32"][0]
+    hrnet48 = BACKBONES["hrnet-w48"][0]
+    ae_codec = 'dict(type="AssociativeEmbedding", input_size=(512, 512), heatmap_size=(128, 128), sigma=2.0)'
+    for bb_name, bb_src, ch, bs in (("hrnet-w32", hrnet32, 32, 24), ("hourglass52", None, 256, 16)):
+        if bb_src is None:
+            bb_src = 'dict(type="HourglassNet", num_stacks=1)'
+        body = (
+            f"backbone={bb_src},\n"
+            "    head=dict(\n"
+            '        type="AssociativeEmbeddingHead",\n'
+            f"        in_channels={ch},\n"
+            "        num_keypoints=17,\n"
+            '        keypoint_loss=dict(type="KeypointMSELoss", use_target_weight=True),\n'
+            '        tag_loss=dict(type="AssociativeEmbeddingLoss"),\n'
+            "        decoder=codec,\n"
+            "    ),"
+        )
+        n += bottomup_config("body_2d_keypoint/associative_embedding",
+                             f"ae_{bb_name}_8xb{bs}-300e_coco-512x512.py", ae_codec, body, bs, (512, 512))
+
+    spr_codec = ('dict(\n    type="SPR", input_size=(512, 512), heatmap_size=(128, 128), sigma=(4, 2),\n'
+                 "    minimal_diagonal_length=5.656854249492381, generate_keypoint_heatmaps=True,\n)")
+    for bb_name, bb_src, ch, bs in (("hrnet-w32", hrnet32, 32, 10), ("hrnet-w48", hrnet48, 48, 10)):
+        body = (
+            f"backbone={bb_src},\n"
+            "    head=dict(\n"
+            '        type="DEKRHead",\n'
+            f"        in_channels={ch},\n"
+            "        num_keypoints=17,\n"
+            '        heatmap_loss=dict(type="KeypointMSELoss", use_target_weight=True),\n'
+            '        displacement_loss=dict(type="SoftWeightSmoothL1Loss", use_target_weight=True, supervise_empty=False),\n'
+            "        decoder=codec,\n"
+            "    ),"
+        )
+        n += bottomup_config("body_2d_keypoint/dekr",
+                             f"dekr_{bb_name}_8xb{bs}-140e_coco-512x512.py", spr_codec, body, bs, (512, 512))
+
+    cid_codec = 'dict(type="DecoupledHeatmap", input_size=(512, 512), heatmap_size=(128, 128))'
+    for bb_name, bb_src, ch, bs in (("hrnet-w32", hrnet32, 32, 20), ("hrnet-w48", hrnet48, 48, 20)):
+        body = (
+            f"backbone={bb_src},\n"
+            "    head=dict(\n"
+            '        type="CIDHead",\n'
+            f"        in_channels={ch},\n"
+            "        gfd_channels=32,\n"
+            "        num_keypoints=17,\n"
+            '        coupled_heatmap_loss=dict(type="FocalHeatmapLoss", loss_weight=1.0),\n'
+            '        decoupled_heatmap_loss=dict(type="FocalHeatmapLoss", loss_weight=4.0),\n'
+            "        decoder=codec,\n"
+            "    ),"
+        )
+        n += bottomup_config("body_2d_keypoint/cid",
+                             f"cid_{bb_name}_8xb{bs}-140e_coco-512x512.py", cid_codec, body, bs, (512, 512))
+
+    # -- video pose lifting h36m (reference: 7) ---------------------------
+    for frames, blocks in ((27, 2), (81, 3), (243, 4)):
+        name = f"video-pose-lift_tcn-{frames}frm_8xb128-160e_h36m.py"
+        content = LIFT_TEMPLATE.format(title=name.replace(".py", ""), frames=frames, blocks=blocks)
+        n += emit(f"body_3d_keypoint/video_pose_lift/h36m/{name}", content)
+
+    print(f"emitted {n} extra config files")
+
+
+BOTTOMUP_TEMPLATE = '''# {title}
+# TPU-native counterpart of the reference recipe of the same name.
+_base_ = ["{base}"]
+
+train_cfg = dict(max_epochs=140, val_interval=10)
+
+optim_wrapper = dict(optimizer=dict(type="Adam", lr=1e-3))
+
+param_scheduler = [
+    dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
+    dict(type="MultiStepLR", begin=0, end=140, milestones=[90, 120], gamma=0.1, by_epoch=True),
+]
+
+auto_scale_lr = dict(base_batch_size={bs})
+
+default_hooks = dict(checkpoint=dict(save_best="coco/AP", rule="greater"))
+
+codec = {codec}
+
+model = dict(
+    type="BottomupPoseEstimator",
+    data_preprocessor=dict(
+        type="PoseDataPreprocessor", mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], bgr_to_rgb=True
+    ),
+    {model_body}
+    test_cfg=dict(flip_test=False),
+)
+
+train_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="BottomupRandomAffine", input_size=codec["input_size"]),
+    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="BottomupGetHeatmapMask"),
+    dict(type="PackPoseInputs"),
+]
+val_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="BottomupResize", input_size=codec["input_size"]),
+    dict(type="PackPoseInputs"),
+]
+
+data_root = "data/coco/"
+train_dataloader = dict(
+    batch_size={bs},
+    num_workers=8,
+    sampler=dict(type="DefaultSampler", shuffle=True),
+    dataset=dict(
+        type="CocoDataset",
+        data_root=data_root,
+        data_mode="bottomup",
+        ann_file="annotations/person_keypoints_train2017.json",
+        data_prefix=dict(img="train2017/"),
+        pipeline=train_pipeline,
+    ),
+)
+val_dataloader = dict(
+    batch_size=1,
+    num_workers=2,
+    drop_last=False,
+    sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
+    dataset=dict(
+        type="CocoDataset",
+        data_root=data_root,
+        data_mode="bottomup",
+        ann_file="annotations/person_keypoints_val2017.json",
+        data_prefix=dict(img="val2017/"),
+        test_mode=True,
+        pipeline=val_pipeline,
+    ),
+)
+test_dataloader = val_dataloader
+
+val_evaluator = dict(
+    type="CocoMetric",
+    ann_file=data_root + "annotations/person_keypoints_val2017.json",
+    nms_mode="none",
+    score_mode="keypoint",
+)
+test_evaluator = val_evaluator
+'''
+
+
+LIFT_TEMPLATE = '''# {title}
+# TPU-native counterpart of the reference recipe of the same name
+# (/root/reference/configs/body_3d_keypoint/video_pose_lift/h36m/).
+_base_ = ["../../../_base_/default_runtime.py"]
+
+train_cfg = dict(max_epochs=160, val_interval=10)
+
+optim_wrapper = dict(optimizer=dict(type="Adam", lr=1e-3))
+
+param_scheduler = [
+    dict(type="ExponentialLR", gamma=0.975, by_epoch=True, end=80),
+]
+
+auto_scale_lr = dict(base_batch_size=1024)
+
+default_hooks = dict(checkpoint=dict(save_best="MPJPE", rule="less"))
+
+codec = dict(type="VideoPoseLifting", num_keypoints=17, zero_center=True, normalize_camera=True)
+
+model = dict(
+    type="PoseLifter",
+    backbone=dict(
+        type="TCN",
+        in_channels=2 * 17,
+        stem_channels=1024,
+        num_blocks={blocks},
+        kernel_sizes=(3,) * ({blocks} + 1),
+        dropout=0.25,
+        use_stride_conv=True,
+    ),
+    head=dict(
+        type="TemporalRegressionHead",
+        in_channels=1024,
+        num_joints=17,
+        loss=dict(type="MPJPELoss", use_target_weight=True),
+        decoder=codec,
+    ),
+)
+
+train_pipeline = [
+    dict(
+        type="RandomFlipAroundRoot",
+        keypoints_flip_cfg=dict(center_mode="static", center_x=0.0),
+        target_flip_cfg=dict(center_mode="static", center_x=0.0),
+        flip_prob=0.5,
+        flip_camera=True,
+    ),
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="PackPoseInputs"),
+]
+val_pipeline = [
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="PackPoseInputs"),
+]
+
+data_root = "data/h36m/"
+train_dataloader = dict(
+    batch_size=128,
+    num_workers=2,
+    sampler=dict(type="DefaultSampler", shuffle=True),
+    dataset=dict(
+        type="Human36mDataset",
+        ann_file=data_root + "annotation_body3d/fps50/h36m_train.npz",
+        seq_len={frames},
+        causal=False,
+        pad_video_seq=True,
+        camera_param_file=data_root + "annotation_body3d/cameras.pkl",
+        data_root=data_root,
+        data_prefix=dict(img="images/"),
+        pipeline=train_pipeline,
+    ),
+)
+val_dataloader = dict(
+    batch_size=128,
+    num_workers=2,
+    drop_last=False,
+    sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
+    dataset=dict(
+        type="Human36mDataset",
+        ann_file=data_root + "annotation_body3d/fps50/h36m_test.npz",
+        seq_len={frames},
+        causal=False,
+        pad_video_seq=True,
+        camera_param_file=data_root + "annotation_body3d/cameras.pkl",
+        data_root=data_root,
+        data_prefix=dict(img="images/"),
+        test_mode=True,
+        pipeline=val_pipeline,
+    ),
+)
+test_dataloader = val_dataloader
+
+val_evaluator = [dict(type="MPJPE", mode="mpjpe"), dict(type="MPJPE", mode="p-mpjpe")]
+test_evaluator = val_evaluator
+'''
+
+
 if __name__ == "__main__":
     main()
+    extra_main()
