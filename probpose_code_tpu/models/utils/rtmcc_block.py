@@ -68,9 +68,13 @@ class RTMCCBlock(nn.Module):
         return nn.silu(x) if self.act_fn == "SiLU" else nn.relu(x)
 
     def _rel_pos_bias(self, w, seq_len: int) -> jnp.ndarray:
-        # toeplitz bias from the (2n-1) parameter vector (self-attn path)
+        # toeplitz bias from the (2n-1) parameter vector (self-attn path):
+        # bias[i, j] = w[j - i + n - 1] — the reference's pad/repeat/reshape
+        # trick unrolls to this orientation (rtmcc_block.py:rel_pos_bias;
+        # verified against the path-loaded reference source in
+        # tests/test_engine/test_ref_oracle_parity.py)
         idx = jnp.arange(seq_len)
-        rel = idx[:, None] - idx[None, :] + seq_len - 1  # in [0, 2n-2]
+        rel = idx[None, :] - idx[:, None] + seq_len - 1  # in [0, 2n-2]
         return w[rel]
 
     @nn.compact
