@@ -154,3 +154,61 @@ def test_hybrid_encoder_matches_reference_source():
     assert len(outs) == len(refs)
     for o, r in zip(outs, refs):
         np.testing.assert_allclose(np.asarray(o), r, atol=2e-3)
+
+
+def test_msdeform_attention_matches_mmcv_semantics():
+    """Our XLA MSDeformAttention vs the canonical torch computation
+    (mmcv ``multi_scale_deformable_attn_pytorch``: grid_sample with
+    align_corners=False, zero padding, per-level offset normalization) —
+    the deformable core of the EDPose head (reference edpose_head.py uses
+    mmcv.ops.MultiScaleDeformableAttention)."""
+    import jax
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+
+    from probpose_code_tpu.models.utils.deform_attn import MSDeformAttention
+
+    B, Q, C, heads, P = 2, 7, 32, 4, 4
+    shapes = [(8, 6), (4, 3)]
+    rng = np.random.RandomState(0)
+    values = [jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)) for H, W in shapes]
+    query = jnp.asarray(rng.randn(B, Q, C).astype(np.float32))
+    refs = jnp.asarray(rng.rand(B, Q, 2).astype(np.float32))
+
+    mod = MSDeformAttention(embed_dims=C, num_heads=heads, num_points=P)
+    variables = mod.init(jax.random.PRNGKey(0), query, refs, values)
+    # randomize the zero-initialized projections so the test has teeth
+    p = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    p["sampling_offsets"]["kernel"] = jnp.asarray(rng.randn(C, heads * len(shapes) * P * 2).astype(np.float32) * 0.1)
+    p["attention_weights"]["kernel"] = jnp.asarray(rng.randn(C, heads * len(shapes) * P).astype(np.float32) * 0.1)
+    ours = np.asarray(mod.apply({"params": p}, query, refs, values))
+
+    # ---- canonical torch computation with the same weights --------------
+    tq = torch.from_numpy(np.asarray(query))
+    head_dim = C // heads
+
+    def lin(name, x):
+        W_ = torch.from_numpy(np.asarray(p[name]["kernel"]))
+        b_ = torch.from_numpy(np.asarray(p[name]["bias"])) if "bias" in p[name] else 0
+        return x @ W_ + b_
+
+    L = len(shapes)
+    offsets = lin("sampling_offsets", tq).reshape(B, Q, heads, L, P, 2)
+    attn = lin("attention_weights", tq).reshape(B, Q, heads, L * P).softmax(-1).reshape(B, Q, heads, L, P)
+
+    out = torch.zeros(B, Q, heads, head_dim)
+    for lvl, (H, W) in enumerate(shapes):
+        v = torch.from_numpy(np.asarray(values[lvl]))
+        vproj = lin("value_proj", v.reshape(B, H * W, C)).reshape(B, H, W, heads, head_dim)
+        norm = torch.tensor([W, H], dtype=torch.float32)
+        loc = torch.from_numpy(np.asarray(refs))[:, :, None, None, :] + offsets[:, :, :, lvl] / norm
+        grid = 2 * loc - 1  # grid_sample normalized coords, align_corners=False
+        # (B, h, hd, H, W) value layout for grid_sample
+        v_bh = vproj.permute(0, 3, 4, 1, 2).reshape(B * heads, head_dim, H, W)
+        g_bh = grid.permute(0, 2, 1, 3, 4).reshape(B * heads, Q, P, 2)
+        sampled = F.grid_sample(v_bh, g_bh, mode="bilinear", padding_mode="zeros", align_corners=False)
+        sampled = sampled.reshape(B, heads, head_dim, Q, P).permute(0, 3, 1, 4, 2)  # (B, Q, h, P, hd)
+        out = out + (sampled * attn[:, :, :, lvl, :, None]).sum(3)
+
+    ref_out = lin("output_proj", out.reshape(B, Q, C)).numpy()
+    np.testing.assert_allclose(ours, ref_out, atol=2e-5, rtol=1e-4)
