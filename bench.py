@@ -73,7 +73,7 @@ def _bench_decode_us():
 
 def _check_history(metric: str, value: float) -> dict:
     """Regression guard: compare against the best recorded value for this
-    metric in BENCH_HISTORY.json, warn loudly on >5% drops, append the run."""
+    metric in BENCH_HISTORY.json, warn on drops beyond the relay noise band, append the run."""
     hist = []
     if os.path.exists(_HISTORY):
         try:
