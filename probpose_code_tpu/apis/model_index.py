@@ -28,9 +28,13 @@ _CFG = osp.join(_REPO, "configs")
 # rtmpose_lapa.yml:4, rtmpose_hand5.yml:10, rtmpose_ap10k.yml:4,
 # motionbert_h36m.yml:29, internet_interhand3d.yml:11).
 MODEL_INDEX: Dict[str, dict] = {
+    "rtmpose-m_8xb256-420e_body8-256x192": dict(
+        config="body_2d_keypoint/rtmpose/body8/rtmpose-m_8xb256-420e_body8-256x192.py",
+        aliases=["human", "body", "body17"],
+    ),
     "rtmpose-m_8xb256-420e_coco-256x192": dict(
         config="body_2d_keypoint/rtmpose/coco/rtmpose-m_8xb256-420e_coco-256x192.py",
-        aliases=["human", "body", "body17", "rtmpose-m"],
+        aliases=["rtmpose-m"],
     ),
     "rtmpose-t_8xb256-420e_coco-256x192": dict(
         config="body_2d_keypoint/rtmpose/coco/rtmpose-t_8xb256-420e_coco-256x192.py",
