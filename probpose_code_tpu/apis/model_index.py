@@ -52,12 +52,12 @@ MODEL_INDEX: Dict[str, dict] = {
         config="body_2d_keypoint/topdown_probmap/coco/td-pm_ProbPose-small_8xb64-210e_coco-256x192.py",
         aliases=["probpose", "probpose-s"],
     ),
-    "td-hm_ViTPose-small_8xb64-210e_coco-192x256": dict(
-        config="body_2d_keypoint/topdown_heatmap/coco/td-hm_ViTPose-small_8xb64-210e_coco-192x256.py",
+    "td-hm_ViTPose-small_8xb64-210e_coco-256x192": dict(
+        config="body_2d_keypoint/topdown_heatmap/coco/td-hm_ViTPose-small_8xb64-210e_coco-256x192.py",
         aliases=["vitpose", "vitpose-s"],
     ),
-    "td-hm_ViTPose-base_8xb64-210e_coco-192x256": dict(
-        config="body_2d_keypoint/topdown_heatmap/coco/td-hm_ViTPose-base_8xb64-210e_coco-192x256.py",
+    "td-hm_ViTPose-base_8xb64-210e_coco-256x192": dict(
+        config="body_2d_keypoint/topdown_heatmap/coco/td-hm_ViTPose-base_8xb64-210e_coco-256x192.py",
         aliases=["vitpose-b"],
     ),
     "td-hm_ViTPose-large_8xb32-210e_coco-192x256": dict(

@@ -637,7 +637,7 @@ def write_heatmap_config(
     codec = codec_str(codec_type, tuple(in_size), tuple(hm_size), codec_extra)
     epochs = d["epochs"]
     fam = "td-hm"
-    name = f"{fam}_{bb_key}{suffix}_8xb{bs}-{epochs}e_{dataset}-{W}x{H}.py"
+    name = f"{fam}_{bb_key}{suffix}_8xb{bs}-{epochs}e_{dataset}-{H}x{W}.py"
     family_dir = f"{tree}/{dataset}"
     content = make_config(
         family_dir, name, dataset, tuple(in_size), tuple(hm_size), body, bs, codec,
@@ -845,11 +845,11 @@ def extra_main():
         bbs = ["res50", "res101", "res152"] if ds == "coco" else ["res50", "res101"]
         for bb in bbs:
             for head, tag in (("RegressionHead", ""), ("RLEHead", "_rle")):
-                name = f"td-reg_{bb}{tag}_8xb64-210e_{ds}-{in_size[0]}x{in_size[1]}.py"
+                name = f"td-reg_{bb}{tag}_8xb64-210e_{ds}-{in_size[1]}x{in_size[0]}.py"
                 body = regression_model_body(bb, K, head, in_size)
                 n += write_family_config(TR, ds, name, codec, body, 64, in_size)
         if ds == "coco":
-            name = f"td-reg_mobilenetv2_rle_8xb64-210e_{ds}-{in_size[0]}x{in_size[1]}.py"
+            name = f"td-reg_mobilenetv2_rle_8xb64-210e_{ds}-{in_size[1]}x{in_size[0]}.py"
             n += write_family_config(TR, ds, name, codec,
                                      regression_model_body("mobilenetv2", K, "RLEHead", in_size), 64, in_size)
 
@@ -878,14 +878,14 @@ def extra_main():
     # -- simcc coco (reference: 4) ---------------------------------------
     TS = "body_2d_keypoint/simcc"
     codec = 'dict(type="SimCCLabel", input_size=(192, 256), sigma=6.0, simcc_split_ratio=2.0)'
-    n += write_family_config(TS, "coco", "simcc_res50_8xb64-210e_coco-192x256.py", codec,
+    n += write_family_config(TS, "coco", "simcc_res50_8xb64-210e_coco-256x192.py", codec,
                              simcc_model_body("res50", 17, (192, 256), (8, 6)), 64, (192, 256))
-    n += write_family_config(TS, "coco", "simcc_res50_8xb32-140e_coco-288x384.py",
+    n += write_family_config(TS, "coco", "simcc_res50_8xb32-140e_coco-384x288.py",
                              'dict(type="SimCCLabel", input_size=(288, 384), sigma=6.0, simcc_split_ratio=2.0)',
                              simcc_model_body("res50", 17, (288, 384), (12, 9)), 32, (288, 384))
-    n += write_family_config(TS, "coco", "simcc_mobilenetv2_wo-deconv-8xb64-210e_coco-192x256.py", codec,
+    n += write_family_config(TS, "coco", "simcc_mobilenetv2_wo-deconv-8xb64-210e_coco-256x192.py", codec,
                              simcc_model_body("mobilenetv2", 17, (192, 256), (8, 6)), 64, (192, 256))
-    n += write_family_config(TS, "coco", "simcc_vipnas-mbv3_8xb64-210e_coco-192x256.py", codec,
+    n += write_family_config(TS, "coco", "simcc_vipnas-mbv3_8xb64-210e_coco-256x192.py", codec,
                              simcc_model_body("res50", 17, (192, 256), (8, 6)).replace(
                                  'dict(type="ResNet", depth=50, out_indices=(3,))',
                                  'dict(type="ViPNAS_MobileNetV3")').replace("in_channels=2048", "in_channels=160"),
