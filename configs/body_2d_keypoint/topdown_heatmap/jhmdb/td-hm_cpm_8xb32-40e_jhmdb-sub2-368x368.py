@@ -1,0 +1,87 @@
+# td-hm_cpm_8xb32-40e_jhmdb-sub2-368x368
+# TPU-native counterpart of the reference recipe of the same name
+# (/root/reference/configs/body_2d_keypoint/topdown_heatmap/jhmdb/td-hm_cpm_8xb32-40e_jhmdb-sub2-368x368.py).
+_base_ = ["../../../_base_/default_runtime.py"]
+
+train_cfg = dict(max_epochs=40, val_interval=10)
+
+optim_wrapper = dict(optimizer=dict(type="Adam", lr=5e-4))
+
+param_scheduler = [
+    dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
+    dict(type="MultiStepLR", begin=0, end=40, milestones=[20, 30], gamma=0.1, by_epoch=True),
+]
+
+auto_scale_lr = dict(base_batch_size=256)
+
+default_hooks = dict(checkpoint=dict(save_best="PCK", rule="greater"))
+
+codec = dict(type="MSRAHeatmap", input_size=(368, 368), heatmap_size=(46, 46), sigma=2)
+
+model = dict(
+    type="TopdownPoseEstimator",
+    data_preprocessor=dict(
+        type="PoseDataPreprocessor", mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], bgr_to_rgb=True
+    ),
+    backbone=dict(type="CPM", out_channels=15, num_stages=6),
+    head=dict(
+        type="CPMHead",
+        in_channels=15,
+        out_channels=15,
+        num_stages=6,
+        loss=dict(type="KeypointMSELoss", use_target_weight=True),
+        decoder=codec,
+    ),
+    test_cfg=dict(flip_test=True),
+)
+
+train_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="RandomHalfBody"),
+    dict(type="RandomBBoxTransform"),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="PackPoseInputs"),
+]
+val_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="PackPoseInputs"),
+]
+
+data_root = "data/jhmdb/"
+train_dataloader = dict(
+    batch_size=32,
+    num_workers=8,
+    sampler=dict(type="DefaultSampler", shuffle=True),
+    dataset=dict(
+        type="JhmdbDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="annotations/Sub2_train.json",
+        data_prefix=dict(img=""),
+        pipeline=train_pipeline,
+    ),
+)
+val_dataloader = dict(
+    batch_size=32,
+    num_workers=8,
+    drop_last=False,
+    sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
+    dataset=dict(
+        type="JhmdbDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="annotations/Sub2_test.json",
+        data_prefix=dict(img=""),
+        test_mode=True,
+        pipeline=val_pipeline,
+    ),
+)
+test_dataloader = val_dataloader
+
+val_evaluator = [dict(type="JhmdbPCKAccuracy", thr=0.2, norm_item=["bbox", "torso"])]
+test_evaluator = val_evaluator

@@ -1,0 +1,102 @@
+# td-hm_hrnetv2-w18_awing-8xb64-60e_wflw-256x256
+# TPU-native counterpart of the reference recipe of the same name
+# (/root/reference/configs/face_2d_keypoint/topdown_heatmap/wflw/td-hm_hrnetv2-w18_awing-8xb64-60e_wflw-256x256.py).
+_base_ = ["../../../_base_/default_runtime.py"]
+
+train_cfg = dict(max_epochs=60, val_interval=10)
+
+optim_wrapper = dict(optimizer=dict(type="Adam", lr=5e-4))
+
+param_scheduler = [
+    dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
+    dict(type="MultiStepLR", begin=0, end=60, milestones=[40, 55], gamma=0.1, by_epoch=True),
+]
+
+auto_scale_lr = dict(base_batch_size=512)
+
+default_hooks = dict(checkpoint=dict(save_best="NME", rule="less"))
+
+codec = dict(type="MSRAHeatmap", input_size=(256, 256), heatmap_size=(64, 64), sigma=2)
+
+model = dict(
+    type="TopdownPoseEstimator",
+    data_preprocessor=dict(
+        type="PoseDataPreprocessor", mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], bgr_to_rgb=True
+    ),
+    backbone=dict(
+        type="HRNet",
+        in_channels=3,
+        extra=dict(
+            stage1=dict(num_modules=1, num_branches=1, block="BOTTLENECK", num_blocks=(4,), num_channels=(64,)),
+            stage2=dict(num_modules=1, num_branches=2, block="BASIC", num_blocks=(4, 4), num_channels=(18, 36)),
+            stage3=dict(num_modules=4, num_branches=3, block="BASIC", num_blocks=(4, 4, 4), num_channels=(18, 36, 72)),
+            stage4=dict(
+                num_modules=3, num_branches=4, block="BASIC", num_blocks=(4, 4, 4, 4),
+                num_channels=(18, 36, 72, 144), multiscale_output=True,
+            ),
+        ),
+    ),
+    neck=dict(type="FeatureMapProcessor", concat=True),
+    head=dict(
+        type="HeatmapHead",
+        in_channels=270,
+        out_channels=98,
+        deconv_out_channels=None,
+        conv_out_channels=(270,),
+        conv_kernel_sizes=(1,),
+        loss=dict(type="AdaptiveWingLoss", use_target_weight=True),
+        decoder=codec,
+    ),
+    test_cfg=dict(flip_test=True),
+)
+
+train_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="RandomHalfBody"),
+    dict(type="RandomBBoxTransform"),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="PackPoseInputs"),
+]
+val_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="PackPoseInputs"),
+]
+
+data_root = "data/wflw/"
+train_dataloader = dict(
+    batch_size=64,
+    num_workers=8,
+    sampler=dict(type="DefaultSampler", shuffle=True),
+    dataset=dict(
+        type="WFLWDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="annotations/face_landmarks_wflw_train.json",
+        data_prefix=dict(img="images/"),
+        pipeline=train_pipeline,
+    ),
+)
+val_dataloader = dict(
+    batch_size=32,
+    num_workers=8,
+    drop_last=False,
+    sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
+    dataset=dict(
+        type="WFLWDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="annotations/face_landmarks_wflw_test.json",
+        data_prefix=dict(img="images/"),
+        test_mode=True,
+        pipeline=val_pipeline,
+    ),
+)
+test_dataloader = val_dataloader
+
+val_evaluator = dict(type="NME", norm_mode="keypoint_distance")
+test_evaluator = val_evaluator

@@ -1,0 +1,101 @@
+# td-hm_hrnet-w48_udp_8xb32-210e_deepfashion_upper-256x192
+# TPU-native counterpart of the reference recipe of the same name
+# (/root/reference/configs/fashion_2d_keypoint/topdown_heatmap/deepfashion/td-hm_hrnet-w48_udp_8xb32-210e_deepfashion_upper-256x192.py).
+_base_ = ["../../../_base_/default_runtime.py"]
+
+train_cfg = dict(max_epochs=210, val_interval=10)
+
+optim_wrapper = dict(optimizer=dict(type="Adam", lr=5e-4))
+
+param_scheduler = [
+    dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
+    dict(type="MultiStepLR", begin=0, end=210, milestones=[170, 200], gamma=0.1, by_epoch=True),
+]
+
+auto_scale_lr = dict(base_batch_size=256)
+
+default_hooks = dict(checkpoint=dict(save_best="AUC", rule="greater"))
+
+codec = dict(type="UDPHeatmap", input_size=(192, 256), heatmap_size=(48, 64), sigma=2)
+
+model = dict(
+    type="TopdownPoseEstimator",
+    data_preprocessor=dict(
+        type="PoseDataPreprocessor", mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], bgr_to_rgb=True
+    ),
+    backbone=dict(
+        type="HRNet",
+        in_channels=3,
+        extra=dict(
+            stage1=dict(num_modules=1, num_branches=1, block="BOTTLENECK", num_blocks=(4,), num_channels=(64,)),
+            stage2=dict(num_modules=1, num_branches=2, block="BASIC", num_blocks=(4, 4), num_channels=(48, 96)),
+            stage3=dict(num_modules=4, num_branches=3, block="BASIC", num_blocks=(4, 4, 4), num_channels=(48, 96, 192)),
+            stage4=dict(
+                num_modules=3, num_branches=4, block="BASIC", num_blocks=(4, 4, 4, 4), num_channels=(48, 96, 192, 384)
+            ),
+        ),
+    ),
+    head=dict(
+        type="HeatmapHead",
+        in_channels=48,
+        out_channels=6,
+        deconv_out_channels=None,
+        final_layer=dict(kernel_size=1),
+        loss=dict(type="KeypointMSELoss", use_target_weight=True),
+        decoder=codec,
+    ),
+    test_cfg=dict(flip_test=True),
+)
+
+train_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="RandomHalfBody"),
+    dict(type="RandomBBoxTransform"),
+    dict(type="TopdownAffine", input_size=codec["input_size"], use_udp=True),
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="PackPoseInputs"),
+]
+val_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="TopdownAffine", input_size=codec["input_size"], use_udp=True),
+    dict(type="PackPoseInputs"),
+]
+
+data_root = "data/fld/"
+train_dataloader = dict(
+    batch_size=32,
+    num_workers=8,
+    sampler=dict(type="DefaultSampler", shuffle=True),
+    dataset=dict(
+        type="DeepFashionDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="annotations/fld_upper_train.json",
+        data_prefix=dict(img="img/"),
+        subset="upper",
+        pipeline=train_pipeline,
+    ),
+)
+val_dataloader = dict(
+    batch_size=32,
+    num_workers=8,
+    drop_last=False,
+    sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
+    dataset=dict(
+        type="DeepFashionDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="annotations/fld_upper_val.json",
+        data_prefix=dict(img="img/"),
+        subset="upper",
+        test_mode=True,
+        pipeline=val_pipeline,
+    ),
+)
+test_dataloader = val_dataloader
+
+val_evaluator = [dict(type="PCKAccuracy", thr=0.2), dict(type="AUC"), dict(type="EPE")]
+test_evaluator = val_evaluator

@@ -403,6 +403,84 @@ class PhotometricDistortion:
 
 
 @TRANSFORMS.register_module()
+class CoarseDropout:
+    """Zero out random rectangular holes (native counterpart of the
+    Albumentations ``CoarseDropout`` the reference wires through its
+    ``Albumentation`` wrapper in
+    ``configs/body_2d_keypoint/topdown_heatmap/coco/td-hm_hrnet-w32_coarsedropout-*.py``)."""
+
+    def __init__(
+        self,
+        max_holes: int = 8,
+        max_height: int = 40,
+        max_width: int = 40,
+        min_holes: int = 1,
+        min_height: int = 10,
+        min_width: int = 10,
+        prob: float = 0.5,
+    ):
+        self.max_holes = max_holes
+        self.max_height = max_height
+        self.max_width = max_width
+        self.min_holes = min_holes
+        self.min_height = min_height
+        self.min_width = min_width
+        self.prob = prob
+
+    def __call__(self, results: Dict) -> Optional[dict]:
+        if np.random.rand() >= self.prob:
+            return results
+        img = results["img"]
+        h, w = img.shape[:2]
+        n = np.random.randint(self.min_holes, self.max_holes + 1)
+        for _ in range(n):
+            hh = np.random.randint(self.min_height, self.max_height + 1)
+            hw = np.random.randint(self.min_width, self.max_width + 1)
+            y = np.random.randint(0, max(1, h - hh))
+            x = np.random.randint(0, max(1, w - hw))
+            img[y : y + hh, x : x + hw] = 0
+        results["img"] = img
+        return results
+
+
+@TRANSFORMS.register_module()
+class GridMask:
+    """GridMask occlusion aug (native counterpart of the Albumentations
+    ``GridDropout`` used by the reference gridmask recipe)."""
+
+    def __init__(self, prob: float = 0.5, ratio: float = 0.5, rotate: int = 15,
+                 d_range: Tuple[float, float] = (0.2, 0.5)):
+        self.prob = prob
+        self.ratio = ratio
+        self.rotate = rotate
+        self.d_range = d_range
+
+    def __call__(self, results: Dict) -> Optional[dict]:
+        if np.random.rand() >= self.prob:
+            return results
+        img = results["img"]
+        h, w = img.shape[:2]
+        d = int(np.random.uniform(*self.d_range) * min(h, w))
+        d = max(d, 2)
+        keep = max(1, int(d * self.ratio))
+        # build an oversized tile mask so a random rotation still covers the image
+        size = int(np.ceil(np.hypot(h, w)))
+        yy, xx = np.mgrid[0:size, 0:size]
+        mask = ((yy % d) < keep) | ((xx % d) < keep)  # True = keep pixel
+        if self.rotate:
+            angle = np.random.uniform(-self.rotate, self.rotate)
+            rot = cv2.getRotationMatrix2D((size / 2, size / 2), angle, 1.0)
+            mask = cv2.warpAffine(mask.astype(np.uint8), rot, (size, size), flags=cv2.INTER_NEAREST,
+                                  borderMode=cv2.BORDER_CONSTANT, borderValue=1).astype(bool)
+        y0 = (size - h) // 2
+        x0 = (size - w) // 2
+        mask = mask[y0 : y0 + h, x0 : x0 + w]
+        img[~mask] = 0
+        results["img"] = img
+        return results
+
+
+@TRANSFORMS.register_module()
 class YOLOXHSVRandomAug:
     """HSV gain jitter used by YOLOX-style training (reference :1472)."""
 

@@ -183,9 +183,15 @@ class HRNet(nn.Module):
             xs = new_xs
 
             # modules
+            # the reference schema may request multi-scale output either via the
+            # top-level flag or inside extra["stage4"] (HRNetV2-style face/hand
+            # recipes, reference td-hm_hrnetv2-w18_* configs)
+            ms_requested = self.multiscale_output or bool(
+                self.extra.get("stage4", {}).get("multiscale_output", False)
+            )
             for m in range(cfg["num_modules"]):
                 last_module = m == cfg["num_modules"] - 1
-                ms_out = True if stage_idx < 4 else (self.multiscale_output or not last_module)
+                ms_out = True if stage_idx < 4 else (ms_requested or not last_module)
                 xs = HRModule(
                     num_branches=cfg["num_branches"],
                     block=cfg["block"],
