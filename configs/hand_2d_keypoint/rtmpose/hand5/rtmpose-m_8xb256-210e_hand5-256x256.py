@@ -1,0 +1,162 @@
+# rtmpose-m_8xb256-210e_hand5-256x256
+# TPU-native counterpart of the reference config
+# configs/hand_2d_keypoint/rtmpose/hand5/rtmpose-m_8xb256-210e_hand5-256x256.py
+_base_ = ["../../../_base_/default_runtime.py"]
+
+max_epochs = 210
+base_lr = 4e-3
+
+train_cfg = dict(max_epochs=max_epochs, val_interval=10)
+
+optim_wrapper = dict(
+    optimizer=dict(type="AdamW", lr=base_lr, weight_decay=0.05),
+    paramwise_cfg=dict(norm_decay_mult=0, bias_decay_mult=0),
+)
+
+param_scheduler = [
+    dict(type="LinearLR", start_factor=1.0e-5, by_epoch=False, begin=0, end=1000),
+    dict(
+        type="CosineAnnealingLR",
+        eta_min=base_lr * 0.05,
+        begin=max_epochs // 2,
+        end=max_epochs,
+        by_epoch=True,
+    ),
+]
+
+auto_scale_lr = dict(base_batch_size=2048)
+
+codec = dict(
+    type="SimCCLabel", input_size=(256, 256), sigma=(5.66, 5.66), simcc_split_ratio=2.0, normalize=False,
+    use_dark=False,
+)
+
+model = dict(
+    type="TopdownPoseEstimator",
+    data_preprocessor=dict(
+        type="PoseDataPreprocessor", mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], bgr_to_rgb=True
+    ),
+    backbone=dict(
+        type="CSPNeXt",
+        arch="P5",
+        expand_ratio=0.5,
+        deepen_factor=0.67,
+        widen_factor=0.75,
+        out_indices=(4,),
+        channel_attention=True,
+    ),
+    head=dict(
+        type="RTMCCHead",
+        in_channels=768,
+        out_channels=21,
+        input_size=codec["input_size"],
+        in_featuremap_size=(8, 8),
+        simcc_split_ratio=codec["simcc_split_ratio"],
+        final_layer_kernel_size=7,
+        gau_cfg=dict(
+            hidden_dims=256,
+            s=128,
+            expansion_factor=2,
+            dropout_rate=0.0,
+            drop_path=0.0,
+            act_fn="SiLU",
+            use_rel_bias=False,
+            pos_enc=False,
+        ),
+        loss=dict(type="KLDiscretLoss", use_target_weight=True, beta=10.0, label_softmax=True),
+        decoder=codec,
+    ),
+    test_cfg=dict(flip_test=True),
+)
+
+train_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="RandomBBoxTransform", scale_factor=(0.6, 1.4), rotate_factor=60),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="PhotometricDistortion"),
+    dict(type="GenerateTarget", encoder=codec, use_dataset_keypoint_weights=True),
+    dict(type="PackPoseInputs"),
+]
+val_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="PackPoseInputs"),
+]
+
+data_root = "data/"
+
+dataset_coco = dict(
+    type="CocoWholeBodyHandDataset", data_root=data_root, data_mode="topdown",
+    ann_file="coco/annotations/coco_wholebody_train_v1.0.json",
+    data_prefix=dict(img="detection/coco/train2017/"),
+    pipeline=[],
+)
+dataset_onehand10k = dict(
+    type="OneHand10KDataset", data_root=data_root, data_mode="topdown",
+    ann_file="onehand10k/annotations/onehand10k_train.json",
+    data_prefix=dict(img="pose/OneHand10K/"),
+    pipeline=[],
+)
+dataset_freihand = dict(
+    type="FreiHandDataset", data_root=data_root, data_mode="topdown",
+    ann_file="freihand/annotations/freihand_train.json",
+    data_prefix=dict(img="pose/FreiHand/"),
+    pipeline=[],
+)
+dataset_rhd = dict(
+    type="Rhd2DDataset", data_root=data_root, data_mode="topdown",
+    ann_file="rhd/annotations/rhd_train.json",
+    data_prefix=dict(img="pose/RHD/"),
+    pipeline=[dict(type="KeypointConverter", num_keypoints=21, mapping=[
+        (0, 0), (1, 4), (2, 3), (3, 2), (4, 1), (5, 8), (6, 7), (7, 6), (8, 5), (9, 12), (10, 11),
+        (11, 10), (12, 9), (13, 16), (14, 15), (15, 14), (16, 13), (17, 20), (18, 19), (19, 18),
+        (20, 17),
+    ])],
+)
+dataset_halpehand = dict(
+    type="HalpeHandDataset", data_root=data_root, data_mode="topdown",
+    ann_file="halpe/annotations/halpe_train_v1.json",
+    data_prefix=dict(img="pose/Halpe/hico_20160224_det/images/train2015/"),
+    pipeline=[],
+)
+
+train_dataloader = dict(
+    batch_size=256,
+    num_workers=4,
+    sampler=dict(type="DefaultSampler", shuffle=True),
+    dataset=dict(
+        type="CombinedDataset",
+        metainfo=dict(dataset_name="coco_wholebody_hand"),
+        datasets=[
+            dataset_coco,
+            dataset_onehand10k,
+            dataset_freihand,
+            dataset_rhd,
+            dataset_halpehand,
+        ],
+        pipeline=train_pipeline,
+        test_mode=False,
+    ),
+)
+val_dataloader = dict(
+    batch_size=32,
+    num_workers=4,
+    drop_last=False,
+    sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
+    dataset=dict(
+        type="CocoWholeBodyHandDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="coco/annotations/coco_wholebody_val_v1.0.json",
+        data_prefix=dict(img="detection/coco/val2017/"),
+        test_mode=True,
+        pipeline=val_pipeline,
+    ),
+)
+test_dataloader = val_dataloader
+
+val_evaluator = [dict(type="PCKAccuracy", thr=0.2), dict(type="AUC"), dict(type="EPE")]
+test_evaluator = val_evaluator

@@ -1,0 +1,123 @@
+# rtmpose-x_8xb32-270e_coco-wholebody-384x288
+# TPU-native counterpart of the reference config
+# configs/wholebody_2d_keypoint/rtmpose/coco-wholebody/rtmpose-x_8xb32-270e_coco-wholebody-384x288.py
+_base_ = ["../../../_base_/default_runtime.py"]
+
+max_epochs = 270
+base_lr = 4e-3
+
+train_cfg = dict(max_epochs=max_epochs, val_interval=10)
+
+optim_wrapper = dict(
+    optimizer=dict(type="AdamW", lr=base_lr, weight_decay=0.05),
+    paramwise_cfg=dict(norm_decay_mult=0, bias_decay_mult=0),
+)
+
+param_scheduler = [
+    dict(type="LinearLR", start_factor=1.0e-5, by_epoch=False, begin=0, end=1000),
+    dict(
+        type="CosineAnnealingLR",
+        eta_min=base_lr * 0.05,
+        begin=max_epochs // 2,
+        end=max_epochs,
+        by_epoch=True,
+    ),
+]
+
+auto_scale_lr = dict(base_batch_size=256)
+
+codec = dict(
+    type="SimCCLabel", input_size=(288, 384), sigma=(6.0, 6.93), simcc_split_ratio=2.0, normalize=False,
+    use_dark=False,
+)
+
+model = dict(
+    type="TopdownPoseEstimator",
+    data_preprocessor=dict(
+        type="PoseDataPreprocessor", mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], bgr_to_rgb=True
+    ),
+    backbone=dict(
+        type="CSPNeXt",
+        arch="P5",
+        expand_ratio=0.5,
+        deepen_factor=1.33,
+        widen_factor=1.25,
+        out_indices=(4,),
+        channel_attention=True,
+    ),
+    head=dict(
+        type="RTMCCHead",
+        in_channels=1280,
+        out_channels=133,
+        input_size=codec["input_size"],
+        in_featuremap_size=(9, 12),
+        simcc_split_ratio=codec["simcc_split_ratio"],
+        final_layer_kernel_size=7,
+        gau_cfg=dict(
+            hidden_dims=256,
+            s=128,
+            expansion_factor=2,
+            dropout_rate=0.0,
+            drop_path=0.0,
+            act_fn="SiLU",
+            use_rel_bias=False,
+            pos_enc=False,
+        ),
+        loss=dict(type="KLDiscretLoss", use_target_weight=True, beta=10.0, label_softmax=True),
+        decoder=codec,
+    ),
+    test_cfg=dict(flip_test=True),
+)
+
+train_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="RandomHalfBody"),
+    dict(type="RandomBBoxTransform", scale_factor=(0.6, 1.4), rotate_factor=60),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="PhotometricDistortion"),
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="PackPoseInputs"),
+]
+val_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="PackPoseInputs"),
+]
+
+data_root = "data/"
+
+train_dataloader = dict(
+    batch_size=32,
+    num_workers=4,
+    sampler=dict(type="DefaultSampler", shuffle=True),
+    dataset=dict(
+        type="CocoWholeBodyDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="coco/annotations/coco_wholebody_train_v1.0.json",
+        data_prefix=dict(img="detection/coco/train2017/"),
+        pipeline=train_pipeline,
+    ),
+)
+val_dataloader = dict(
+    batch_size=32,
+    num_workers=4,
+    drop_last=False,
+    sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
+    dataset=dict(
+        type="CocoWholeBodyDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="coco/annotations/coco_wholebody_val_v1.0.json",
+        data_prefix=dict(img="detection/coco/val2017/"),
+        test_mode=True,
+        pipeline=val_pipeline,
+    ),
+)
+test_dataloader = val_dataloader
+
+val_evaluator = dict(type="CocoWholeBodyMetric", ann_file=data_root + "coco/annotations/coco_wholebody_val_v1.0.json")
+test_evaluator = val_evaluator

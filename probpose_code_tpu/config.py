@@ -130,28 +130,65 @@ def _unwrap(obj: Any) -> Any:
     return obj
 
 
+class _BaseProxy:
+    """``_base_.<var>`` attribute access inside a config file (mmengine
+    semantics, e.g. reference ``yoloxpose_tiny...py:36`` uses
+    ``img_scale=_base_.input_size``). Values are deep-copied so child
+    configs can mutate them freely."""
+
+    def __init__(self, merged: Dict[str, Any]):
+        object.__setattr__(self, "_merged", merged)
+
+    def __getattr__(self, key: str) -> Any:
+        try:
+            return copy.deepcopy(object.__getattribute__(self, "_merged")[key])
+        except KeyError:
+            raise AttributeError(f"_base_ has no config key {key!r}")
+
+
 def _load_py(filename: str) -> Dict[str, Any]:
     if not os.path.isfile(filename):
         raise FileNotFoundError(filename)
     with open(filename, "r", encoding="utf-8") as f:
         source = f.read()
+
+    # Parse the ``_base_ = [...]`` literal up front so base configs are
+    # loaded BEFORE the file body runs; the assignment is blanked out and
+    # ``_base_`` rebound to an attribute proxy over the merged base dict.
+    base_files: List[str] = []
+    tree = ast.parse(source, filename)
+    for node in tree.body:
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "_base_" for t in node.targets
+        ):
+            base_files = ast.literal_eval(node.value)
+            lines = source.splitlines()
+            for ln in range(node.lineno - 1, node.end_lineno):
+                lines[ln] = ""
+            source = "\n".join(lines)
+            break
+    if isinstance(base_files, str):
+        base_files = [base_files]
+
+    merged: Dict[str, Any] = {}
+    for base in base_files:
+        base_path = os.path.join(os.path.dirname(filename), base)
+        merged = merge_dicts(merged, _load_py(os.path.abspath(base_path)))
+
     namespace: Dict[str, Any] = {"__file__": filename}
+    if base_files:
+        namespace["_base_"] = _BaseProxy(merged)
     code = compile(source, filename, "exec")
     exec(code, namespace)
 
     cfg = {
         k: v
         for k, v in namespace.items()
-        if not k.startswith("__") and k not in _RESERVED and not _is_module_or_class(v)
+        if not k.startswith("__")
+        and k not in _RESERVED
+        and not _is_module_or_class(v)
+        and not isinstance(v, _BaseProxy)
     }
-
-    base_files: List[str] = namespace.get("_base_", [])
-    if isinstance(base_files, str):
-        base_files = [base_files]
-    merged: Dict[str, Any] = {}
-    for base in base_files:
-        base_path = os.path.join(os.path.dirname(filename), base)
-        merged = merge_dicts(merged, _load_py(os.path.abspath(base_path)))
     return merge_dicts(merged, cfg)
 
 

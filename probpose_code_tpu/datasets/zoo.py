@@ -48,6 +48,8 @@ _SIMPLE_DATASETS = {
     "Rhd2DDataset": "rhd2d",
     "PanopticHand2DDataset": "panoptic_hand2d",
     "CocoWholeBodyHandDataset": "coco_wholebody_hand",
+    # hand-21 subset of Halpe full-body annotations (reference hand5 recipes)
+    "HalpeHandDataset": "coco_wholebody_hand",
     "InterHand2DDoubleDataset": "interhand2d",
     # animal
     "AP10KDataset": "ap10k",

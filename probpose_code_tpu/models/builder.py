@@ -66,13 +66,24 @@ def build_pose_estimator(cfg: Dict[str, Any]):
     head = MODELS.build(_resolve_dtype(head_module_cfg)) if head_cfg else None
     neck = MODELS.build(_resolve_dtype(dict(neck_cfg))) if neck_cfg else None
 
+    # PoseLifter extras: trajectory branch + semi-supervised loss (reference
+    # ``pose_lifter.py:40-70`` traj_backbone/traj_head/semi_loss args)
+    traj_backbone_cfg = cfg.pop("traj_backbone", None)
+    traj_head_cfg = cfg.pop("traj_head", None)
+    semi_loss_cfg = cfg.pop("semi_loss", None)
+    extra_modules = {}
+    if traj_backbone_cfg:
+        extra_modules["traj_backbone"] = MODELS.build(_resolve_dtype(dict(traj_backbone_cfg)))
+    if traj_head_cfg:
+        extra_modules["traj_head"] = MODELS.build(_resolve_dtype(dict(traj_head_cfg)))
+
     if isinstance(model_type, str):
         estimator_cls = MODELS.get(model_type)
         if estimator_cls is None:
             raise KeyError(f"unknown pose estimator type {model_type}")
     else:
         estimator_cls = model_type
-    module = estimator_cls(backbone=backbone, head=head, neck=neck)
+    module = estimator_cls(backbone=backbone, head=head, neck=neck, **extra_modules)
 
     aux = dict(
         data_preprocessor=data_preprocessor,
@@ -81,6 +92,10 @@ def build_pose_estimator(cfg: Dict[str, Any]):
         head_cfg=dict(head_cfg) if head_cfg else {},
         backbone_cfg=dict(backbone_cfg),
     )
+    if semi_loss_cfg:
+        aux["semi_loss_cfg"] = dict(semi_loss_cfg)
+    if traj_head_cfg:
+        aux["traj_head_cfg"] = dict(traj_head_cfg)
     return module, aux
 
 
@@ -395,6 +410,32 @@ class PoseModel:
 
                 loss_mod = MPJPELoss(use_target_weight=True)
             losses = {"loss_kpt": loss_mod(pred, target, weight.reshape(pred.shape[:-1]))}
+            if isinstance(outputs, tuple) and len(outputs) > 1:
+                # trajectory branch (reference ``pose_lifter.py`` traj_head
+                # loss on the global root position, ``target_root``)
+                traj_target = batch.get("trajectory_target_label", batch.get("target_root"))
+                if traj_target is not None:
+                    from probpose_code_tpu.models.losses.regression_loss import MPJPELoss as _MPJPE
+
+                    traj = outputs[1]
+                    losses["loss_traj"] = _MPJPE(use_target_weight=False)(
+                        traj, traj_target.reshape(traj.shape)
+                    )
+            if self.aux.get("semi_loss_cfg") and "intrinsics" in batch:
+                from probpose_code_tpu.registry import MODELS as _M
+
+                semi = _M.build(dict(self.aux["semi_loss_cfg"]))
+                semi_out = {
+                    "labeled_pose": pred,
+                    "unlabeled_pose": batch.get("unlabeled_pose", pred),
+                    "unlabeled_traj": outputs[1] if isinstance(outputs, tuple) else jnp.zeros_like(pred[:, :1]),
+                }
+                semi_tgt = {
+                    "unlabeled_target_2d": batch["unlabeled_target_2d"],
+                    "intrinsics": batch["intrinsics"],
+                }
+                for k, v in semi(semi_out, semi_tgt, num_iterations=batch.get("iteration")).items():
+                    losses[f"loss_{k}"] = v
             dist = jnp.linalg.norm(jax.lax.stop_gradient(pred) - target, axis=-1)
             valid = weight.reshape(pred.shape[:-1]) > 0
             losses["mpjpe"] = (dist * valid).sum() / jnp.maximum(valid.sum(), 1)

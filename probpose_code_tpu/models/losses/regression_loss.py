@@ -383,3 +383,83 @@ class OKSLoss:
         elif self.reduction == "mean":
             loss = loss.mean()
         return loss * self.loss_weight
+
+
+@MODELS.register_module()
+class BoneLoss:
+    """Bone-length consistency loss (reference ``regression_loss.py:553-603``):
+    L1 between the batch-mean bone lengths of output and target, where bones
+    are the (joint, parent) edges for every non-root joint."""
+
+    def __init__(self, joint_parents, use_target_weight: bool = False, loss_weight: float = 1.0):
+        self.joint_parents = list(joint_parents)
+        self.use_target_weight = use_target_weight
+        self.loss_weight = loss_weight
+        self.non_root_indices = [i for i, p in enumerate(self.joint_parents) if i != p]
+
+    def _bones(self, x):
+        parents = jnp.asarray(self.joint_parents)
+        lengths = _safe_norm(x - x[:, parents, :])
+        return lengths[:, jnp.asarray(self.non_root_indices)]
+
+    def __call__(self, output, target, target_weight=None):
+        ob, tb = self._bones(output), self._bones(target)
+        if self.use_target_weight:
+            assert target_weight is not None
+            loss = jnp.mean(jnp.abs((ob * target_weight).mean(0) - (tb * target_weight).mean(0)))
+        else:
+            loss = jnp.mean(jnp.abs(ob.mean(0) - tb.mean(0)))
+        return loss * self.loss_weight
+
+
+@MODELS.register_module()
+class SemiSupervisionLoss:
+    """Semi-supervised lifting loss (reference ``regression_loss.py:606-685``;
+    Pavllo et al. CVPR'19): projection loss of (unlabeled pose + trajectory)
+    re-projected through the camera intrinsics, plus bone-length consistency
+    between unlabeled and labeled poses. The warmup gate is expressed with
+    ``jnp.where`` on an iteration counter carried by the caller so the loss
+    stays jittable (the reference mutates ``self.num_iterations`` host-side).
+    """
+
+    def __init__(self, joint_parents, projection_loss_weight: float = 1.0,
+                 bone_loss_weight: float = 1.0, warmup_iterations: int = 0):
+        self.criterion_projection = MPJPELoss(loss_weight=projection_loss_weight)
+        self.criterion_bone = BoneLoss(joint_parents, loss_weight=bone_loss_weight)
+        self.warmup_iterations = warmup_iterations
+
+    @staticmethod
+    def project_joints(x, intrinsics):
+        """Pinhole (+ optional radial/tangential distortion) projection.
+
+        Args:
+            x: (N, K, 3) 3D joints.
+            intrinsics: (N, 4) ``[f, c]`` or (N, 9) ``[f(2), c(2), k(3), p(2)]``.
+        """
+        intrinsics = jnp.asarray(intrinsics)
+        while intrinsics.ndim < x.ndim:
+            intrinsics = intrinsics[:, None]
+        f = intrinsics[..., :2]
+        c = intrinsics[..., 2:4]
+        _x = jnp.clip(x[..., :2] / x[..., 2:], -1, 1)
+        if intrinsics.shape[-1] == 9:
+            k = intrinsics[..., 4:7]
+            p = intrinsics[..., 7:9]
+            r2 = jnp.sum(_x**2, axis=-1, keepdims=True)
+            radial = 1 + jnp.sum(k * jnp.concatenate((r2, r2**2, r2**3), axis=-1), axis=-1, keepdims=True)
+            tan = jnp.sum(p * _x, axis=-1, keepdims=True)
+            _x = _x * (radial + tan) + p * r2
+        return f * _x + c
+
+    def __call__(self, output: dict, target: dict, num_iterations=None):
+        losses = {}
+        unlabeled_output = output["unlabeled_pose"] + output["unlabeled_traj"]
+        proj_2d = self.project_joints(unlabeled_output, target["intrinsics"])
+        loss_proj = self.criterion_projection(proj_2d, target["unlabeled_target_2d"], None)
+        loss_bone = self.criterion_bone(output["unlabeled_pose"], output["labeled_pose"], None)
+        if num_iterations is not None:
+            gate = (jnp.asarray(num_iterations) > self.warmup_iterations).astype(loss_proj.dtype)
+            loss_proj, loss_bone = loss_proj * gate, loss_bone * gate
+        losses["proj_loss"] = loss_proj
+        losses["bone_loss"] = loss_bone
+        return losses

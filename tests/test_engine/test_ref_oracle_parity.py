@@ -212,3 +212,54 @@ def test_msdeform_attention_matches_mmcv_semantics():
 
     ref_out = lin("output_proj", out.reshape(B, Q, C)).numpy()
     np.testing.assert_allclose(ours, ref_out, atol=2e-5, rtol=1e-4)
+
+
+class TestSemiSupervisionLossParity:
+    """BoneLoss + SemiSupervisionLoss vs the path-loaded reference source
+    (reference ``mmpose/models/losses/regression_loss.py:553-685``)."""
+
+    JP = [0, 0, 1, 2, 0, 4, 5, 0, 7, 8, 9, 8, 11, 12, 8, 14, 15]
+
+    @pytest.fixture(scope="class")
+    def ref_losses(self):
+        from ref_loader import load_ref_losses
+
+        return load_ref_losses()
+
+    def test_bone_loss(self, ref_losses):
+        import numpy as np
+
+        from probpose_code_tpu.models.losses.regression_loss import BoneLoss
+
+        rng = np.random.RandomState(3)
+        out = rng.randn(6, 17, 3).astype("float32")
+        tgt = rng.randn(6, 17, 3).astype("float32")
+        ref = ref_losses.BoneLoss(self.JP)
+        want = float(ref(torch.from_numpy(out), torch.from_numpy(tgt)))
+        got = float(BoneLoss(self.JP)(out, tgt))
+        assert abs(want - got) < 1e-5
+
+    def test_semi_supervision_loss(self, ref_losses):
+        import numpy as np
+
+        from probpose_code_tpu.models.losses.regression_loss import SemiSupervisionLoss
+
+        rng = np.random.RandomState(4)
+        output = {
+            "labeled_pose": rng.randn(5, 17, 3).astype("float32"),
+            "unlabeled_pose": rng.randn(5, 17, 3).astype("float32"),
+            "unlabeled_traj": rng.randn(5, 1, 3).astype("float32"),
+        }
+        target = {
+            "unlabeled_target_2d": rng.randn(5, 17, 2).astype("float32"),
+            # full 9-param intrinsics: f(2), c(2), k(3), p(2)
+            "intrinsics": rng.rand(5, 9).astype("float32"),
+        }
+        ref = ref_losses.SemiSupervisionLoss(self.JP, warmup_iterations=0)
+        want = ref(
+            {k: torch.from_numpy(v) for k, v in output.items()},
+            {k: torch.from_numpy(v) for k, v in target.items()},
+        )
+        got = SemiSupervisionLoss(self.JP)(output, target, num_iterations=1)
+        for k in ("proj_loss", "bone_loss"):
+            assert abs(float(want[k]) - float(got[k])) < 1e-4, k

@@ -281,3 +281,37 @@ def load_ref_neck(module_name: str):
         pkg.__path__ = [os.path.join(REF, "mmpose", "models", "necks")]
         sys.modules[pkg_name] = pkg
     return importlib.import_module(f"{pkg_name}.{module_name}")
+
+
+def load_ref_losses(module_name: str = "regression_loss"):
+    """Import ``mmpose/models/losses/<module_name>.py`` from the reference.
+
+    Builds a synthetic two-subpackage tree (``losses`` + ``utils``) so the
+    module's ``from ..utils.realnvp import RealNVP`` relative import resolves
+    to the reference's real realnvp source.
+    """
+    install_mm_stubs()
+    registry = _module("mmpose.registry")
+    if not hasattr(registry, "MODELS"):
+        class _MiniRegistry:
+            def register_module(self, *a, **k):
+                def deco(cls):
+                    return cls
+                if a and callable(a[0]):
+                    return deco(a[0])
+                return deco
+        registry.MODELS = _MiniRegistry()
+        sys.modules["mmpose"].registry = registry
+    ds_utils = _module("mmpose.datasets.datasets.utils")
+    if not hasattr(ds_utils, "parse_pose_metainfo"):
+        ds_utils.parse_pose_metainfo = lambda cfg: {}
+    pkg_name = "ref_mm_models"
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [os.path.join(REF, "mmpose", "models")]
+        sys.modules[pkg_name] = pkg
+        for sub, d in (("losses", "losses"), ("utils", "utils")):
+            sp = types.ModuleType(f"{pkg_name}.{sub}")
+            sp.__path__ = [os.path.join(REF, "mmpose", "models", d)]
+            sys.modules[f"{pkg_name}.{sub}"] = sp
+    return importlib.import_module(f"{pkg_name}.losses.{module_name}")
