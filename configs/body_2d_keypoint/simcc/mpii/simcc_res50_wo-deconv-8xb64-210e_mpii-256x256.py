@@ -1,0 +1,89 @@
+# simcc_res50_wo-deconv-8xb64-210e_mpii-256x256
+# TPU-native counterpart of the reference recipe of the same name
+# (/root/reference/configs/body_2d_keypoint/simcc/coco/simcc_res50_wo-deconv-8xb64-210e_mpii-256x256.py).
+_base_ = ["../../../_base_/default_runtime.py"]
+
+train_cfg = dict(max_epochs=210, val_interval=10)
+
+optim_wrapper = dict(optimizer=dict(type="Adam", lr=5e-4))
+
+param_scheduler = [
+    dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
+    dict(type="MultiStepLR", begin=0, end=210, milestones=[170, 200], gamma=0.1, by_epoch=True),
+]
+
+auto_scale_lr = dict(base_batch_size=512)
+
+default_hooks = dict(checkpoint=dict(save_best="coco/AP", rule="greater"))
+
+codec = dict(type="SimCCLabel", input_size=(256, 256), sigma=6.0, simcc_split_ratio=2.0)
+
+model = dict(
+    type="TopdownPoseEstimator",
+    data_preprocessor=dict(
+        type="PoseDataPreprocessor", mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], bgr_to_rgb=True
+    ),
+    backbone=dict(type="ResNet", depth=50, out_indices=(3,)),
+    head=dict(
+        type="SimCCHead",
+        in_channels=2048,
+        out_channels=16,
+        input_size=codec["input_size"],
+        in_featuremap_size=(6, 8),
+        simcc_split_ratio=codec["simcc_split_ratio"],
+        loss=dict(type="KLDiscretLoss", use_target_weight=True),
+        decoder=codec,
+    ),
+    test_cfg=dict(flip_test=True),
+)
+
+train_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="RandomHalfBody"),
+    dict(type="RandomBBoxTransform"),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="PackPoseInputs"),
+]
+val_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="PackPoseInputs"),
+]
+
+data_root = "data/mpii/"
+train_dataloader = dict(
+    batch_size=64,
+    num_workers=8,
+    sampler=dict(type="DefaultSampler", shuffle=True),
+    dataset=dict(
+        type="MpiiDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="annotations/mpii_train.json",
+        data_prefix=dict(img="images/"),
+        pipeline=train_pipeline,
+    ),
+)
+val_dataloader = dict(
+    batch_size=32,
+    num_workers=8,
+    drop_last=False,
+    sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
+    dataset=dict(
+        type="MpiiDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="annotations/mpii_val.json",
+        data_prefix=dict(img="images/"),
+        test_mode=True,
+        pipeline=val_pipeline,
+    ),
+)
+test_dataloader = val_dataloader
+
+val_evaluator = dict(type="MpiiPCKAccuracy")
+test_evaluator = val_evaluator

@@ -1,0 +1,82 @@
+# td-reg_res50_softwingloss_8xb64-210e_wflw-256x256
+# TPU-native counterpart of the reference config of the same name
+# (configs/face_2d_keypoint/topdown_regression/wflw/).
+_base_ = ["../../../_base_/default_runtime.py"]
+
+train_cfg = dict(max_epochs=210, val_interval=10)
+optim_wrapper = dict(optimizer=dict(type="Adam", lr=5e-4))
+param_scheduler = [
+    dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
+    dict(type="MultiStepLR", begin=0, end=210, milestones=[170, 200], gamma=0.1, by_epoch=True),
+]
+auto_scale_lr = dict(base_batch_size=512)
+default_hooks = dict(checkpoint=dict(save_best="NME", rule="less"))
+
+codec = dict(type="RegressionLabel", input_size=(256, 256))
+
+model = dict(
+    type="TopdownPoseEstimator",
+    data_preprocessor=dict(
+        type="PoseDataPreprocessor", mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], bgr_to_rgb=True
+    ),
+    backbone=dict(type="ResNet", depth=50, out_indices=(3,)),
+    neck=dict(type="GlobalAveragePooling"),
+    head=dict(
+        type="RegressionHead",
+        in_channels=2048,
+        num_joints=98,
+        loss=dict(type="SoftWingLoss", use_target_weight=True),
+        decoder=codec,
+    ),
+    test_cfg=dict(flip_test=True),
+)
+
+train_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="RandomBBoxTransform", scale_factor=(0.75, 1.25), rotate_factor=60),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="PackPoseInputs"),
+]
+val_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="PackPoseInputs"),
+]
+
+data_root = "data/wflw/"
+train_dataloader = dict(
+    batch_size=64,
+    num_workers=4,
+    sampler=dict(type="DefaultSampler", shuffle=True),
+    dataset=dict(
+        type="WFLWDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="annotations/face_landmarks_wflw_train.json",
+        data_prefix=dict(img="images/"),
+        pipeline=train_pipeline,
+    ),
+)
+val_dataloader = dict(
+    batch_size=32,
+    num_workers=4,
+    drop_last=False,
+    sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
+    dataset=dict(
+        type="WFLWDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="annotations/face_landmarks_wflw_test.json",
+        data_prefix=dict(img="images/"),
+        test_mode=True,
+        pipeline=val_pipeline,
+    ),
+)
+test_dataloader = val_dataloader
+
+val_evaluator = dict(type="NME", norm_mode="keypoint_distance")
+test_evaluator = val_evaluator

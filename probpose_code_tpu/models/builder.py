@@ -121,8 +121,11 @@ def _adapt_backbone_cfg(cfg: Dict[str, Any]) -> Dict[str, Any]:
         patch_cfg = cfg.pop("patch_cfg", None)
         if patch_cfg and "padding" in patch_cfg:
             cfg["patch_padding"] = patch_cfg["padding"]
-        cfg.pop("init_cfg", None)
-        cfg.pop("frozen_stages", None)
+    # torch-checkpoint init specs don't apply to flax modules: weights load
+    # through engine.checkpoint's converter instead (reference init_cfg
+    # Pretrained semantics); frozen_stages is an optimizer-side concern here
+    cfg.pop("init_cfg", None)
+    cfg.pop("frozen_stages", None)
     return cfg
 
 

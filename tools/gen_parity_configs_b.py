@@ -1158,3 +1158,432 @@ distiller = dict(
 train_cfg = dict(max_epochs=60, val_interval=10)
 optim_wrapper = dict(optimizer=dict(type="AdamW", lr=4e-3, weight_decay=0.05))
 ''')
+
+
+# ---------------------------------------------------------------------------
+# part 3: regression / integral / simcc / merge-combine / 3D lifting
+# ---------------------------------------------------------------------------
+
+CFG_DIR = Z.CFG
+
+
+def read_cfg(rel: str) -> str:
+    return open(os.path.join(CFG_DIR, rel)).read()
+
+
+def retitle(text: str, old_stem: str, new_stem: str) -> str:
+    return text.replace(old_stem, new_stem)
+
+
+def g_regression():
+    T = "body_2d_keypoint/topdown_regression"
+    # rle-pretrained: identical arithmetic, backbone starts from the plain
+    # regression checkpoint (reference td-reg_*_rle-pretrained configs)
+    emit(f"{T}/coco/td-reg_res50_rle-pretrained-8xb64-210e_coco-256x192.py",
+         '''# RLE with the backbone initialized from the plain-regression checkpoint.
+# TPU-native counterpart of the reference config of the same name.
+_base_ = ["./td-reg_res50_rle-8xb64-210e_coco-256x192.py"]
+
+model = dict(
+    backbone=dict(
+        init_cfg=dict(
+            type="Pretrained",
+            prefix="backbone.",
+            checkpoint="https://download.openmmlab.com/mmpose/"
+            "top_down/resnet/res50_coco_256x192-ec54d7f3_20200709.pth",
+        ),
+    ),
+)
+''')
+    emit(f"{T}/coco/td-reg_mobilenetv2_rle-pretrained-8xb64-210e_coco-256x192.py",
+         '''# RLE-MobileNetV2 with ImageNet-pretrained backbone initialization.
+# TPU-native counterpart of the reference config of the same name.
+_base_ = ["./td-reg_mobilenetv2_rle_8xb64-210e_coco-192x256.py"]
+
+model = dict(
+    backbone=dict(
+        init_cfg=dict(type="Pretrained", checkpoint="mmcls://mobilenet_v2"),
+    ),
+)
+''')
+    # res152 RLE at 384x288: same recipe, larger crop
+    src = read_cfg(f"{T}/coco/td-reg_res152_rle-8xb64-210e_coco-256x192.py")
+    src = retitle(src, "td-reg_res152_rle-8xb64-210e_coco-256x192",
+                  "td-reg_res152_rle-8xb64-210e_coco-384x288")
+    src = src.replace("(192, 256)", "(288, 384)")
+    emit(f"{T}/coco/td-reg_res152_rle-8xb64-210e_coco-384x288.py", src)
+    # mpii res152
+    src = read_cfg(f"{T}/mpii/td-reg_res101_8xb64-210e_mpii-256x256.py")
+    src = retitle(src, "td-reg_res101_8xb64-210e_mpii-256x256", "td-reg_res152_8xb64-210e_mpii-256x256")
+    src = src.replace("depth=101", "depth=152")
+    emit(f"{T}/mpii/td-reg_res152_8xb64-210e_mpii-256x256.py", src)
+
+    # face wflw regression trio (98 kpts, NME): plain / wing / softwing
+    FACE_TPL = '''# {stem}
+# TPU-native counterpart of the reference config of the same name
+# (configs/face_2d_keypoint/topdown_regression/wflw/).
+_base_ = ["../../../_base_/default_runtime.py"]
+
+train_cfg = dict(max_epochs=210, val_interval=10)
+optim_wrapper = dict(optimizer=dict(type="Adam", lr=5e-4))
+param_scheduler = [
+    dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
+    dict(type="MultiStepLR", begin=0, end=210, milestones=[170, 200], gamma=0.1, by_epoch=True),
+]
+auto_scale_lr = dict(base_batch_size=512)
+default_hooks = dict(checkpoint=dict(save_best="NME", rule="less"))
+
+codec = dict(type="RegressionLabel", input_size=(256, 256))
+
+model = dict(
+    type="TopdownPoseEstimator",
+    data_preprocessor=dict(
+        type="PoseDataPreprocessor", mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], bgr_to_rgb=True
+    ),
+    backbone=dict(type="ResNet", depth=50, out_indices=(3,)),
+    neck=dict(type="GlobalAveragePooling"),
+    head=dict(
+        type="RegressionHead",
+        in_channels=2048,
+        num_joints=98,
+        loss={loss},
+        decoder=codec,
+    ),
+    test_cfg=dict(flip_test=True),
+)
+
+train_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="RandomBBoxTransform", scale_factor=(0.75, 1.25), rotate_factor=60),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="PackPoseInputs"),
+]
+val_pipeline = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="PackPoseInputs"),
+]
+
+data_root = "data/wflw/"
+train_dataloader = dict(
+    batch_size=64,
+    num_workers=4,
+    sampler=dict(type="DefaultSampler", shuffle=True),
+    dataset=dict(
+        type="WFLWDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="annotations/face_landmarks_wflw_train.json",
+        data_prefix=dict(img="images/"),
+        pipeline=train_pipeline,
+    ),
+)
+val_dataloader = dict(
+    batch_size=32,
+    num_workers=4,
+    drop_last=False,
+    sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
+    dataset=dict(
+        type="WFLWDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file="annotations/face_landmarks_wflw_test.json",
+        data_prefix=dict(img="images/"),
+        test_mode=True,
+        pipeline=val_pipeline,
+    ),
+)
+test_dataloader = val_dataloader
+
+val_evaluator = dict(type="NME", norm_mode="keypoint_distance")
+test_evaluator = val_evaluator
+'''
+    for stem, loss in (
+        ("td-reg_res50_8xb64-210e_wflw-256x256",
+         'dict(type="SmoothL1Loss", use_target_weight=True)'),
+        ("td-reg_res50_wingloss_8xb64-210e_wflw-256x256",
+         'dict(type="WingLoss", use_target_weight=True)'),
+        ("td-reg_res50_softwingloss_8xb64-210e_wflw-256x256",
+         'dict(type="SoftWingLoss", use_target_weight=True)'),
+    ):
+        emit(f"face_2d_keypoint/topdown_regression/wflw/{stem}.py",
+             FACE_TPL.format(stem=stem, loss=loss))
+
+    # hand regression (21 kpts, PCK/AUC/EPE)
+    for ds_type, key, train_ann, val_ann, img in (
+        ("OneHand10KDataset", "onehand10k", "annotations/onehand10k_train.json",
+         "annotations/onehand10k_test.json", ""),
+        ("Rhd2DDataset", "rhd2d", "annotations/rhd_train.json", "annotations/rhd_test.json", ""),
+    ):
+        stem = f"td-reg_res50_8xb64-210e_{key}-256x256"
+        text = FACE_TPL.format(stem=stem, loss='dict(type="SmoothL1Loss", use_target_weight=True)')
+        text = text.replace("num_joints=98", "num_joints=21")
+        text = text.replace('data_root = "data/wflw/"', f'data_root = "data/{key}/"')
+        text = text.replace('type="WFLWDataset"', f'type="{ds_type}"')
+        text = text.replace('ann_file="annotations/face_landmarks_wflw_train.json"',
+                            f'ann_file="{train_ann}"')
+        text = text.replace('ann_file="annotations/face_landmarks_wflw_test.json"',
+                            f'ann_file="{val_ann}"')
+        text = text.replace('val_evaluator = dict(type="NME", norm_mode="keypoint_distance")',
+                            'val_evaluator = [dict(type="PCKAccuracy", thr=0.2), dict(type="AUC"), dict(type="EPE")]')
+        text = text.replace('default_hooks = dict(checkpoint=dict(save_best="NME", rule="less"))',
+                            'default_hooks = dict(checkpoint=dict(save_best="AUC", rule="greater"))')
+        emit(f"hand_2d_keypoint/topdown_regression/{key}/{stem}.py", text)
+
+
+def g_integral():
+    T = "body_2d_keypoint/integral_regression/coco"
+    for stem in ("ipr_res50_8xb64-210e_coco",
+                 "ipr_res50_debias-8xb64-210e_coco",
+                 "ipr_res50_dsnt-8xb64-210e_coco"):
+        src = read_cfg(f"{T}/{stem}-192x256.py")
+        src = retitle(src, f"{stem}-192x256", f"{stem}-256x256")
+        src = src.replace("(192, 256)", "(256, 256)").replace("(48, 64)", "(64, 64)")
+        emit(f"{T}/{stem}-256x256.py", src)
+
+
+def g_simcc_mpii():
+    src = read_cfg("body_2d_keypoint/simcc/coco/simcc_mobilenetv2_wo-deconv-8xb64-210e_coco-256x192.py")
+    src = retitle(src, "simcc_mobilenetv2_wo-deconv-8xb64-210e_coco-256x192",
+                  "simcc_res50_wo-deconv-8xb64-210e_mpii-256x256")
+    src = src.replace('backbone=dict(type="MobileNetV2", widen_factor=1.0, out_indices=(7,))',
+                      'backbone=dict(type="ResNet", depth=50, out_indices=(3,))')
+    src = src.replace("in_channels=1280", "in_channels=2048")
+    src = src.replace("(192, 256)", "(256, 256)")
+    src = src.replace("out_channels=17", "out_channels=16")
+    src = src.replace('type="CocoDataset"', 'type="MpiiDataset"')
+    src = src.replace('data_root = "data/coco/"', 'data_root = "data/mpii/"')
+    src = src.replace('ann_file="annotations/person_keypoints_train2017.json"',
+                      'ann_file="annotations/mpii_train.json"')
+    src = src.replace('ann_file="annotations/person_keypoints_val2017.json"',
+                      'ann_file="annotations/mpii_val.json"')
+    src = src.replace('data_prefix=dict(img="train2017/")', 'data_prefix=dict(img="images/")')
+    src = src.replace('data_prefix=dict(img="val2017/")', 'data_prefix=dict(img="images/")')
+    src = re.sub(r"val_evaluator = dict\(type=\"CocoMetric\".*?\)\n",
+                 'val_evaluator = dict(type="MpiiPCKAccuracy")\n', src, flags=re.S)
+    emit("body_2d_keypoint/simcc/mpii/simcc_res50_wo-deconv-8xb64-210e_mpii-256x256.py", src)
+
+
+def aic_combined_override(num_kpts: int, metainfo: str, coco_table=None) -> str:
+    coco_pipe = ("[]" if coco_table is None else
+                 f'[dict(type="KeypointConverter", num_keypoints={num_kpts}, '
+                 f"mapping={fmt_mapping(coco_table)})]")
+    aic_table = AIC_COCO if num_kpts == 17 else None
+    if num_kpts == 19:
+        # coco-aic combined 19-kpt skeleton: aic extra head-top/neck keep
+        # their own slots (reference combine config tables)
+        aic_table = AIC_COCO + [(12, 17), (13, 18)]
+    return f'''dataset_coco = dict(
+    type="CocoDataset", data_root="data/coco/", data_mode="topdown",
+    ann_file="annotations/person_keypoints_train2017.json",
+    data_prefix=dict(img="train2017/"),
+    pipeline={coco_pipe},
+)
+dataset_aic = dict(
+    type="AicDataset", data_root="data/aic/", data_mode="topdown",
+    ann_file="annotations/aic_train.json",
+    data_prefix=dict(img="ai_challenger_keypoint_train_20170902/keypoint_train_images_20170902/"),
+    pipeline=[dict(type="KeypointConverter", num_keypoints={num_kpts}, mapping={fmt_mapping(aic_table)})],
+)
+
+train_dataloader = dict(
+    dataset=dict(
+        _delete_=True,
+        type="CombinedDataset",
+        metainfo=dict(dataset_name="{metainfo}"),
+        datasets=[dataset_coco, dataset_aic],
+        pipeline=_base_.train_pipeline,
+        test_mode=False,
+    ),
+)'''
+
+
+def g_cspnext_aic_coco():
+    T = "body_2d_keypoint/topdown_heatmap/coco"
+    for sz in ("tiny", "s", "m", "l"):
+        emit(f"{T}/cspnext-{sz}_udp_8xb256-210e_aic-coco-256x192.py", f'''# CSPNeXt-{sz} UDP trained on COCO+AIC (AIC remapped onto COCO-17).
+# TPU-native counterpart of the reference config of the same name.
+_base_ = ["./cspnext-{sz}_udp_8xb256-210e_coco-256x192.py"]
+
+{aic_combined_override(17, "coco")}
+''')
+
+
+def g_hrnet_merge_combine():
+    T = "body_2d_keypoint/topdown_heatmap/coco"
+    emit(f"{T}/td-hm_hrnet-w32_8xb64-210e_coco-aic-256x192-merge.py", f'''# HRNet-w32 trained on COCO+AIC merged onto the COCO-17 skeleton.
+# TPU-native counterpart of the reference config of the same name.
+_base_ = ["./td-hm_hrnet-w32_8xb64-210e_coco-256x192.py"]
+
+{aic_combined_override(17, "coco")}
+''')
+    emit(f"{T}/td-hm_hrnet-w32_8xb64-210e_coco-aic-256x192-combine.py", f'''# HRNet-w32 on the combined 19-keypoint COCO+AIC skeleton
+# (COCO-17 plus AIC head-top and neck; metainfo coco_aic).
+# TPU-native counterpart of the reference config of the same name.
+_base_ = ["./td-hm_hrnet-w32_8xb64-210e_coco-256x192.py"]
+
+model = dict(head=dict(out_channels=19))
+
+{aic_combined_override(19, "coco_aic", coco_table=[(i, i) for i in range(17)])}
+''')
+    emit(f"{T}/td-hm-vis_res50_8xb64-210e_coco-aic-256x192-merge.py", f'''# ResNet-50 heatmap head wrapped with a keypoint-visibility branch,
+# trained on COCO+AIC merge. TPU-native counterpart of the reference
+# config of the same name (VisPredictHead, reference vis_head.py).
+_base_ = ["./td-hm_res50_8xb64-210e_coco-256x192.py"]
+
+codec = dict(type="MSRAHeatmap", input_size=(192, 256), heatmap_size=(48, 64), sigma=2)
+
+model = dict(
+    head=dict(
+        _delete_=True,
+        type="VisPredictHead",
+        loss=dict(type="BCELoss", use_target_weight=True, use_sigmoid=True),
+        pose_cfg=dict(
+            type="HeatmapHead",
+            in_channels=2048,
+            out_channels=17,
+            loss=dict(type="KeypointMSELoss", use_target_weight=True),
+            decoder=codec,
+        ),
+    ),
+)
+
+{aic_combined_override(17, "coco")}
+''')
+
+
+def g_ubody2d_hm():
+    src = read_cfg("wholebody_2d_keypoint/topdown_heatmap/coco-wholebody/td-hm_hrnet-w32_8xb64-210e_coco-wholebody-256x192.py")
+    src = retitle(src, "td-hm_hrnet-w32_8xb64-210e_coco-wholebody-256x192",
+                  "td-hm_hrnet-w32_8xb64-210e_ubody-256x192")
+    src = src.replace('type="CocoWholeBodyDataset"', 'type="UBody2dDataset"')
+    src = src.replace('data_root = "data/coco/"', 'data_root = "data/UBody/"')
+    src = src.replace('ann_file="annotations/coco_wholebody_train_v1.0.json"',
+                      'ann_file="annotations/train_annotations.json"')
+    src = src.replace('ann_file="annotations/coco_wholebody_val_v1.0.json"',
+                      'ann_file="annotations/val_annotations.json"')
+    src = src.replace('data_prefix=dict(img="train2017/")', 'data_prefix=dict(img="images/")')
+    src = src.replace('data_prefix=dict(img="val2017/")', 'data_prefix=dict(img="images/")')
+    src = src.replace('ann_file=data_root + "annotations/coco_wholebody_val_v1.0.json"',
+                      'ann_file=data_root + "annotations/val_annotations.json"')
+    emit("wholebody_2d_keypoint/topdown_heatmap/ubody2d/td-hm_hrnet-w32_8xb64-210e_ubody-256x192.py", src)
+
+
+def g_body3d():
+    T3 = "body_3d_keypoint"
+    # image-pose-lift tcn: FC-residual lifting with the reference tcn recipe
+    # (StepLR by-iteration, MSE loss)
+    src = read_cfg(f"{T3}/image_pose_lift/h36m/image-pose-lift_simplebaseline3d_8xb64-200e_h36m.py")
+    src = retitle(src, "image-pose-lift_simplebaseline3d_8xb64-200e_h36m", "image-pose-lift_tcn_8xb64-200e_h36m")
+    src = src.replace(
+        "param_scheduler = [dict(type=\"ExponentialLR\", gamma=0.96, end=100, by_epoch=True)]",
+        "param_scheduler = [dict(type=\"StepLR\", step_size=100000, gamma=0.96, end=80, by_epoch=False)]")
+    src = src.replace('loss=dict(type="MPJPELoss")', 'loss=dict(type="MSELoss")')
+    emit(f"{T3}/image_pose_lift/h36m/image-pose-lift_tcn_8xb64-200e_h36m.py", src)
+
+    # video-pose-lift supervised variants (reference exact names)
+    base = read_cfg(f"{T3}/video_pose_lift/h36m/video-pose-lift_tcn-27frm-supv_8xb128-160e_h36m.py")
+
+    def vpl(stem: str, *, seq: int, epochs: int, detection: bool, old_stem="video-pose-lift_tcn-27frm-supv_8xb128-160e_h36m"):
+        src = retitle(base, old_stem, stem)
+        src = src.replace("seq_len=27", f"seq_len={seq}")
+        if epochs != 160:
+            src = src.replace("max_epochs=160", f"max_epochs={epochs}")
+            src = src.replace("end=80,", f"end={epochs // 2},")
+        if detection:
+            # CPN fine-tune: lift 2D detections instead of GT keypoints
+            src = src.replace('keypoint_2d_src="gt"',
+                              'keypoint_2d_src="detection",\n                 '
+                              'keypoint_2d_det_file="joint_2d_det_files/cpn_ft_h36m_dbb_train.npy"')
+        return src
+
+    emit(f"{T3}/video_pose_lift/h36m/video-pose-lift_tcn-243frm-supv_8xb128-160e_h36m.py",
+         vpl("video-pose-lift_tcn-243frm-supv_8xb128-160e_h36m", seq=243, epochs=160, detection=False))
+    emit(f"{T3}/video_pose_lift/h36m/video-pose-lift_tcn-81frm-supv_8xb128-160e_h36m.py",
+         vpl("video-pose-lift_tcn-81frm-supv_8xb128-160e_h36m", seq=81, epochs=160, detection=False))
+    emit(f"{T3}/video_pose_lift/h36m/video-pose-lift_tcn-1frm-supv-cpn-ft_8xb128-160e_h36m.py",
+         vpl("video-pose-lift_tcn-1frm-supv-cpn-ft_8xb128-160e_h36m", seq=1, epochs=160, detection=True))
+    emit(f"{T3}/video_pose_lift/h36m/video-pose-lift_tcn-243frm-supv-cpn-ft_8xb128-200e_h36m.py",
+         vpl("video-pose-lift_tcn-243frm-supv-cpn-ft_8xb128-200e_h36m", seq=243, epochs=200, detection=True))
+
+    # semi-supervised variants: pose + trajectory towers and the
+    # projection/bone SemiSupervisionLoss (reference configs of the same name)
+    semi_model = '''model = dict(
+    type="PoseLifter",
+    backbone=dict(
+        type="TCN",
+        in_channels=2 * 17,
+        stem_channels=1024,
+        num_blocks=2,
+        kernel_sizes=(3, 3, 3),
+        dropout=0.25,
+    ),
+    head=dict(
+        type="TemporalRegressionHead",
+        in_channels=1024,
+        num_joints=17,
+        loss=dict(type="MPJPELoss"),
+        decoder=codec,
+    ),
+    traj_backbone=dict(
+        type="TCN",
+        in_channels=2 * 17,
+        stem_channels=1024,
+        num_blocks=2,
+        kernel_sizes=(3, 3, 3),
+        dropout=0.25,
+    ),
+    traj_head=dict(
+        type="TrajectoryRegressionHead",
+        in_channels=1024,
+        num_joints=1,
+        loss=dict(type="MPJPELoss", use_target_weight=True),
+        decoder=codec,
+    ),
+    semi_loss=dict(
+        type="SemiSupervisionLoss",
+        joint_parents=[0, 0, 1, 2, 0, 4, 5, 0, 7, 8, 9, 8, 11, 12, 8, 14, 15],
+        warmup_iterations=1311376 // 64 // 8 * 5,
+    ),
+)'''
+    for stem, detection in (
+        ("video-pose-lift_tcn-27frm-semi-supv_8xb64-200e_h36m", False),
+        ("video-pose-lift_tcn-27frm-semi-supv-cpn-ft_8xb64-200e_h36m", True),
+    ):
+        src = vpl(stem, seq=27, epochs=200, detection=detection)
+        src = src.replace("batch_size=128", "batch_size=64")
+        # swap the plain model for the traj+semi twin-tower one
+        src = re.sub(r"model = dict\(.*?\n\)\n", semi_model + "\n", src, count=1, flags=re.S)
+        emit(f"{T3}/video_pose_lift/h36m/{stem}.py", src)
+
+    # motionbert reference-named variants
+    mb = read_cfg(f"{T3}/motionbert/h36m/motionbert-243frm_8xb32-120e_h36m.py")
+
+    def mb_variant(stem: str, *, epochs: int, original: bool, finetune: bool):
+        src = retitle(mb, "motionbert-243frm_8xb32-120e_h36m", stem)
+        src = src.replace("max_epochs=120", f"max_epochs={epochs}")
+        if original:
+            src = src.replace("h36m_train.npz", "h36m_train_original.npz")
+            src = src.replace(
+                'ann_file="annotation_body3d/fps50/h36m_test.npz"',
+                'ann_file="annotation_body3d/fps50/h36m_test_original.npz",\n'
+                '                 factor_file="annotation_body3d/fps50/h36m_factors.npy"')
+        if finetune:
+            src = src.replace(
+                "        seq_len=243,\n        num_joints=17,\n    ),",
+                "        seq_len=243,\n        num_joints=17,\n"
+                '        init_cfg=dict(type="Pretrained", checkpoint="checkpoints/motionbert_pretrain.ckpt"),\n    ),')
+        return src
+
+    emit(f"{T3}/motionbert/h36m/motionbert_dstformer-243frm_8xb32-240e_h36m.py",
+         mb_variant("motionbert_dstformer-243frm_8xb32-240e_h36m", epochs=240, original=False, finetune=False))
+    emit(f"{T3}/motionbert/h36m/motionbert_dstformer-243frm_8xb32-240e_h36m-original.py",
+         mb_variant("motionbert_dstformer-243frm_8xb32-240e_h36m-original", epochs=240, original=True, finetune=False))
+    emit(f"{T3}/motionbert/h36m/motionbert_dstformer-ft-243frm_8xb32-120e_h36m.py",
+         mb_variant("motionbert_dstformer-ft-243frm_8xb32-120e_h36m", epochs=120, original=False, finetune=True))
+    emit(f"{T3}/motionbert/h36m/motionbert_dstformer-ft-243frm_8xb32-120e_h36m-original.py",
+         mb_variant("motionbert_dstformer-ft-243frm_8xb32-120e_h36m-original", epochs=120, original=True, finetune=True))
