@@ -199,6 +199,8 @@ def inference_bottomup(model: PoseModel, img: Union[str, np.ndarray]) -> List[Po
     (BottomupResize), the jitted grid-decode predict program, and the host
     NMS tail; other models fall back to a single full-image crop.
     """
+    if getattr(model, "head_type", None) == "EDPoseHead":
+        return _inference_edpose(model, img)
     if not getattr(model, "onestage", False):
         return inference_topdown(model, img, bboxes=None)
 
@@ -258,6 +260,68 @@ def inference_bottomup(model: PoseModel, img: Union[str, np.ndarray]) -> List[Po
     inst.set_field(np.asarray(inst_np["keypoint_scores"], dtype=np.float32), "keypoint_scores")
     inst.set_field(bboxes, "bboxes")
     inst.set_field(np.asarray(inst_np["scores"], dtype=np.float32), "bbox_scores")
+    sample.pred_instances = inst
+    return [sample]
+
+
+def _inference_edpose(model: PoseModel, img: Union[str, np.ndarray]) -> List[PoseDataSample]:
+    """Whole-image DETR-style inference for the reference-architecture
+    EDPose head: fixed-size bottomup resize -> jitted two-stage forward ->
+    host EDPoseLabel top-k decode (reference ``edpose_head.py:predict`` ->
+    ``data_decoder.decode``) -> map back to the original image frame."""
+    import cv2
+    import jax.numpy as jnp
+
+    if isinstance(img, str):
+        image = cv2.imread(img)
+        img_path = img
+        assert image is not None, f"cannot read {img}"
+    else:
+        image = img
+        img_path = None
+    h, w = image.shape[:2]
+
+    metainfo = model.metainfo or parse_pose_metainfo({"dataset_name": "coco"})
+    pipeline = Compose([
+        dict(type="BottomupResize", input_size=tuple(model.input_size)),
+        dict(type="PackPoseInputs"),
+    ])
+    data_info = dict(
+        img=image.copy(), img_path=img_path, img_shape=(h, w), ori_shape=(h, w),
+        dataset_name=metainfo["dataset_name"], id=0, img_id=0,
+    )
+    out = pipeline(data_info)
+    sample = out["data_samples"]
+    inputs = jnp.asarray(np.asarray(out["inputs"], dtype=np.float32)[None])
+
+    predict = _cached_predict(model)
+    device_out = predict(model.variables, inputs)
+    in_w, in_h = model.input_size
+    bboxes, kpts, scores = model.decoder.decode(
+        (in_h, in_w),
+        np.asarray(device_out["pred_logits"][0]),
+        np.asarray(device_out["pred_boxes"][0]),
+        np.asarray(device_out["pred_keypoints"][0]),
+    )
+
+    center = np.asarray(sample.metainfo["input_center"], dtype=np.float32)
+    scale = np.asarray(sample.metainfo["input_scale"], dtype=np.float32)
+    in_wh = np.asarray(model.input_size, dtype=np.float32)
+
+    def to_image(coords):
+        return coords / in_wh * scale + center - 0.5 * scale
+
+    from probpose_code_tpu.structures import InstanceData
+
+    inst = InstanceData()
+    inst.set_field(to_image(kpts.astype(np.float32)), "keypoints")
+    inst.set_field(scores.astype(np.float32), "keypoint_scores")
+    if bboxes.size:
+        bboxes = np.concatenate(
+            [to_image(bboxes[:, :2].astype(np.float32)), to_image(bboxes[:, 2:4].astype(np.float32))], axis=1
+        )
+    inst.set_field(bboxes.astype(np.float32), "bboxes")
+    inst.set_field(scores[:, 0].astype(np.float32), "bbox_scores")
     sample.pred_instances = inst
     return [sample]
 

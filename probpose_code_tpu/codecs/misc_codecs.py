@@ -173,17 +173,33 @@ class EDPoseLabel(BaseKeypointCodec):
         return dict(keypoints=keypoints, area=area, bbox=bboxes, keypoints_visible=keypoints_visible)
 
     def decode(self, input_shapes, pred_logits, pred_boxes, pred_keypoints):
-        """Top-``num_select`` queries denormalized to input pixels
-        (reference :102-147)."""
-        w, h = np.asarray(input_shapes).reshape(-1)[:2]
-        scores = 1 / (1 + np.exp(-np.asarray(pred_logits).reshape(-1)))
-        k = min(self.num_select, len(scores))
-        keep = np.argsort(-scores)[:k]
-        boxes = np.asarray(pred_boxes).reshape(-1, 4)[keep]
-        xy = (boxes[:, :2] - boxes[:, 2:] / 2) * [w, h]
-        xy2 = (boxes[:, :2] + boxes[:, 2:] / 2) * [w, h]
-        kpts = np.asarray(pred_keypoints).reshape(len(scores), -1, 2)[keep] * [w, h]
-        return dict(scores=scores[keep], bboxes=np.concatenate([xy, xy2], -1), keypoints=kpts)
+        """Top-``num_select`` flat (query, class) scores denormalized to
+        input pixels (reference ``edpose_label.py:102-147``).
+
+        ``input_shapes`` is (h, w) of the resized model input — the
+        reference's BottomupRandomChoiceResize stores ``input_size`` as
+        ``img.shape[:2]`` (``bottomup_transforms.py:926``), which is what
+        EDPoseHead.predict forwards. ``pred_logits`` (nq, num_classes) are
+        sigmoided scores; ``pred_keypoints`` (nq, 3K) is the head's
+        xyxy..zz layout. Returns (bboxes, keypoints, keypoint_scores)."""
+        K = self.num_keypoints
+        logits = np.asarray(pred_logits)
+        if logits.ndim == 1:
+            logits = logits[:, None]
+        prob = logits.reshape(-1)
+        topk = np.argsort(-prob, kind="stable")[: self.num_select]
+        scores = np.tile(prob[topk][:, None], (1, K))
+        topk_q = topk // logits.shape[1]
+        boxes = np.asarray(pred_boxes).reshape(-1, 4)
+        xyxy = np.concatenate(
+            [boxes[:, :2] - boxes[:, 2:] / 2, boxes[:, :2] + boxes[:, 2:] / 2], axis=-1
+        )[topk_q]
+        h, w = np.asarray(input_shapes).reshape(-1)[:2]
+        scale_fct = np.asarray([w, h, w, h], np.float32)
+        bboxes = xyxy * scale_fct
+        kpts = np.asarray(pred_keypoints).reshape(len(boxes), -1)[topk_q]
+        kpts = (kpts[:, : K * 2] * np.tile(np.asarray([w, h], np.float32), K)).reshape(-1, K, 2)
+        return bboxes, kpts, scores
 
 
 @KEYPOINT_CODECS.register_module()

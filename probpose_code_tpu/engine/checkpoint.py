@@ -690,6 +690,8 @@ def convert_torch_state_dict(state_dict: Dict[str, Any], num_layers: int = 12) -
         return _convert_cspnext_model(sd)
     if any(k.startswith("backbone.stage2.") for k in sd):
         return _convert_hrnet_model(sd)
+    if "head.decoder.hw.weight" in sd:  # EDPose DETR-family (before ResNet)
+        return _convert_edpose_model(sd)
     if "backbone.layer1.0.conv1.weight" in sd and "backbone.layers.0.ln1.weight" not in sd:
         return _convert_resnet_model(sd)
     params: Dict[str, Any] = {"backbone": {}, "head": {}}
@@ -854,6 +856,128 @@ def convert_torch_resnet_backbone(sd: Dict[str, Any]):
                 put_bn([blk, "downsample_bn"], f"{base}.downsample.1")
             n += 1
     return params, stats
+
+
+def _convert_edpose_head(sd: Dict[str, Any], prefix: str = "head.") -> Dict[str, Any]:
+    """Reference EDPose head torch keys -> flax ``EDPoseHead`` param tree
+    (``models/heads/edpose_legacy.py``).
+
+    Reference layout (``mmpose/models/heads/transformer_heads/edpose_head.py``):
+    ``encoder.layers.{i}`` deformable layers (mmcv MSDA submodules +
+    ``ffn.layers.0.0``/``.1`` + ``norms.{0,1}``), ``decoder.layers.{i}``
+    (torch-MHA ``self_attn.attn.in_proj_weight`` + MSDA cross_attn + 3 norms),
+    ``decoder.{norm,ref_point_head,hw,keypoint_embed}``, two-stage
+    ``memory_trans_fc/norm`` + ``enc_out_{class,bbox}_embed``, and the
+    ``out_head.{bbox,class,pose,pose_hw}_embed`` prediction stacks (the
+    ``decoder.bbox_embed.*`` aliases of the same tensors and the train-only
+    ``label_enc`` are skipped)."""
+
+    def g(k):
+        return sd[prefix + k]
+
+    def lin(k):
+        out = {"kernel": g(k + ".weight").T}
+        if prefix + k + ".bias" in sd:
+            out["bias"] = g(k + ".bias")
+        return out
+
+    def ln(k):
+        return {"scale": g(k + ".weight"), "bias": g(k + ".bias")}
+
+    def ffn3(k):
+        return {f"fc{j}": lin(f"{k}.layers.{j}") for j in range(3)}
+
+    def msda(k):
+        return {
+            name: lin(f"{k}.{name}")
+            for name in ("sampling_offsets", "attention_weights", "value_proj", "output_proj")
+        }
+
+    p: Dict[str, Any] = {
+        "level_embed": g("level_embed"),
+        "hw": g("decoder.hw.weight"),
+        "keypoint_embed": g("decoder.keypoint_embed.weight"),
+        "decoder_norm": ln("decoder.norm"),
+        "ref_point_head_fc0": lin("decoder.ref_point_head.layers.0"),
+        "ref_point_head_fc1": lin("decoder.ref_point_head.layers.1"),
+        "memory_trans_fc": lin("memory_trans_fc"),
+        "memory_trans_norm": ln("memory_trans_norm"),
+        "enc_out_class_embed": lin("enc_out_class_embed"),
+        "enc_out_bbox_embed": ffn3("enc_out_bbox_embed"),
+        "pose_hw_embed": ffn3("out_head.pose_hw_embed.0"),
+    }
+    i = 0
+    while f"{prefix}encoder.layers.{i}.self_attn.value_proj.weight" in sd:
+        base = f"encoder.layers.{i}"
+        p[f"encoder_layer{i}_self_attn"] = msda(f"{base}.self_attn")
+        p[f"encoder_layer{i}_norm0"] = ln(f"{base}.norms.0")
+        p[f"encoder_layer{i}_norm1"] = ln(f"{base}.norms.1")
+        p[f"encoder_layer{i}_ffn_fc1"] = lin(f"{base}.ffn.layers.0.0")
+        p[f"encoder_layer{i}_ffn_fc2"] = lin(f"{base}.ffn.layers.1")
+        i += 1
+    i = 0
+    while f"{prefix}decoder.layers.{i}.cross_attn.value_proj.weight" in sd:
+        base = f"decoder.layers.{i}"
+        p[f"decoder_layer{i}_self_attn"] = {
+            "in_proj": {
+                "kernel": g(f"{base}.self_attn.attn.in_proj_weight").T,
+                "bias": g(f"{base}.self_attn.attn.in_proj_bias"),
+            },
+            "out_proj": lin(f"{base}.self_attn.attn.out_proj"),
+        }
+        p[f"decoder_layer{i}_cross_attn"] = msda(f"{base}.cross_attn")
+        for j in range(3):
+            p[f"decoder_layer{i}_norm{j}"] = ln(f"{base}.norms.{j}")
+        p[f"decoder_layer{i}_ffn_fc1"] = lin(f"{base}.ffn.layers.0.0")
+        p[f"decoder_layer{i}_ffn_fc2"] = lin(f"{base}.ffn.layers.1")
+        i += 1
+    i = 0
+    while f"{prefix}out_head.bbox_embed.{i}.layers.0.weight" in sd:
+        p[f"bbox_embed{i}"] = ffn3(f"out_head.bbox_embed.{i}")
+        p[f"class_embed{i}"] = lin(f"out_head.class_embed.{i}")
+        i += 1
+    i = 0
+    while f"{prefix}out_head.pose_embed.{i}.layers.0.weight" in sd:
+        p[f"pose_embed{i}"] = ffn3(f"out_head.pose_embed.{i}")
+        i += 1
+    return p
+
+
+def _convert_channel_mapper_neck(sd: Dict[str, Any], prefix: str = "neck.") -> Dict[str, Any]:
+    """mmdet ChannelMapper (``convs.{i}`` + ``extra_convs.{j}`` ConvModules
+    with GN) -> flax ``ChannelMapper`` params."""
+
+    def conv_kernel(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    p: Dict[str, Any] = {}
+    for group, cname, gname in (("convs", "conv", "gn"), ("extra_convs", "extra_conv", "extra_gn")):
+        i = 0
+        while f"{prefix}{group}.{i}.conv.weight" in sd:
+            conv = {"kernel": conv_kernel(sd[f"{prefix}{group}.{i}.conv.weight"])}
+            if f"{prefix}{group}.{i}.conv.bias" in sd:
+                conv["bias"] = sd[f"{prefix}{group}.{i}.conv.bias"]
+            p[f"{cname}{i}"] = conv
+            if f"{prefix}{group}.{i}.gn.weight" in sd:
+                p[f"{gname}{i}"] = {
+                    "scale": sd[f"{prefix}{group}.{i}.gn.weight"],
+                    "bias": sd[f"{prefix}{group}.{i}.gn.bias"],
+                }
+            i += 1
+    return p
+
+
+def _convert_edpose_model(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """EDPose (ResNet + ChannelMapper + reference-layout EDPoseHead)."""
+    bb_p, bb_s = convert_torch_resnet_backbone(sd)
+    return {
+        "params": {
+            "backbone": bb_p,
+            "neck": _convert_channel_mapper_neck(sd),
+            "head": _convert_edpose_head(sd),
+        },
+        "batch_stats": {"backbone": bb_s},
+    }
 
 
 def _convert_resnet_model(sd: Dict[str, Any]) -> Dict[str, Any]:

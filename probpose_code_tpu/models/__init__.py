@@ -36,7 +36,8 @@ from .detectors import RTMDet, RTMDetSepBNHead  # noqa: F401
 from .distillers import DWPoseDistiller, FeaLoss, KDLoss  # noqa: F401
 from .heads.heatmap_head import HeatmapHead  # noqa: F401
 from .heads.cid_head import CIDHead  # noqa: F401
-from .heads.edpose_head import EDPoseHead  # noqa: F401
+from .heads.edpose_head import EDPoseTPUHead  # noqa: F401
+from .heads.edpose_legacy import EDPoseHead  # noqa: F401
 from .heads.internet_head import InternetHead, PoseWarperNeck  # noqa: F401
 from .heads.multistage_heads import CPMHead, MSPNHead, ViPNASHead  # noqa: F401
 from .heads.probmap_head import DoubleProbMapHead, ProbMapHead  # noqa: F401

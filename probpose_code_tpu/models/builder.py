@@ -163,7 +163,12 @@ class PoseModel:
         self.loss_modules = build_loss_modules(self.aux["head_cfg"])
         head_cfg = self.aux["head_cfg"]
         self.head_type = head_cfg.get("type", "HeatmapHead")
-        self.decoder_cfg = head_cfg.get("decoder")
+        if self.head_type == "EDPoseHead":
+            # the reference-schema EDPose head carries a transformer
+            # 'decoder' cfg; its codec lives under 'data_decoder'
+            self.decoder_cfg = head_cfg.get("data_decoder")
+        else:
+            self.decoder_cfg = head_cfg.get("decoder")
         self.decoder = KEYPOINT_CODECS.build(self.decoder_cfg) if self.decoder_cfg else None
         if self.decoder_cfg and "input_size" in self.decoder_cfg:
             self.input_size = tuple(self.decoder_cfg["input_size"])
@@ -362,6 +367,12 @@ class PoseModel:
 
     def loss_fn(self, variables, batch, rngs=None):
         """Returns (total_loss, (loss_dict, new_mutable_state))."""
+        if self.head_type == "EDPoseHead":
+            raise NotImplementedError(
+                "EDPose training is not supported (parity with reference "
+                "edpose_head.py:1215-1219); use the trainable EDPoseTPUHead "
+                "config variant instead."
+            )
         if self.onestage:
             return self._onestage_loss(variables, batch, rngs=rngs)
         batch = self.device_preprocess_batch(batch)
@@ -463,6 +474,21 @@ class PoseModel:
     def make_predict(self, flip_test: Optional[bool] = None, jit: bool = True):
         """Build the full predict program: images -> decoded predictions."""
         test_cfg = self.aux["test_cfg"]
+        if self.head_type == "EDPoseHead":
+            # DETR-family: the device program is the raw two-stage forward;
+            # the EDPoseLabel top-k decode runs host-side like the reference
+            # (edpose_head.py:predict -> data_decoder.decode)
+            precision = self._predict_precision()
+
+            def _predict_edpose(variables, images):
+                with jax.default_matmul_precision(precision):
+                    x = self.preprocess(images)
+                    logits, boxes, kpts = self.module.apply(variables, x, train=False)
+                    return dict(
+                        pred_logits=jax.nn.sigmoid(logits), pred_boxes=boxes, pred_keypoints=kpts
+                    )
+
+            return jax.jit(_predict_edpose) if jit else _predict_edpose
         if self.onestage:
             head_type = self.head_type
             nms_pre = int(test_cfg.get("nms_pre", 300))

@@ -63,8 +63,14 @@ class _DeformDecoderLayer(nn.Module):
 
 
 @MODELS.register_module()
-class EDPoseHead(nn.Module):
-    """Two-stage human + keypoint group decoder with deformable attention."""
+class EDPoseTPUHead(nn.Module):
+    """Two-stage human + keypoint group decoder with deformable attention.
+
+    TPU-native trainable redesign of the reference EDPose (which is
+    inference-only, ``edpose_head.py:1215-1219``). The reference-layout
+    ``EDPoseHead`` that loads reference checkpoints lives in
+    ``edpose_legacy.py``; this head keeps the trainable DN + Hungarian
+    pipeline."""
 
     in_channels: int
     num_keypoints: int = 17

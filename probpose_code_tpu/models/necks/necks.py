@@ -134,21 +134,48 @@ class FPN(nn.Module):
 
 @MODELS.register_module()
 class ChannelMapper(nn.Module):
+    """Per-level 1x1/3x3 projection neck (mmdet ChannelMapper semantics,
+    used by the reference EDPose config: GN(32) convs + one stride-2 extra
+    conv on the last input when ``num_outs`` exceeds the input count).
+
+    ``norm_cfg={'type': 'GN'|GroupNorm, 'num_groups': N}`` enables GroupNorm
+    (conv bias off, matching ConvModule bias='auto'); ``act_cfg`` accepts
+    None (EDPose) or {'type': 'ReLU'}."""
+
     in_channels: Sequence[int]
     out_channels: int
     kernel_size: int = 3
+    num_outs: Optional[int] = None
+    norm_cfg: Any = None
+    act_cfg: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         assert len(inputs) == len(self.in_channels)
         k = self.kernel_size
-        return tuple(
-            nn.Conv(self.out_channels, (k, k), padding="SAME", dtype=self.dtype, name=f"conv{i}")(x).astype(
-                jnp.float32
-            )
-            for i, x in enumerate(inputs)
-        )
+        norm = dict(self.norm_cfg) if self.norm_cfg else None
+        use_bias = norm is None
+        act = (dict(self.act_cfg) if self.act_cfg else {}).get("type")
+
+        def block(x, ksize, stride, conv_name, gn_name):
+            pad = (ksize - 1) // 2
+            x = nn.Conv(
+                self.out_channels, (ksize, ksize), strides=(stride, stride),
+                padding=((pad, pad), (pad, pad)), use_bias=use_bias, dtype=self.dtype, name=conv_name,
+            )(x)
+            if norm is not None:
+                x = nn.GroupNorm(num_groups=int(norm.get("num_groups", 32)), name=gn_name)(x)
+            if act == "ReLU":
+                x = nn.relu(x)
+            return x.astype(jnp.float32)
+
+        outs = [block(x, k, 1, f"conv{i}", f"gn{i}") for i, x in enumerate(inputs)]
+        extra = (self.num_outs or len(outs)) - len(outs)
+        for j in range(extra):
+            src = inputs[-1] if j == 0 else outs[-1]
+            outs.append(block(src, 3, 2, f"extra_conv{j}", f"extra_gn{j}"))
+        return tuple(outs)
 
 
 @MODELS.register_module()

@@ -27,9 +27,14 @@ def test_edpose_label_roundtrip():
                     np.array([1000.0, 900, 800]),
                     np.array([[10, 10, 100, 200], [50, 50, 200, 300], [5, 5, 50, 60]], np.float32))
     assert enc["bbox"].max() <= 1.0
-    dec = ed.decode((640, 480), rng.randn(20), rng.rand(20, 4), rng.rand(20, 17, 2))
-    assert dec["keypoints"].shape == (5, 17, 2)
-    assert (np.diff(dec["scores"]) <= 1e-9).all()  # sorted desc
+    # decode follows the reference tuple convention: input_shapes is (h, w),
+    # logits (nq, num_classes) sigmoided, keypoints in xyxy..zz layout
+    bboxes, kpts, scores = ed.decode(
+        (480, 640), rng.rand(20, 2), rng.rand(20, 4), rng.rand(20, 17 * 3)
+    )
+    assert kpts.shape == (5, 17, 2) and bboxes.shape == (5, 4) and scores.shape == (5, 17)
+    assert (np.diff(scores[:, 0]) <= 1e-9).all()  # sorted desc
+    assert kpts[..., 0].max() <= 640 and kpts[..., 1].max() <= 480
 
 
 def test_hand3d_heatmap_roundtrip():

@@ -1,0 +1,208 @@
+"""EDPose checkpoint-conversion parity vs the REAL reference source.
+
+Closes VERDICT r2 missing #4 / next-step #7: the eighth checkpoint family.
+The oracle is the reference's own ``edpose_head.py`` (EDPoseHead =
+deformable-DETR encoder + EDPoseDecoder + EDPoseOutHead), imported by file
+path with functional mmcv stubs (``tools/ref_loader.py`` — the
+MultiScaleDeformableAttention stub is the public pytorch grid-sample
+fallback). A randomly-initialized reference head's state dict is converted
+by ``engine.checkpoint._convert_edpose_head`` and the flax
+``models/heads/edpose_legacy.py`` forward must reproduce the torch
+(pred_logits, pred_boxes, pred_keypoints) at f32 tolerance.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REPO = Path(__file__).parent.parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+# tiny-but-faithful geometry: embed_dims must stay 256 because the reference
+# hardcodes get_proposal_pos_embed(num_pos_feats=128) (edpose_head.py:260)
+EMBED = 256
+LEVELS = 2
+ENC_LAYERS = 2
+DEC_LAYERS = 4
+NUM_QUERIES = 12
+NUM_GROUP = 3
+K = 17
+SHAPES = [(8, 6), (4, 3)]  # (H, W) per level
+
+
+def _head_cfg():
+    return dict(
+        num_queries=NUM_QUERIES,
+        num_feature_levels=LEVELS,
+        num_keypoints=K,
+        as_two_stage=True,
+        encoder=dict(
+            num_layers=ENC_LAYERS,
+            layer_cfg=dict(
+                self_attn_cfg=dict(
+                    embed_dims=EMBED, num_heads=8, num_levels=LEVELS, num_points=2, batch_first=True
+                ),
+                ffn_cfg=dict(embed_dims=EMBED, feedforward_channels=128, num_fcs=2, ffn_drop=0.0),
+            ),
+        ),
+        decoder=dict(
+            num_layers=DEC_LAYERS,
+            embed_dims=EMBED,
+            layer_cfg=dict(
+                self_attn_cfg=dict(embed_dims=EMBED, num_heads=8, batch_first=True),
+                cross_attn_cfg=dict(embed_dims=EMBED, batch_first=True, num_levels=LEVELS, num_points=2),
+                ffn_cfg=dict(embed_dims=EMBED, feedforward_channels=128, ffn_drop=0.1),
+            ),
+            query_dim=4,
+            num_feature_levels=LEVELS,
+            num_group=NUM_GROUP,
+            num_dn=100,
+            num_box_decoder_layers=2,
+            return_intermediate=True,
+        ),
+        out_head=dict(num_classes=2, num_pred_layer=DEC_LAYERS, num_queries=NUM_QUERIES),
+        positional_encoding=dict(num_pos_feats=128, temperatureH=20, temperatureW=20, normalize=True),
+        denosing_cfg=dict(
+            dn_box_noise_scale=0.4, dn_label_noise_ratio=0.5, dn_labelbook_size=100,
+            dn_attn_mask_type_list=["match2dn", "dn2dn", "group2group"],
+        ),
+        data_decoder=None,
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_outputs():
+    """Reference torch EDPose forward on random weights + features."""
+    from ref_loader import load_ref_transformer_head
+
+    ed = load_ref_transformer_head("edpose_head")
+    torch.manual_seed(7)
+    head = ed.EDPoseHead(**_head_cfg())
+    gen = torch.Generator().manual_seed(11)
+    with torch.no_grad():
+        for p in head.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.1)
+    head.eval()
+
+    B = 2
+    rng = np.random.RandomState(3)
+    feats_np = [rng.randn(B, EMBED, H, W).astype(np.float32) * 0.5 for H, W in SHAPES]
+    feats = [torch.from_numpy(f) for f in feats_np]
+    H0, W0 = SHAPES[0][0] * 8, SHAPES[0][1] * 8
+    samples = [
+        types.SimpleNamespace(batch_input_shape=(H0, W0), img_shape=(H0, W0)) for _ in range(B)
+    ]
+    with torch.no_grad():
+        logits, boxes, kpts = head.forward(tuple(feats), samples)
+    sd = {f"head.{k}": v for k, v in head.state_dict().items()}
+    return feats_np, sd, logits.numpy(), boxes.numpy(), kpts.numpy()
+
+
+def test_edpose_head_conversion_parity(ref_outputs):
+    import jax
+    import jax.numpy as jnp
+
+    from probpose_code_tpu.engine.checkpoint import _convert_edpose_head, _t
+    from probpose_code_tpu.models.heads.edpose_legacy import EDPoseHead
+
+    feats_np, sd, ref_logits, ref_boxes, ref_kpts = ref_outputs
+    sd = {k: _t(v) for k, v in sd.items()}
+    params = _convert_edpose_head(sd)
+
+    flax_head = EDPoseHead(**_head_cfg())
+    feats = [jnp.asarray(np.transpose(f, (0, 2, 3, 1))) for f in feats_np]
+    with jax.default_matmul_precision("highest"):
+        logits, boxes, kpts = flax_head.apply({"params": params}, feats, train=False)
+
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(boxes), ref_boxes, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(kpts), ref_kpts, atol=2e-4, rtol=1e-3)
+
+
+def test_edpose_model_predict_wiring():
+    """PoseModel + inference_bottomup over the reference-schema EDPose
+    config surface (shrunk): jitted two-stage forward, host EDPoseLabel
+    decode, original-frame mapping."""
+    import numpy as np
+
+    from probpose_code_tpu.apis.inference import inference_bottomup
+    from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
+    from probpose_code_tpu.models import PoseModel
+
+    cfg = dict(
+        type="BottomupPoseEstimator",
+        data_preprocessor=dict(mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], bgr_to_rgb=True),
+        backbone=dict(type="ResNet", depth=18, out_indices=(1, 2, 3)),
+        neck=dict(type="ChannelMapper", in_channels=[128, 256, 512], kernel_size=1,
+                  out_channels=EMBED, act_cfg=None, norm_cfg=dict(type="GN", num_groups=32), num_outs=4),
+        head=dict(
+            type="EDPoseHead", num_queries=20, num_feature_levels=4, num_keypoints=17,
+            as_two_stage=True,
+            encoder=dict(num_layers=1, layer_cfg=dict(
+                self_attn_cfg=dict(embed_dims=EMBED, num_heads=8, num_levels=4, num_points=2, batch_first=True),
+                ffn_cfg=dict(embed_dims=EMBED, feedforward_channels=128, num_fcs=2, ffn_drop=0.0))),
+            decoder=dict(num_layers=3, embed_dims=EMBED, layer_cfg=dict(
+                self_attn_cfg=dict(embed_dims=EMBED, num_heads=8, batch_first=True),
+                cross_attn_cfg=dict(embed_dims=EMBED, batch_first=True, num_levels=4, num_points=2),
+                ffn_cfg=dict(embed_dims=EMBED, feedforward_channels=128, ffn_drop=0.1)),
+                query_dim=4, num_feature_levels=4, num_group=3, num_dn=100,
+                num_box_decoder_layers=2, return_intermediate=True),
+            out_head=dict(num_classes=2),
+            positional_encoding=dict(num_pos_feats=128, temperatureH=20, temperatureW=20, normalize=True),
+            data_decoder=dict(type="EDPoseLabel", num_select=5, num_keypoints=17),
+        ),
+        test_cfg=dict(flip_test=False, input_size=(128, 128)),
+    )
+    m = PoseModel(cfg, metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
+    m.init(input_shape=(1, 128, 128, 3))
+    img = (np.random.RandomState(0).rand(160, 200, 3) * 255).astype(np.uint8)
+    samples = inference_bottomup(m, img)
+    inst = samples[0].pred_instances
+    assert inst.keypoints.shape == (5, 17, 2)
+    assert inst.keypoint_scores.shape == (5, 17)
+    assert inst.bboxes.shape == (5, 4)
+    assert np.isfinite(inst.keypoints).all()
+
+
+def test_channel_mapper_gn_conversion_parity():
+    """Flax ChannelMapper (GN + extra stride-2 conv) vs the path-loaded
+    reference neck source with the EDPose configuration (GN32, act None,
+    num_outs > len(inputs))."""
+    import jax
+    import jax.numpy as jnp
+    from ref_loader import load_ref_neck
+
+    from probpose_code_tpu.engine.checkpoint import _convert_channel_mapper_neck, _t
+    from probpose_code_tpu.models.necks.necks import ChannelMapper
+
+    cm = load_ref_neck("channel_mapper")
+    torch.manual_seed(5)
+    tm = cm.ChannelMapper(
+        in_channels=[32, 64], kernel_size=1, out_channels=48,
+        act_cfg=None, norm_cfg=dict(type="GN", num_groups=8), num_outs=3,
+    )
+    tm.eval()
+    rng = np.random.RandomState(0)
+    feats_np = [rng.randn(2, c, s, s).astype(np.float32) for c, s in ((32, 8), (64, 4))]
+    with torch.no_grad():
+        ref_outs = [o.numpy() for o in tm(tuple(torch.from_numpy(f) for f in feats_np))]
+
+    sd = {f"neck.{k}": _t(v) for k, v in tm.state_dict().items()}
+    params = _convert_channel_mapper_neck(sd)
+    fm = ChannelMapper(
+        in_channels=[32, 64], kernel_size=1, out_channels=48,
+        act_cfg=None, norm_cfg=dict(type="GN", num_groups=8), num_outs=3,
+    )
+    feats = [jnp.asarray(np.transpose(f, (0, 2, 3, 1))) for f in feats_np]
+    with jax.default_matmul_precision("highest"):
+        outs = fm.apply({"params": params}, feats)
+    assert len(outs) == 3
+    for o, r in zip(outs, ref_outs):
+        np.testing.assert_allclose(
+            np.asarray(jnp.transpose(o, (0, 3, 1, 2))), r, atol=2e-5, rtol=1e-4
+        )

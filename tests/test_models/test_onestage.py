@@ -296,7 +296,7 @@ def test_edpose_forward_loss_predict():
     from probpose_code_tpu.models.heads.edpose_head import edpose_device_predict, edpose_loss
 
     bb = M.ResNet(depth=18, out_indices=(3,))
-    head = M.EDPoseHead(in_channels=512, num_keypoints=17, embed_dims=64, num_queries=20,
+    head = M.EDPoseTPUHead(in_channels=512, num_keypoints=17, embed_dims=64, num_queries=20,
                         num_human_layers=1, num_keypoint_layers=1, num_heads=4, ffn_dim=128)
     est = M.BottomupPoseEstimator(backbone=bb, head=head)
     x = jnp.zeros((2, 128, 128, 3))
@@ -336,7 +336,7 @@ def test_edpose_denoising_queries():
     from probpose_code_tpu.models.heads.edpose_head import edpose_loss, make_dn_queries
 
     bb = M.ResNet(depth=18, out_indices=(3,))
-    head = M.EDPoseHead(in_channels=512, num_keypoints=17, embed_dims=64, num_queries=20,
+    head = M.EDPoseTPUHead(in_channels=512, num_keypoints=17, embed_dims=64, num_queries=20,
                         num_human_layers=1, num_keypoint_layers=1, num_heads=4, ffn_dim=128)
     est = M.BottomupPoseEstimator(backbone=bb, head=head)
     x = jnp.zeros((2, 128, 128, 3))

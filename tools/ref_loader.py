@@ -75,6 +75,8 @@ def install_mm_stubs() -> None:
         t = (dict(cfg or {})).get("type", "BN")
         if t.startswith("LN"):
             return f"ln{postfix}", nn.LayerNorm(num_features)
+        if t.startswith("GN"):
+            return f"gn{postfix}", nn.GroupNorm(cfg["num_groups"], num_features)
         m = nn.BatchNorm2d(num_features)
         if "eps" in (cfg or {}):
             m.eps = cfg["eps"]
@@ -170,8 +172,90 @@ def install_mm_stubs() -> None:
                 return self.dropout_layer(out)
             return (x if identity is None else identity) + self.dropout_layer(out)
 
+    class MultiScaleDeformableAttention(nn.Module):
+        """Functional stub of mmcv.ops.MultiScaleDeformableAttention: the
+        public pytorch fallback path (grid_sample bilinear, zeros padding,
+        align_corners=False) with mmcv's module layout (sampling_offsets /
+        attention_weights / value_proj / output_proj Linears, residual +
+        dropout inside)."""
+
+        def __init__(self, embed_dims=256, num_heads=8, num_levels=4, num_points=4,
+                     im2col_step=64, dropout=0.1, batch_first=False, norm_cfg=None,
+                     init_cfg=None, value_proj_ratio=1.0):
+            super().__init__()
+            import torch
+
+            self.embed_dims = embed_dims
+            self.num_heads = num_heads
+            self.num_levels = num_levels
+            self.num_points = num_points
+            self.batch_first = batch_first
+            self.sampling_offsets = nn.Linear(embed_dims, num_heads * num_levels * num_points * 2)
+            self.attention_weights = nn.Linear(embed_dims, num_heads * num_levels * num_points)
+            vdim = int(embed_dims * value_proj_ratio)
+            self.value_proj = nn.Linear(embed_dims, vdim)
+            self.output_proj = nn.Linear(vdim, embed_dims)
+            self.dropout = nn.Dropout(dropout)
+
+        def init_weights(self):
+            pass
+
+        def forward(self, query, key=None, value=None, identity=None, query_pos=None,
+                    key_padding_mask=None, reference_points=None, spatial_shapes=None,
+                    level_start_index=None, **kwargs):
+            import torch
+            import torch.nn.functional as F
+
+            if value is None:
+                value = query
+            if identity is None:
+                identity = query
+            if query_pos is not None:
+                query = query + query_pos
+            if not self.batch_first:
+                query = query.permute(1, 0, 2)
+                value = value.permute(1, 0, 2)
+            bs, nq, _ = query.shape
+            _, nv, _ = value.shape
+            value = self.value_proj(value)
+            if key_padding_mask is not None:
+                value = value.masked_fill(key_padding_mask[..., None], 0.0)
+            h, L, P = self.num_heads, self.num_levels, self.num_points
+            value = value.view(bs, nv, h, -1)
+            offsets = self.sampling_offsets(query).view(bs, nq, h, L, P, 2)
+            attn = self.attention_weights(query).view(bs, nq, h, L * P)
+            attn = attn.softmax(-1).view(bs, nq, h, L, P)
+            if reference_points.shape[-1] == 2:
+                normalizer = torch.stack([spatial_shapes[..., 1], spatial_shapes[..., 0]], -1).float()
+                locs = reference_points[:, :, None, :, None, :] + offsets / normalizer[None, None, None, :, None, :]
+            else:
+                locs = (reference_points[:, :, None, :, None, :2]
+                        + offsets / P * reference_points[:, :, None, :, None, 2:] * 0.5)
+            # pytorch fallback kernel
+            hd = value.shape[-1]
+            splits = [int(H_) * int(W_) for H_, W_ in spatial_shapes]
+            value_list = value.split(splits, dim=1)
+            grids = 2 * locs - 1
+            sampled_all = []
+            for lvl, (H_, W_) in enumerate(spatial_shapes):
+                v_l = value_list[lvl].flatten(2).transpose(1, 2).reshape(bs * h, hd, int(H_), int(W_))
+                g_l = grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)  # (bs*h, nq, P, 2)
+                sampled_all.append(
+                    F.grid_sample(v_l, g_l, mode="bilinear", padding_mode="zeros", align_corners=False)
+                )
+            attn_t = attn.transpose(1, 2).reshape(bs * h, 1, nq, L * P)
+            out = (torch.stack(sampled_all, dim=-2).flatten(-2) * attn_t).sum(-1)
+            out = out.view(bs, h * hd, nq).transpose(1, 2).contiguous()
+            out = self.output_proj(out)
+            if not self.batch_first:
+                out = out.permute(1, 0, 2)
+            return self.dropout(out) + identity
+
     bricks_tr.FFN = FFN
     bricks_tr.MultiheadAttention = MultiheadAttention
+    mmcv_ops = _module("mmcv.ops")
+    mmcv_ops.MultiScaleDeformableAttention = MultiScaleDeformableAttention
+    mmcv_cnn.Linear = nn.Linear
     mmcv_cnn.ConvModule = ConvModule
     mmcv_cnn.build_activation_layer = build_activation_layer
     mmcv_cnn.build_norm_layer = build_norm_layer
@@ -186,10 +270,41 @@ def install_mm_stubs() -> None:
         def init_weights(self):
             pass
 
+    def constant_init(module, val, bias=0):
+        import torch
+
+        if hasattr(module, "weight") and module.weight is not None:
+            torch.nn.init.constant_(module.weight, val)
+        if hasattr(module, "bias") and module.bias is not None:
+            torch.nn.init.constant_(module.bias, bias)
+
+    class InstanceData:
+        """Attribute-bag stand-in for mmengine.structures.InstanceData."""
+
+        def __init__(self, metainfo=None, **kwargs):
+            self.metainfo = metainfo or {}
+            for k, v in kwargs.items():
+                setattr(self, k, v)
+
+    class ConfigDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
     mmengine = _module("mmengine")
+    mmengine.ConfigDict = ConfigDict
+    mm_structures = _module("mmengine.structures")
+    mm_structures.InstanceData = InstanceData
+    mmengine.structures = mm_structures
     mm_model = _module("mmengine.model")
     mm_model.BaseModule = BaseModule
     mm_model.ModuleList = nn.ModuleList
+    mm_model.constant_init = constant_init
     mm_utils = _module("mmengine.utils")
     mm_utils.digit_version = digit_version
     mm_utils.to_2tuple = to_2tuple
@@ -315,3 +430,72 @@ def load_ref_losses(module_name: str = "regression_loss"):
             sp.__path__ = [os.path.join(REF, "mmpose", "models", d)]
             sys.modules[f"{pkg_name}.{sub}"] = sp
     return importlib.import_module(f"{pkg_name}.losses.{module_name}")
+
+
+def load_ref_transformer_head(module_name: str = "edpose_head"):
+    """Import ``mmpose/models/heads/transformer_heads/<module_name>.py`` from
+    the reference (EDPoseHead + EDPoseDecoder + EDPoseOutHead and the
+    deformable-DETR layer stack, all genuine source). Blocker imports:
+    mmcv MultiScaleDeformableAttention (functional stub above, pytorch
+    grid-sample fallback), mmengine constant_init/InstanceData, and the
+    reference's own ``inverse_sigmoid`` (path-loaded from models/utils/ops).
+    """
+    install_mm_stubs()
+
+    registry = _module("mmpose.registry")
+
+    class _MiniRegistry:
+        def __init__(self):
+            self._classes = {}
+
+        def register_module(self, *a, **k):
+            def deco(cls):
+                self._classes[cls.__name__] = cls
+                return cls
+
+            if a and callable(a[0]):
+                return deco(a[0])
+            return deco
+
+        def build(self, cfg):
+            cfg = dict(cfg)
+            cls = self._classes[cfg.pop("type")]
+            return cls(**cfg)
+
+    for name in ("MODELS", "KEYPOINT_CODECS"):
+        if not hasattr(registry, name):
+            setattr(registry, name, _MiniRegistry())
+    sys.modules["mmpose"].registry = registry
+
+    mmpose_utils = _module("mmpose.utils")
+    tensor_utils = _module("mmpose.utils.tensor_utils")
+    if not hasattr(tensor_utils, "to_numpy"):
+        import torch
+
+        def to_numpy(x, unzip=False, device="cpu"):
+            if isinstance(x, torch.Tensor):
+                return x.detach().cpu().numpy()
+            return [to_numpy(i) for i in x]
+
+        tensor_utils.to_numpy = to_numpy
+    mmpose_utils.tensor_utils = tensor_utils
+
+    mm_models = _module("mmpose.models")
+    mm_models_utils = _module("mmpose.models.utils")
+    if not hasattr(mm_models_utils, "inverse_sigmoid"):
+        ref_ops = load_ref_models_utils("ops")
+        mm_models_utils.inverse_sigmoid = ref_ops.inverse_sigmoid
+    mm_models.utils = mm_models_utils
+
+    heads_pkg = "ref_heads"
+    if heads_pkg not in sys.modules:
+        pkg = types.ModuleType(heads_pkg)
+        pkg.__path__ = [os.path.join(REF, "mmpose", "models", "heads")]
+        sys.modules[heads_pkg] = pkg
+        tf = types.ModuleType(f"{heads_pkg}.transformer_heads")
+        tf.__path__ = [os.path.join(REF, "mmpose", "models", "heads", "transformer_heads")]
+        sys.modules[f"{heads_pkg}.transformer_heads"] = tf
+        tr = types.ModuleType(f"{heads_pkg}.transformer_heads.transformers")
+        tr.__path__ = [os.path.join(REF, "mmpose", "models", "heads", "transformer_heads", "transformers")]
+        sys.modules[f"{heads_pkg}.transformer_heads.transformers"] = tr
+    return importlib.import_module(f"{heads_pkg}.transformer_heads.{module_name}")
