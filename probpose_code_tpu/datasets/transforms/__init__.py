@@ -1,4 +1,10 @@
-from .bottomup import BottomupGetHeatmapMask, BottomupRandomAffine, BottomupResize
+from .bottomup import (
+    BottomupGetHeatmapMask,
+    BottomupRandomAffine,
+    BottomupRandomChoiceResize,
+    BottomupRandomCrop,
+    BottomupResize,
+)
 from .converting import KeypointConverter
 from .common import (
     FilterAnnotations,
@@ -21,6 +27,8 @@ from .topdown import TopdownAffine
 __all__ = [
     "BottomupGetHeatmapMask",
     "BottomupRandomAffine",
+    "BottomupRandomChoiceResize",
+    "BottomupRandomCrop",
     "BottomupResize",
     "FilterAnnotations",
     "KeypointConverter",

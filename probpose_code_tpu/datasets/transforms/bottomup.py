@@ -277,3 +277,161 @@ class BottomupGetHeatmapMask:
             mask = mask[:, ::-1]
         results["heatmap_mask"] = mask.astype(np.float32)
         return results
+
+
+@TRANSFORMS.register_module()
+class BottomupRandomCrop:
+    """Random absolute/relative crop of the whole image with instance
+    filtering.
+
+    Behavioral parity with reference ``bottomup_transforms.py:587-832``:
+    the crop window is sampled per ``crop_type``; bboxes/keypoints shift by
+    the offset and clip to the window; instances whose clipped box has no
+    area inside the crop are dropped (returning ``None`` to skip the sample
+    when nothing survives and ``allow_negative_crop`` is False); keypoints
+    leaving the window get their visibility zeroed; the translation is
+    composed into ``warp_mat``.
+    """
+
+    def __init__(
+        self,
+        crop_size: Tuple[int, int],
+        crop_type: str = "absolute",
+        allow_negative_crop: bool = False,
+        recompute_bbox: bool = False,
+        bbox_clip_border: bool = True,
+    ):
+        if crop_type not in ("relative_range", "relative", "absolute", "absolute_range"):
+            raise ValueError(f"Invalid crop_type {crop_type}.")
+        if crop_type in ("absolute", "absolute_range"):
+            assert crop_size[0] > 0 and crop_size[1] > 0
+            if crop_type == "absolute_range":
+                assert crop_size[0] <= crop_size[1]
+        else:
+            assert 0 < crop_size[0] <= 1 and 0 < crop_size[1] <= 1
+        self.crop_size = crop_size
+        self.crop_type = crop_type
+        self.allow_negative_crop = allow_negative_crop
+        self.bbox_clip_border = bbox_clip_border
+
+    def _get_crop_size(self, image_size: Tuple[int, int]) -> Tuple[int, int]:
+        """(h, w) -> absolute (crop_h, crop_w), reference :790-815."""
+        h, w = image_size
+        if self.crop_type == "absolute":
+            return min(self.crop_size[1], h), min(self.crop_size[0], w)
+        if self.crop_type == "absolute_range":
+            crop_h = np.random.randint(min(h, self.crop_size[0]), min(h, self.crop_size[1]) + 1)
+            crop_w = np.random.randint(min(w, self.crop_size[0]), min(w, self.crop_size[1]) + 1)
+            return crop_h, crop_w
+        if self.crop_type == "relative":
+            crop_w, crop_h = self.crop_size
+            return int(h * crop_h + 0.5), int(w * crop_w + 0.5)
+        crop_size = np.asarray(self.crop_size, dtype=np.float32)
+        crop_h, crop_w = crop_size + np.random.rand(2) * (1 - crop_size)
+        return int(h * crop_h + 0.5), int(w * crop_w + 0.5)
+
+    def __call__(self, results: Dict) -> Optional[dict]:
+        img = results["img"]
+        crop_h, crop_w = self._get_crop_size(img.shape[:2])
+        margin_h = max(img.shape[0] - crop_h, 0)
+        margin_w = max(img.shape[1] - crop_w, 0)
+        offset_h = np.random.randint(0, margin_h + 1)
+        offset_w = np.random.randint(0, margin_w + 1)
+
+        warp_mat = np.array([[1, 0, -offset_w], [0, 1, -offset_h], [0, 0, 1]], np.float32)
+        prev = results.get("warp_mat")
+        results["warp_mat"] = warp_mat if prev is None else warp_mat @ prev
+
+        img = img[offset_h : offset_h + crop_h, offset_w : offset_w + crop_w, ...]
+        results["img"] = img
+        results["img_shape"] = img.shape[:2]
+
+        if results.get("bbox") is not None:
+            bboxes = results["bbox"] + np.tile([-offset_w, -offset_h], 2).astype(np.float32)
+            if self.bbox_clip_border:
+                bboxes[..., 0::2] = bboxes[..., 0::2].clip(0, img.shape[1])
+                bboxes[..., 1::2] = bboxes[..., 1::2].clip(0, img.shape[0])
+            valid = (
+                (bboxes[..., 0] < img.shape[1]) & (bboxes[..., 1] < img.shape[0])
+                & (bboxes[..., 2] > 0) & (bboxes[..., 3] > 0)
+            )
+            if not valid.any() and not self.allow_negative_crop:
+                return None
+            results["bbox"] = bboxes[valid]
+            for key in ("bbox_score", "id", "category_id", "raw_ann_info", "iscrowd"):
+                if results.get(key) is not None and len(results[key]) == len(valid):
+                    if isinstance(results[key], list):
+                        results[key] = [v for v, ok in zip(results[key], valid) if ok]
+                    else:
+                        results[key] = results[key][valid]
+            if results.get("keypoints") is not None:
+                kpts = results["keypoints"] + np.asarray([-offset_w, -offset_h], np.float32)
+                if self.bbox_clip_border:
+                    outside = (
+                        (kpts[..., 0] < 0) | (kpts[..., 1] < 0)
+                        | (kpts[..., 0] > img.shape[1]) | (kpts[..., 1] > img.shape[0])
+                    )
+                    results["keypoints_visible"] = results["keypoints_visible"] * (~outside)
+                kpts[..., 0] = kpts[..., 0].clip(0, img.shape[1])
+                kpts[..., 1] = kpts[..., 1].clip(0, img.shape[0])
+                results["keypoints"] = kpts[valid]
+                results["keypoints_visible"] = results["keypoints_visible"][valid]
+            if results.get("segmentation") is not None:
+                results["segmentation"] = results["segmentation"][
+                    offset_h : offset_h + crop_h, offset_w : offset_w + crop_w
+                ]
+        return results
+
+
+@TRANSFORMS.register_module()
+class BottomupRandomChoiceResize:
+    """Resize to a scale sampled from ``scales`` (reference
+    ``bottomup_transforms.py:833-973``). With ``keep_ratio`` the long/short
+    edges fit inside ``max(scale)``/``min(scale)`` (mmcv ``imrescale``
+    semantics); bboxes/keypoints follow the per-axis scale factors;
+    ``input_size`` is recorded as ``img.shape[:2]`` (h, w) and
+    ``input_center``/``input_scale`` refer to the original image frame, as
+    the EDPose decode path expects.
+    """
+
+    def __init__(self, scales, keep_ratio: bool = False, clip_object_border: bool = True, **kwargs):
+        self.scales = scales if isinstance(scales, list) else [scales]
+        self.keep_ratio = keep_ratio
+        self.clip_object_border = clip_object_border
+
+    def __call__(self, results: Dict) -> Optional[dict]:
+        idx = np.random.randint(len(self.scales))
+        scale = self.scales[idx]
+        img = results["img"]
+        h, w = img.shape[:2]
+        if self.keep_ratio:
+            sf = min(max(scale) / max(h, w), min(scale) / min(h, w))
+            new_w, new_h = int(w * sf + 0.5), int(h * sf + 0.5)
+        else:
+            new_w, new_h = int(scale[0]), int(scale[1])
+        img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+        w_scale, h_scale = new_w / w, new_h / h
+
+        results["img"] = img
+        results["img_shape"] = img.shape[:2]
+        results["scale_factor"] = (w_scale, h_scale)
+        results["scale_idx"] = idx
+        results["input_size"] = img.shape[:2]
+        oh, ow = results.get("ori_shape", (h, w))  # (h, w) convention
+        results["input_center"] = np.array([ow / 2, oh / 2], np.float32)
+        results["input_scale"] = np.array([ow, oh], np.float32)
+
+        if results.get("bbox") is not None:
+            bboxes = results["bbox"] * np.tile([w_scale, h_scale], 2)
+            if self.clip_object_border:
+                bboxes[..., 0::2] = np.clip(bboxes[..., 0::2], 0, new_w)
+                bboxes[..., 1::2] = np.clip(bboxes[..., 1::2], 0, new_h)
+            results["bbox"] = bboxes.astype(np.float32)
+        if results.get("keypoints") is not None:
+            kpts = results["keypoints"].copy()
+            kpts[..., :2] = kpts[..., :2] * np.asarray([w_scale, h_scale], np.float32)
+            if self.clip_object_border:
+                kpts[..., 0] = np.clip(kpts[..., 0], 0, new_w)
+                kpts[..., 1] = np.clip(kpts[..., 1], 0, new_h)
+            results["keypoints"] = kpts
+        return results

@@ -89,3 +89,60 @@ def test_yolox_mixup_combines_two():
     out = t(data)
     assert out["img"].shape[2] == 3
     assert out["keypoints"].shape[0] >= 2
+
+
+def test_bottomup_random_crop_absolute():
+    from probpose_code_tpu.datasets.transforms.bottomup import BottomupRandomCrop
+
+    np.random.seed(7)
+    data = _img_sample(h=80, w=100)
+    t = BottomupRandomCrop(crop_size=(60, 50), crop_type="absolute")  # (w, h)
+    out = t(dict(data))
+    assert out is not None
+    assert out["img"].shape[:2] == (50, 60)
+    # bboxes/keypoints live inside the crop window
+    assert out["bbox"][..., 0::2].max() <= 60 and out["bbox"][..., 1::2].max() <= 50
+    assert out["keypoints"][..., 0].max() <= 60 and out["keypoints"][..., 1].max() <= 50
+    # translation recorded in warp_mat (reference :697-702)
+    assert out["warp_mat"].shape == (3, 3)
+    np.testing.assert_allclose(np.diag(out["warp_mat"]), 1.0)
+
+
+def test_bottomup_random_crop_drops_empty():
+    from probpose_code_tpu.datasets.transforms.bottomup import BottomupRandomCrop
+
+    np.random.seed(0)
+    data = _img_sample(h=80, w=100)
+    # boxes far outside any possible 10x10 window at the bottom-right corner
+    data["bbox"] = np.array([[0.0, 0.0, 4.0, 4.0]], np.float32)
+    data["keypoints"] = data["keypoints"][:1]
+    data["keypoints_visible"] = data["keypoints_visible"][:1]
+
+    t = BottomupRandomCrop(crop_size=(10, 10), crop_type="absolute", allow_negative_crop=False)
+    dropped = any(
+        t({**data, "img": data["img"].copy(), "bbox": data["bbox"].copy(),
+           "keypoints": data["keypoints"].copy(),
+           "keypoints_visible": data["keypoints_visible"].copy()}) is None
+        for _ in range(20)
+    )
+    assert dropped  # some windows miss the tiny corner box -> sample skipped
+
+
+def test_bottomup_random_choice_resize_keep_ratio():
+    from probpose_code_tpu.datasets.transforms.bottomup import BottomupRandomChoiceResize
+
+    np.random.seed(1)
+    data = _img_sample(h=60, w=90)
+    t = BottomupRandomChoiceResize(scales=[(100, 200)], keep_ratio=True)
+    out = t(dict(data))
+    nh, nw = out["img"].shape[:2]
+    # long edge <= 200, short edge <= 100, aspect preserved
+    assert max(nh, nw) <= 200 and min(nh, nw) <= 100
+    assert abs(nw / nh - 90 / 60) < 0.05
+    # reference convention: input_size recorded as (h, w); center/scale in
+    # the ORIGINAL frame (bottomup_transforms.py:926-931)
+    assert out["input_size"] == (nh, nw)
+    np.testing.assert_allclose(out["input_center"], [45.0, 30.0])
+    np.testing.assert_allclose(out["input_scale"], [90.0, 60.0])
+    ws, hs = out["scale_factor"]
+    np.testing.assert_allclose(out["keypoints"], data["keypoints"] * [ws, hs], atol=1e-4)
