@@ -133,3 +133,75 @@ def test_pose_anything_project(tmp_path):
         losses.append(float(total))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.8
+
+
+def test_skps_project(tmp_path):
+    """SKPS project: codec offset-field roundtrip, head forward, loss
+    decreasing, device predict == codec decode (reference project:
+    /root/reference/projects/skps)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from probpose_code_tpu.config import Config
+    from probpose_code_tpu.registry import KEYPOINT_CODECS, MODELS
+    from probpose_code_tpu.utils.misc import register_all_modules
+
+    register_all_modules()
+    cfg = Config.fromfile(
+        osp.join(REPO, "projects/skps/configs/td-hm_hrnetv2-w18_skps-1xb64-80e_wflw-256x256.py"))
+    assert cfg.model["head"]["type"] == "SKPSHead"
+    assert "SKPSHead" in MODELS and "SKPSHeatmap" in KEYPOINT_CODECS
+
+    from projects.skps.models import SKPSHead, skps_device_predict, skps_loss
+
+    K = 5
+    codec = KEYPOINT_CODECS.build(dict(type="SKPSHeatmap", input_size=(64, 64),
+                                       heatmap_size=(16, 16), sigma=1.5))
+    rng = np.random.RandomState(0)
+    kpts = (rng.rand(1, K, 2) * 60 + 2).astype(np.float32)
+    enc = codec.encode(kpts)
+    assert enc["heatmaps"].shape == (K, 16, 16)
+    assert enc["displacements"].shape == (2 * K, 16, 16)
+    # offset field gives exact sub-pixel recovery at the argmax
+    dec_kpts, dec_scores = codec.decode(enc["heatmaps"], enc["displacements"])
+    np.testing.assert_allclose(dec_kpts[0], kpts[0], atol=0.5)
+
+    head = SKPSHead(in_channels=32, out_channels=K, conv_out_channels=(32,), conv_kernel_sizes=(3,))
+    x = jnp.asarray(rng.rand(2, 16, 16, 32).astype(np.float32))
+    vs = head.init(jax.random.PRNGKey(0), [x], train=False)
+    hm, off = head.apply(vs, [x], train=False)
+    assert hm.shape == (2, K, 16, 16) and off.shape == (2, 2 * K, 16, 16)
+
+    # loss decreases on a fixed batch
+    heatmap_loss = MODELS.build(dict(type="AdaptiveWingLoss", use_target_weight=True))
+    offside_loss = MODELS.build(dict(type="AdaptiveWingLoss", use_target_weight=True))
+    batch = dict(
+        heatmaps=jnp.asarray(np.stack([enc["heatmaps"]] * 2)),
+        displacements=jnp.asarray(np.stack([enc["displacements"]] * 2)),
+        keypoint_weights=jnp.ones((2, K), jnp.float32),
+    )
+
+    def loss_fn(params, state):
+        out, new_state = head.apply(
+            {"params": params, **state}, [x], train=True, mutable=["batch_stats"])
+        losses = skps_loss(out, batch, heatmap_loss, offside_loss)
+        return losses["loss_heatmap"] + losses["loss_offside"], new_state
+
+    params = vs["params"]
+    state = {"batch_stats": vs["batch_stats"]}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    first = last = None
+    for _ in range(6):
+        (val, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, state)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        state = new_state
+        first = val if first is None else first
+        last = val
+    assert float(last) < float(first)
+
+    # jitted device predict agrees with the numpy codec decode
+    pred = skps_device_predict((batch["heatmaps"], batch["displacements"]), input_size=(64, 64))
+    np.testing.assert_allclose(np.asarray(pred["keypoints"][0]), dec_kpts[0], atol=1e-3)
