@@ -205,3 +205,36 @@ def test_skps_project(tmp_path):
     # jitted device predict agrees with the numpy codec decode
     pred = skps_device_predict((batch["heatmaps"], batch["displacements"]), input_size=(64, 64))
     np.testing.assert_allclose(np.asarray(pred["keypoints"][0]), dec_kpts[0], atol=1e-3)
+
+
+def test_uniformer_project():
+    """UniFormer project: config registration + multi-scale forward with
+    window/hybrid stage-3 attention (reference project:
+    /root/reference/projects/uniformer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from probpose_code_tpu.config import Config
+    from probpose_code_tpu.registry import MODELS
+    from probpose_code_tpu.utils.misc import register_all_modules
+
+    register_all_modules()
+    cfg = Config.fromfile(
+        osp.join(REPO, "projects/uniformer/configs/td-hm_uniformer-s-8xb128-210e_coco-256x192.py"))
+    assert cfg.model["backbone"]["type"] == "UniFormer" and "UniFormer" in MODELS
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 64, 48, 3).astype(np.float32))
+    for kwargs in (dict(), dict(use_window=True, window_size=4), dict(use_hybrid=True, window_size=4)):
+        bb = MODELS.build(dict(
+            type="UniFormer", depths=[1, 1, 2, 1], embed_dims=[16, 32, 64, 128],
+            head_dim=16, drop_path_rate=0.1, **kwargs))
+        vs = bb.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x, train=False)
+        outs = bb.apply(vs, x, train=False)
+        assert [o.shape for o in outs] == [
+            (1, 16, 12, 16), (1, 8, 6, 32), (1, 4, 3, 64), (1, 2, 2, 128)]
+        assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+    # stochastic depth path runs under train with a dropout rng
+    outs = bb.apply(vs, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)},
+                    mutable=["batch_stats"])[0]
+    assert np.isfinite(np.asarray(outs[-1])).all()
