@@ -238,3 +238,75 @@ def test_uniformer_project():
     outs = bb.apply(vs, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)},
                     mutable=["batch_stats"])[0]
     assert np.isfinite(np.asarray(outs[-1])).all()
+
+
+def test_just_dance_similarity_oracle():
+    """Just Dance similarity vs the path-loaded REFERENCE torch module
+    (reference projects/just_dance/calculate_similarity.py imports only
+    numpy + torch, so the genuine source is the oracle)."""
+    import importlib.util
+
+    import pytest
+
+    torch = pytest.importorskip("torch")  # noqa: F841
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_jd_sim", "/root/reference/projects/just_dance/calculate_similarity.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    import sys
+    sys.path.insert(0, REPO)
+    from projects.just_dance.calculate_similarity import (
+        calculate_similarity, select_piece_from_similarity)
+    from projects.just_dance.utils import get_smoothed_kpt
+
+    rng = np.random.RandomState(0)
+    T1, T2 = 24, 30
+    tch = np.concatenate([rng.rand(T1, 17, 2) * 192, rng.rand(T1, 17, 1)], -1).astype(np.float32)
+    stu = np.concatenate([rng.rand(T2, 17, 2) * 192, rng.rand(T2, 17, 1)], -1).astype(np.float32)
+    # some fully-invisible frames to exercise the nan path
+    stu[3, :, 2] = 0.0
+
+    ours = calculate_similarity(tch.copy(), stu.copy())
+    theirs = ref.calculate_similarity(tch.copy(), stu.copy()).cpu().numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
+
+    piece_ours = select_piece_from_similarity(ours)
+    piece_ref = ref.select_piece_from_similarity(ref.calculate_similarity(tch.copy(), stu.copy()))
+    assert piece_ours["stu_start"] == piece_ref["stu_start"]
+    assert piece_ours["tch_start"] == piece_ref["tch_start"]
+    assert piece_ours["length"] == piece_ref["length"]
+    np.testing.assert_allclose(piece_ours["similarity"], piece_ref["similarity"], atol=2e-5)
+
+    # smoothing helper: weighted average stays within the window's hull
+    kpts = np.concatenate([rng.rand(9, 17, 2) * 100, np.ones((9, 17, 1))], -1).astype(np.float32)
+    sm = get_smoothed_kpt(kpts, 4, 5)
+    assert sm.shape == (17, 3)
+    assert (sm[:, :2] >= kpts[2:7, :, :2].min(0) - 1e-4).all()
+    assert (sm[:, :2] <= kpts[2:7, :, :2].max(0) + 1e-4).all()
+
+
+def test_mmpose4aigc_openpose_drawing():
+    """mmpose4aigc: COCO-17 -> OpenPose-18 conversion + skeleton render
+    (reference projects/mmpose4aigc/openpose_visualization.py)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from projects.mmpose4aigc.openpose_visualization import (
+        coco17_to_openpose18, draw_openpose_skeleton)
+
+    rng = np.random.RandomState(0)
+    kpts = np.concatenate([rng.rand(2, 17, 2) * 200 + 20, np.full((2, 17, 1), 0.9)], -1)
+    k18 = coco17_to_openpose18(kpts.copy(), kpt_thr=0.4)
+    assert k18.shape == (2, 18, 3)
+    # openpose joint 1 (index 1) is the synthesized neck = shoulder midpoint
+    np.testing.assert_allclose(k18[:, 1, :2], (kpts[:, 5, :2] + kpts[:, 6, :2]) / 2)
+    # low shoulder confidence zeroes the neck
+    low = kpts.copy()
+    low[:, 5, 2] = 0.1
+    assert (coco17_to_openpose18(low, kpt_thr=0.4)[:, 1, 2] == 0).all()
+
+    img = draw_openpose_skeleton((256, 256), k18, kpt_thr=0.4)
+    assert img.shape == (256, 256, 3) and img.dtype == np.uint8
+    assert img.max() > 0  # something was drawn
