@@ -206,3 +206,56 @@ def test_channel_mapper_gn_conversion_parity():
         np.testing.assert_allclose(
             np.asarray(jnp.transpose(o, (0, 3, 1, 2))), r, atol=2e-5, rtol=1e-4
         )
+
+
+import os
+
+
+_TPU_CHILD = r"""
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+from probpose_code_tpu.config import Config
+from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
+from probpose_code_tpu.models import PoseModel
+
+assert jax.devices()[0].platform != "cpu", jax.devices()
+cfg = Config.fromfile(
+    "configs/body_2d_keypoint/edpose/coco/edpose_res50_8xb2-50e_coco-800x1333.py")
+m = PoseModel(dict(cfg["model"]), metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
+m.init(input_shape=(1, 800, 800, 3))
+predict = m.make_predict(jit=True)
+x = jnp.asarray(np.random.RandomState(0).rand(1, 800, 800, 3) * 255, jnp.float32)
+out = jax.block_until_ready(predict(m.variables, x))
+assert out["pred_logits"].shape == (1, 100, 2)
+assert out["pred_boxes"].shape == (1, 100, 4)
+assert out["pred_keypoints"].shape == (1, 100, 51)
+for v in out.values():
+    assert bool(jnp.isfinite(v).all())
+print("EDPOSE_TPU_OK")
+"""
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("RUN_TPU_TESTS") != "1",
+                    reason="TPU-gated (set RUN_TPU_TESTS=1 on TPU hardware)")
+def test_edpose_fullsize_tpu_smoke(tmp_path):
+    """The shipped full-size EDPose graph (6+6 layers, 900 queries, 100
+    groups, 800x800) compiles and runs finite on the real TPU backend.
+    Measured on v5e: ~1.4 ms/img steady state at B=1 f32 (dispatch
+    pipelined), first compile ~60 s. Runs in a child process with a clean
+    env (the suite conftest pins JAX to the CPU backend; the axon backend
+    registers only when Python starts in the repo root)."""
+    import subprocess
+
+    child = tmp_path / "edpose_tpu_child.py"
+    child.write_text(_TPU_CHILD)
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # prepend (not overwrite): the TPU plugin itself loads via PYTHONPATH
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    res = subprocess.run(
+        [sys.executable, str(child)], cwd=str(REPO), env=env,
+        capture_output=True, text=True, timeout=2700,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "EDPOSE_TPU_OK" in res.stdout
