@@ -5,6 +5,13 @@
 # Reference checkpoints convert via engine.checkpoint (EDPose family);
 # like the reference, this head is inference-only (edpose_head.py:1215) —
 # for training use edpose-tpu_res50_8xb2-50e_coco-800x1333.py.
+#
+# Eval resolution: the reference resizes each image so the short side is
+# 800 and the long side <= 1333 (dynamic shapes). XLA compiles one program
+# per shape, so this recipe uses BottomupResize(fit) into a (1333, 800)
+# frame — identical scale for landscape images (the COCO majority),
+# aspect-bucketed shapes (size_factor=32) otherwise; portrait images run
+# at a smaller scale than the reference.
 _base_ = ["../../../_base_/default_runtime.py"]
 
 train_cfg = dict(max_epochs=50, val_interval=10)
@@ -19,7 +26,7 @@ default_hooks = dict(checkpoint=dict(save_best="coco/AP", rule="greater"))
 # codec settings
 codec = dict(type="EDPoseLabel", num_select=50, num_keypoints=17)
 
-input_size = (800, 800)
+input_size = (1333, 800)
 
 # model settings
 model = dict(

@@ -296,33 +296,10 @@ def _inference_edpose(model: PoseModel, img: Union[str, np.ndarray]) -> List[Pos
 
     predict = _cached_predict(model)
     device_out = predict(model.variables, inputs)
-    in_w, in_h = model.input_size
-    bboxes, kpts, scores = model.decoder.decode(
-        (in_h, in_w),
-        np.asarray(device_out["pred_logits"][0]),
-        np.asarray(device_out["pred_boxes"][0]),
-        np.asarray(device_out["pred_keypoints"][0]),
-    )
+    preds = {k: np.asarray(v) for k, v in device_out.items()}
+    from probpose_code_tpu.engine.runner import attach_edpose_predictions
 
-    center = np.asarray(sample.metainfo["input_center"], dtype=np.float32)
-    scale = np.asarray(sample.metainfo["input_scale"], dtype=np.float32)
-    in_wh = np.asarray(model.input_size, dtype=np.float32)
-
-    def to_image(coords):
-        return coords / in_wh * scale + center - 0.5 * scale
-
-    from probpose_code_tpu.structures import InstanceData
-
-    inst = InstanceData()
-    inst.set_field(to_image(kpts.astype(np.float32)), "keypoints")
-    inst.set_field(scores.astype(np.float32), "keypoint_scores")
-    if bboxes.size:
-        bboxes = np.concatenate(
-            [to_image(bboxes[:, :2].astype(np.float32)), to_image(bboxes[:, 2:4].astype(np.float32))], axis=1
-        )
-    inst.set_field(bboxes.astype(np.float32), "bboxes")
-    inst.set_field(scores[:, 0].astype(np.float32), "bbox_scores")
-    sample.pred_instances = inst
+    attach_edpose_predictions(preds, [sample], model)
     return [sample]
 
 

@@ -388,10 +388,9 @@ class BottomupRandomChoiceResize:
     """Resize to a scale sampled from ``scales`` (reference
     ``bottomup_transforms.py:833-973``). With ``keep_ratio`` the long/short
     edges fit inside ``max(scale)``/``min(scale)`` (mmcv ``imrescale``
-    semantics); bboxes/keypoints follow the per-axis scale factors;
-    ``input_size`` is recorded as ``img.shape[:2]`` (h, w) and
-    ``input_center``/``input_scale`` refer to the original image frame, as
-    the EDPose decode path expects.
+    semantics; an int scale means a square (s, s) target);
+    bboxes/keypoints follow the per-axis scale factors;
+    ``input_center``/``input_scale`` refer to the original image frame.
     """
 
     def __init__(self, scales, keep_ratio: bool = False, clip_object_border: bool = True, **kwargs):
@@ -402,6 +401,8 @@ class BottomupRandomChoiceResize:
     def __call__(self, results: Dict) -> Optional[dict]:
         idx = np.random.randint(len(self.scales))
         scale = self.scales[idx]
+        if isinstance(scale, (int, float)):  # int scale -> square (s, s)
+            scale = (scale, scale)
         img = results["img"]
         h, w = img.shape[:2]
         if self.keep_ratio:
@@ -416,7 +417,10 @@ class BottomupRandomChoiceResize:
         results["img_shape"] = img.shape[:2]
         results["scale_factor"] = (w_scale, h_scale)
         results["scale_idx"] = idx
-        results["input_size"] = img.shape[:2]
+        # (w, h) like every other transform in this framework (the reference
+        # stores img.shape[:2] here and compensates in its EDPose decode;
+        # our decode paths take (h, w) explicitly where they need it)
+        results["input_size"] = (new_w, new_h)
         oh, ow = results.get("ori_shape", (h, w))  # (h, w) convention
         results["input_center"] = np.array([ow / 2, oh / 2], np.float32)
         results["input_scale"] = np.array([ow, oh], np.float32)

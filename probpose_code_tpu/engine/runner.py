@@ -235,7 +235,10 @@ class Runner:
             data_samples = batch["data_samples"]
             preds = predict(variables, jnp.asarray(batch["inputs"]))
             preds = {k: np.asarray(v) for k, v in preds.items()}
-            attach_predictions(preds, data_samples, self.model.input_size)
+            if "pred_logits" in preds:  # DETR-family: host top-k decode
+                attach_edpose_predictions(preds, data_samples, self.model)
+            else:
+                attach_predictions(preds, data_samples, self.model.input_size)
             evaluator.process(data_samples)
         metrics = evaluator.evaluate(len(self.val_loader.dataset))
         for backend in self.vis_backends:
@@ -293,6 +296,35 @@ class Runner:
         if not isinstance(cfg, Config):
             cfg = Config.fromdict(dict(cfg))
         return Runner(cfg, work_dir=cfg.get("work_dir"))
+
+
+def attach_edpose_predictions(preds: Dict[str, np.ndarray], data_samples: List, model) -> None:
+    """Decode DETR-family (EDPose) predict outputs per sample with the
+    model's EDPoseLabel codec (reference ``edpose_head.py:predict`` ->
+    ``data_decoder.decode``) and restore to original-image coordinates."""
+    for i, sample in enumerate(data_samples):
+        w_h = np.asarray(sample.metainfo.get("input_size", model.input_size), dtype=np.float32)
+        bboxes, kpts, scores = model.decoder.decode(
+            (w_h[1], w_h[0]),  # codec follows the reference's (h, w) convention
+            preds["pred_logits"][i], preds["pred_boxes"][i], preds["pred_keypoints"][i],
+        )
+        input_center = np.asarray(sample.metainfo["input_center"], dtype=np.float32)
+        input_scale = np.asarray(sample.metainfo["input_scale"], dtype=np.float32)
+
+        def to_image(coords):
+            return coords / w_h * input_scale + input_center - 0.5 * input_scale
+
+        inst = InstanceData()
+        inst.set_field(to_image(kpts.astype(np.float32)), "keypoints")
+        inst.set_field(scores.astype(np.float32), "keypoint_scores")
+        if bboxes.size:
+            bboxes = np.concatenate(
+                [to_image(bboxes[:, :2].astype(np.float32)), to_image(bboxes[:, 2:4].astype(np.float32))],
+                axis=1,
+            )
+        inst.set_field(bboxes.astype(np.float32), "bboxes")
+        inst.set_field(scores[:, 0].astype(np.float32), "bbox_scores")
+        sample.pred_instances = inst
 
 
 def attach_predictions(preds: Dict[str, np.ndarray], data_samples: List, input_size) -> None:

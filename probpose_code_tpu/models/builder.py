@@ -478,6 +478,11 @@ class PoseModel:
             # DETR-family: the device program is the raw two-stage forward;
             # the EDPoseLabel top-k decode runs host-side like the reference
             # (edpose_head.py:predict -> data_decoder.decode)
+            if flip_test or (flip_test is None and test_cfg.get("flip_test", False)):
+                raise NotImplementedError(
+                    "flip_test is not supported for EDPose (parity with "
+                    "reference edpose_head.py:926); set test_cfg.flip_test=False"
+                )
             precision = self._predict_precision()
 
             def _predict_edpose(variables, images):

@@ -157,6 +157,10 @@ class ChannelMapper(nn.Module):
         norm = dict(self.norm_cfg) if self.norm_cfg else None
         use_bias = norm is None
         act = (dict(self.act_cfg) if self.act_cfg else {}).get("type")
+        act_fns = {None: None, "ReLU": nn.relu, "GELU": nn.gelu, "SiLU": nn.silu,
+                   "LeakyReLU": lambda x: nn.leaky_relu(x, 0.01)}
+        if act not in act_fns:
+            raise ValueError(f"ChannelMapper: unsupported act_cfg type {act!r}")
 
         def block(x, ksize, stride, conv_name, gn_name):
             pad = (ksize - 1) // 2
@@ -166,8 +170,8 @@ class ChannelMapper(nn.Module):
             )(x)
             if norm is not None:
                 x = nn.GroupNorm(num_groups=int(norm.get("num_groups", 32)), name=gn_name)(x)
-            if act == "ReLU":
-                x = nn.relu(x)
+            if act_fns[act] is not None:
+                x = act_fns[act](x)
             return x.astype(jnp.float32)
 
         outs = [block(x, k, 1, f"conv{i}", f"gn{i}") for i, x in enumerate(inputs)]

@@ -78,7 +78,7 @@ def select_piece_from_similarity(similarity: np.ndarray) -> dict:
     sums = np.zeros(m + n - 1, similarity.dtype)
     np.add.at(sums, diag.ravel(), similarity.ravel())
     sums[: min(m, n) // 4] = 0
-    sums[-(min(m, n) // 4):] = 0
+    sums[-min(m, n) // 4 :] = 0  # floor-of-negative, like the reference
     index = int(sums.argmax())
 
     # horizontal max-pool (kernel 11, pad 5) then take the chosen diagonal

@@ -262,7 +262,7 @@ def test_just_dance_similarity_oracle():
     from projects.just_dance.utils import get_smoothed_kpt
 
     rng = np.random.RandomState(0)
-    T1, T2 = 24, 30
+    T1, T2 = 26, 30  # min not divisible by 4: covers the floor-of-negative diagonal cut
     tch = np.concatenate([rng.rand(T1, 17, 2) * 192, rng.rand(T1, 17, 1)], -1).astype(np.float32)
     stu = np.concatenate([rng.rand(T2, 17, 2) * 192, rng.rand(T2, 17, 1)], -1).astype(np.float32)
     # some fully-invisible frames to exercise the nan path

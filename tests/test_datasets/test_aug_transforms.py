@@ -139,9 +139,9 @@ def test_bottomup_random_choice_resize_keep_ratio():
     # long edge <= 200, short edge <= 100, aspect preserved
     assert max(nh, nw) <= 200 and min(nh, nw) <= 100
     assert abs(nw / nh - 90 / 60) < 0.05
-    # reference convention: input_size recorded as (h, w); center/scale in
-    # the ORIGINAL frame (bottomup_transforms.py:926-931)
-    assert out["input_size"] == (nh, nw)
+    # framework convention: input_size recorded as (w, h) like every other
+    # transform; center/scale in the ORIGINAL frame
+    assert out["input_size"] == (nw, nh)
     np.testing.assert_allclose(out["input_center"], [45.0, 30.0])
     np.testing.assert_allclose(out["input_scale"], [90.0, 60.0])
     ws, hs = out["scale_factor"]

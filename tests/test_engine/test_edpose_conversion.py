@@ -168,6 +168,25 @@ def test_edpose_model_predict_wiring():
     assert inst.bboxes.shape == (5, 4)
     assert np.isfinite(inst.keypoints).all()
 
+    # the runner val path decodes the same way (tools/test.py support):
+    # batched predict outputs -> per-sample codec decode -> original frame
+    import jax.numpy as jnp
+
+    from probpose_code_tpu.engine.runner import attach_edpose_predictions
+
+    predict = m.make_predict(jit=False)
+    out = predict(m.variables, jnp.asarray(np.zeros((1, 128, 128, 3), np.float32)))
+    preds = {k: np.asarray(v) for k, v in out.items()}
+    sample = samples[0]
+    attach_edpose_predictions(preds, [sample], m)
+    assert sample.pred_instances.keypoints.shape == (5, 17, 2)
+    assert np.isfinite(sample.pred_instances.bboxes).all()
+
+    # flip_test rejected like the reference (edpose_head.py:926)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        m.make_predict(flip_test=True)
+
 
 def test_channel_mapper_gn_conversion_parity():
     """Flax ChannelMapper (GN + extra stride-2 conv) vs the path-loaded
