@@ -5,7 +5,7 @@ from .bottomup import (
     BottomupRandomCrop,
     BottomupResize,
 )
-from .converting import KeypointConverter
+from .converting import KeypointConverter, SingleHandConverter
 from .common import (
     FilterAnnotations,
     GenerateTarget,
@@ -32,6 +32,7 @@ __all__ = [
     "BottomupResize",
     "FilterAnnotations",
     "KeypointConverter",
+    "SingleHandConverter",
     "GenerateTarget",
     "GetBBoxCenterScale",
     "HandRandomFlip",

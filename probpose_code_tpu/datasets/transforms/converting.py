@@ -93,3 +93,29 @@ class KeypointConverter:
         if flip_indices is not None:
             results["flip_indices"] = flip_indices
         return results
+
+
+@TRANSFORMS.register_module()
+class SingleHandConverter:
+    """Map single-hand keypoints into a double-hand layout by hand type
+    (reference ``converting.py:153-213``): left hands route through the
+    left mapping, right hands through the right one.
+
+    The reference compares hand types with a plain ``sum(hand_type - x)``,
+    which is 0 for BOTH one-hot types, so its right-hand branch is
+    unreachable; this port uses the absolute difference (the evident
+    intent)."""
+
+    def __init__(self, num_keypoints: int, left_hand_mapping, right_hand_mapping):
+        self.num_keypoints = num_keypoints
+        self.left_hand_converter = KeypointConverter(num_keypoints, left_hand_mapping)
+        self.right_hand_converter = KeypointConverter(num_keypoints, right_hand_mapping)
+
+    def __call__(self, results: dict) -> dict:
+        assert "hand_type" in results, "hand_type should be provided in results"
+        hand_type = np.asarray(results["hand_type"])
+        if np.sum(np.abs(hand_type - [[0, 1]])) <= 1e-6:
+            return self.left_hand_converter(results)
+        if np.sum(np.abs(hand_type - [[1, 0]])) <= 1e-6:
+            return self.right_hand_converter(results)
+        raise ValueError("hand_type should be left or right")

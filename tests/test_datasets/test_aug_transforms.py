@@ -146,3 +146,21 @@ def test_bottomup_random_choice_resize_keep_ratio():
     np.testing.assert_allclose(out["input_scale"], [90.0, 60.0])
     ws, hs = out["scale_factor"]
     np.testing.assert_allclose(out["keypoints"], data["keypoints"] * [ws, hs], atol=1e-4)
+
+
+def test_single_hand_converter_routes_by_hand_type():
+    from probpose_code_tpu.datasets.transforms.converting import SingleHandConverter
+
+    t = SingleHandConverter(
+        num_keypoints=8,
+        left_hand_mapping=[(0, 0), (1, 1), (2, 2), (3, 3)],
+        right_hand_mapping=[(0, 4), (1, 5), (2, 6), (3, 7)])
+    base = dict(keypoints=np.arange(8).reshape(1, 4, 2).astype(np.float32),
+                keypoints_visible=np.ones((1, 4), np.float32))
+    right = t({**base, "hand_type": np.array([[1, 0]])})
+    assert right["keypoints"].shape[1] == 8
+    assert (right["keypoints"][0, 4] == [0, 1]).all()  # right mapping used
+    left = t({**base, "keypoints": base["keypoints"].copy(),
+              "keypoints_visible": base["keypoints_visible"].copy(),
+              "hand_type": np.array([[0, 1]])})
+    assert (left["keypoints"][0, 0] == [0, 1]).all() and (left["keypoints"][0, 4] == 0).all()
