@@ -2,7 +2,7 @@ from .associative_embedding import AssociativeEmbedding
 from .base import BaseKeypointCodec
 from .decoupled_heatmap import DecoupledHeatmap
 from .double_probmap import DoubleProbMap
-from .misc_codecs import EDPoseLabel, Hand3DHeatmap, MotionBERTLabel  # noqa: F401
+from .misc_codecs import EDPoseLabel, Hand3DHeatmap, MotionBERTLabel, YOLOXPoseAnnotationProcessor  # noqa: F401
 from .image_pose_lifting import ImagePoseLifting, VideoPoseLifting
 from .integral_regression_label import IntegralRegressionLabel
 from .megvii_heatmap import MegviiHeatmap

@@ -292,3 +292,47 @@ class Hand3DHeatmap(BaseKeypointCodec):
             (z / D - 0.5) * self.heatmap3d_depth_bound,
         ], -1).astype(np.float32)
         return kpts[None], scores[None].astype(np.float32)
+
+
+@KEYPOINT_CODECS.register_module()
+class YOLOXPoseAnnotationProcessor(BaseKeypointCodec):
+    """Annotation-space preprocessing for YOLOX-Pose/RTMO training
+    (reference ``codecs/annotation_processors.py``): optionally expand each
+    bbox to cover its visible keypoints, and convert COCO category ids to
+    0-based labels. ``decode`` is a no-op (detection-style heads decode in
+    their own predict programs)."""
+
+    auxiliary_encode_keys = {"category_id", "bbox"}
+    label_mapping_table = dict(
+        bbox="bboxes", bbox_labels="labels", keypoints="keypoints",
+        keypoints_visible="keypoints_visible", area="areas",
+    )
+    instance_mapping_table = dict(
+        bbox="bboxes", bbox_score="bbox_scores", keypoints="keypoints",
+        keypoints_visible="keypoints_visible",
+    )
+
+    def __init__(self, expand_bbox: bool = False, input_size=None):
+        super().__init__()
+        self.expand_bbox = expand_bbox
+
+    def encode(self, keypoints=None, keypoints_visible=None, bbox=None, category_id=None):
+        results = {}
+        if self.expand_bbox and bbox is not None:
+            vis = keypoints_visible
+            if vis is not None and vis.ndim == 3:
+                vis = vis[..., 0]
+            kmin = keypoints.copy()
+            kmin[vis == 0] = np.inf
+            bbox = bbox.copy()
+            bbox[..., :2] = np.minimum(bbox[..., :2], kmin.min(axis=1))
+            kmax = keypoints.copy()
+            kmax[vis == 0] = -np.inf
+            bbox[..., 2:] = np.maximum(bbox[..., 2:], kmax.max(axis=1))
+            results["bbox"] = bbox
+        if category_id is not None:
+            results["bbox_labels"] = np.asarray(category_id).astype(np.int8) - 1
+        return results
+
+    def decode(self, *args, **kwargs):
+        pass

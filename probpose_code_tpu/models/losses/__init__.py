@@ -1,3 +1,4 @@
+from .loss_wrappers import CombinedLoss, MultipleLossWrapper  # noqa: F401
 from .ae_loss import AssociativeEmbeddingLoss
 from .bbox_loss import IoULoss
 from .classification_loss import (
@@ -54,6 +55,8 @@ __all__ = [
     "OKSHeatmapLoss",
     "RLELoss",
     "SmoothL1Loss",
+    "CombinedLoss",
+    "MultipleLossWrapper",
     "SoftWeightSmoothL1Loss",
     "SoftWingLoss",
     "VariFocalLoss",

@@ -111,3 +111,29 @@ def test_internet_head_loss_trains():
                                          rngs={"dropout": jax.random.PRNGKey(0)})[0])(m.variables["params"])
     gn = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_yoloxpose_annotation_processor():
+    proc = KEYPOINT_CODECS.build(dict(type="YOLOXPoseAnnotationProcessor", expand_bbox=True))
+    kpts = np.array([[[5.0, 5.0], [50.0, 60.0], [20.0, 90.0]]])
+    vis = np.array([[1.0, 1.0, 0.0]])  # last kpt invisible: excluded from expansion
+    out = proc.encode(keypoints=kpts, keypoints_visible=vis,
+                      bbox=np.array([[10.0, 10.0, 40.0, 40.0]]), category_id=[1])
+    np.testing.assert_allclose(out["bbox"], [[5, 5, 50, 60]])
+    assert out["bbox_labels"][0] == 0  # category ids become 0-based labels
+
+
+def test_loss_wrappers():
+    import jax.numpy as jnp
+
+    from probpose_code_tpu.registry import MODELS
+
+    mw = MODELS.build(dict(type="MultipleLossWrapper", losses=[
+        dict(type="KeypointMSELoss"), dict(type="L1Loss")]))
+    a, b = jnp.ones((1, 3, 4, 4)), jnp.zeros((1, 3, 4, 4))
+    losses = mw([a, a[..., 0]], [b, b[..., 0]])
+    assert len(losses) == 2 and all(float(v) == 1.0 for v in losses)
+
+    cl = MODELS.build(dict(type="CombinedLoss", losses=dict(hm=dict(type="KeypointMSELoss"))))
+    assert float(cl.hm(a, b)) == 1.0
+    assert [n for n, _ in cl.items()] == ["hm"]
