@@ -12,6 +12,15 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Keep SUBPROCESSES spawned by tests (CLI smokes, multihost dryruns) off the
+# axon TPU plugin: its sitecustomize registration probes the relay at
+# interpreter start and blocks for minutes when the relay is down, turning
+# CPU-only tests into timeouts. TPU-gated tests restore the stashed value
+# for their children explicitly.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    os.environ["_SAVED_PALLAS_AXON_POOL_IPS"] = os.environ["PALLAS_AXON_POOL_IPS"]
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+
 # The axon TPU plugin (sitecustomize) pins jax_platforms="axon,cpu" at
 # interpreter start, overriding the env var — force it back before any
 # backend initializes.

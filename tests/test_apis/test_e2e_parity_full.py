@@ -209,6 +209,10 @@ def test_full_size_parity_on_tpu(weights_path, tmp_path):
     env.pop("XLA_FLAGS", None)
     # prepend (not overwrite): the TPU plugin itself loads via PYTHONPATH
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # conftest blanks the axon pool for CPU children; restore it here so the
+    # TPU child actually registers the hardware backend
+    if env.get("_SAVED_PALLAS_AXON_POOL_IPS"):
+        env["PALLAS_AXON_POOL_IPS"] = env["_SAVED_PALLAS_AXON_POOL_IPS"]
     proc = subprocess.run(
         [sys.executable, str(child), str(GOLDEN / "e2e_full_pipeline.npz"),
          str(GOLDEN / "e2e_full_coco.json"), str(REPO / ".jax_cache"), str(REPO), weights_path],

@@ -272,6 +272,10 @@ def test_edpose_fullsize_tpu_smoke(tmp_path):
     env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     # prepend (not overwrite): the TPU plugin itself loads via PYTHONPATH
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # conftest blanks the axon pool for CPU children; restore it here so the
+    # TPU child actually registers the hardware backend
+    if env.get("_SAVED_PALLAS_AXON_POOL_IPS"):
+        env["PALLAS_AXON_POOL_IPS"] = env["_SAVED_PALLAS_AXON_POOL_IPS"]
     res = subprocess.run(
         [sys.executable, str(child)], cwd=str(REPO), env=env,
         capture_output=True, text=True, timeout=2700,
