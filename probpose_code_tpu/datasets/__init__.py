@@ -1,4 +1,5 @@
 from .mocap import BaseMocapDataset, Human36mDataset  # noqa: F401
+from .wholebody3d import H36MWholeBodyDataset, UBody3dDataset  # noqa: F401
 from .hand3d import InterHand3DDataset  # noqa: F401
 from .video import PoseTrack18VideoDataset  # noqa: F401
 from .base_dataset import (

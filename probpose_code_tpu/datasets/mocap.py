@@ -73,9 +73,18 @@ class BaseMocapDataset:
             if osp.exists(path):
                 with open(path, "rb") as f:
                     self.camera_params = pickle.load(f)
-        self.ann_data = np.load(self.ann_file) if osp.exists(self.ann_file) else None
+        self.ann_data = self._load_ann_file(self.ann_file) if osp.exists(self.ann_file) else None
         self.pipeline = Compose(pipeline)
         self.data_list = self.load_data_list() if self.ann_data is not None else []
+
+    def _load_ann_file(self, ann_file: str):
+        """Default annotation container: flat npz bundle (imgname/S/part/...).
+
+        Subclasses with other storage formats (e.g. COCO json for UBody3d)
+        override this hook — reference ``base_mocap_dataset.py`` /
+        ``ubody3d_dataset.py:93-96``.
+        """
+        return np.load(ann_file)
 
     @property
     def metainfo(self) -> dict:

@@ -19,7 +19,7 @@ from .functional.nms import (
     soft_oks_nms,
 )
 from .metrics.coco_metric import CocoMetric
-from .metrics.keypoint_3d_metrics import MPJPE
+from .metrics.keypoint_3d_metrics import MPJPE, SimpleMPJPE
 from .metrics.keypoint_2d_metrics import AUC, EPE, NME, JhmdbPCKAccuracy, MpiiPCKAccuracy, PCKAccuracy
 from .metrics.wholebody_and_more import (
     CocoWholeBodyMetric,
@@ -34,6 +34,7 @@ __all__ = [
     "EPE",
     "JhmdbPCKAccuracy",
     "MPJPE",
+    "SimpleMPJPE",
     "MpiiPCKAccuracy",
     "NME",
     "PCKAccuracy",
