@@ -37,7 +37,8 @@ model = dict(
         std=[58.395, 57.12, 57.375],
         bgr_to_rgb=True,
     ),
-    backbone=dict(type="ResNet", depth=50, num_stages=4, out_indices=(1, 2, 3)),
+    backbone=dict(type="ResNet", depth=50, num_stages=4, out_indices=(1, 2, 3),
+                  norm_cfg=dict(type="FrozenBatchNorm2d", requires_grad=False)),
     neck=dict(
         type="ChannelMapper",
         in_channels=[512, 1024, 2048],

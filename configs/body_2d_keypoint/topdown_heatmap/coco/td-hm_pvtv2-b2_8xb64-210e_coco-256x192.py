@@ -23,7 +23,7 @@ model = dict(
     data_preprocessor=dict(
         type="PoseDataPreprocessor", mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], bgr_to_rgb=True
     ),
-    backbone=dict(type="PyramidVisionTransformer", num_layers=(3, 4, 6, 3), mlp_ratios=(8, 8, 4, 4), out_indices=(3,)),
+    backbone=dict(type="PyramidVisionTransformerV2", embed_dims=64, num_layers=(3, 4, 6, 3), out_indices=(3,)),
     head=dict(
         type="HeatmapHead",
         in_channels=512,

@@ -7,13 +7,14 @@ from .backbones.classic import (  # noqa: F401
     RegNet,
     SCNet,
     SEResNet,
+    SEResNeXt,
     ShuffleNetV1,
     ShuffleNetV2,
     VGG,
 )
 from .backbones.csp_darknet import CSPDarknet  # noqa: F401
 from .backbones.litehrnet import LiteHRNet, ResNeSt  # noqa: F401
-from .backbones.multistage import CPM, MSPN, RSN, HourglassNet  # noqa: F401
+from .backbones.multistage import CPM, MSPN, RSN, HourglassAENet, HourglassNet  # noqa: F401
 from .backbones.nas_and_3d import (  # noqa: F401
     HRFormer,
     V2VNet,
@@ -23,6 +24,7 @@ from .backbones.nas_and_3d import (  # noqa: F401
 from .backbones.transformers import (  # noqa: F401
     DSTFormer,
     PyramidVisionTransformer,
+    PyramidVisionTransformerV2,
     SwinTransformer,
 )
 from .backbones.cspnext import CSPNeXt  # noqa: F401
@@ -32,6 +34,7 @@ from .backbones.resnet import ResNet, ResNetV1d, ResNeXt  # noqa: F401
 from .backbones.tcn import TCN  # noqa: F401
 from .backbones.vit import VisionTransformer  # noqa: F401
 from .builder import PoseModel, build_loss_modules, build_pose_estimator  # noqa: F401
+from .data_preprocessors import PoseDataPreprocessor  # noqa: F401
 from .detectors import RTMDet, RTMDetSepBNHead  # noqa: F401
 from .distillers import DWPoseDistiller, FeaLoss, KDLoss  # noqa: F401
 from .heads.heatmap_head import HeatmapHead  # noqa: F401

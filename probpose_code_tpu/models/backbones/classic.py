@@ -279,19 +279,28 @@ class AlexNet(nn.Module):
 
 
 class SEBottleneck(nn.Module):
-    """reference ``seresnet.py:9-62``: ResNet bottleneck + SE on the output."""
+    """reference ``seresnet.py:9-62``: ResNet bottleneck + SE on the output.
+    With ``groups > 1`` this is the SEResNeXt bottleneck (reference
+    ``seresnext.py:10-77``: grouped 3x3 conv with the ResNeXt width rule)."""
 
     channels: int
     stride: int = 1
     se_ratio: int = 16
+    groups: int = 1
+    width_per_group: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
         out_ch = self.channels * 4
-        y = ConvBNReLU(self.channels, 1, dtype=self.dtype, name="conv1")(x, train=train)
-        y = ConvBNReLU(self.channels, 3, stride=self.stride, dtype=self.dtype, name="conv2")(y, train=train)
+        width = self.channels
+        if self.groups != 1:
+            # reference seresnext.py:50-52 (base_channels=64)
+            width = self.groups * self.width_per_group * self.channels // 64
+        y = ConvBNReLU(width, 1, dtype=self.dtype, name="conv1")(x, train=train)
+        y = ConvBNReLU(width, 3, stride=self.stride, groups=self.groups,
+                       dtype=self.dtype, name="conv2")(y, train=train)
         y = ConvBNReLU(out_ch, 1, act=False, dtype=self.dtype, name="conv3")(y, train=train)
         y = SELayer(ratio=self.se_ratio, dtype=self.dtype, name="se")(y)
         if self.stride != 1 or x.shape[-1] != out_ch:
@@ -334,13 +343,16 @@ class SCBottleneck(nn.Module):
 
 
 class _ResNetLike(nn.Module):
-    """Shared stem + 4-stage layout for SEResNet/SCNet."""
+    """Shared stem + 4-stage layout for SEResNet/SEResNeXt/SCNet."""
 
     block: Any = None
     depth: int = 50
     out_indices: Sequence[int] = (3,)
     strides: Sequence[int] = (1, 2, 2, 2)
     dtype: Any = jnp.float32
+
+    def _block_kwargs(self) -> dict:
+        return {}
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -352,7 +364,7 @@ class _ResNetLike(nn.Module):
         for i, n_blocks in enumerate(stage_blocks):
             for b in range(n_blocks):
                 x = self.block(c, stride=self.strides[i] if b == 0 else 1, dtype=self.dtype,
-                               name=f"layer{i + 1}_block{b}")(x, train=train)
+                               name=f"layer{i + 1}_block{b}", **self._block_kwargs())(x, train=train)
             if i in self.out_indices:
                 outs.append(x.astype(jnp.float32))
             c *= 2
@@ -364,6 +376,19 @@ class SEResNet(_ResNetLike):
     """reference ``seresnet.py:66-134``."""
 
     block: Any = SEBottleneck
+
+
+@MODELS.register_module()
+class SEResNeXt(_ResNetLike):
+    """reference ``seresnext.py:80-168``: SEResNet with grouped (ResNeXt)
+    bottlenecks; default 32x4d."""
+
+    block: Any = SEBottleneck
+    groups: int = 32
+    width_per_group: int = 4
+
+    def _block_kwargs(self) -> dict:
+        return dict(groups=self.groups, width_per_group=self.width_per_group)
 
 
 @MODELS.register_module()

@@ -31,13 +31,14 @@ class ConvBNReLU(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     act: bool = True
+    groups: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
                     strides=(self.stride, self.stride), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+                    feature_group_count=self.groups, dtype=self.dtype, name="conv")(x)
         x = _bn(train, "bn")(x)
         return nn.relu(x) if self.act else x
 
@@ -118,6 +119,72 @@ class HourglassNet(nn.Module):
                 a = ConvBNReLU(cur_c, 1, act=False, dtype=self.dtype, name=f"conv1x1_{i}")(inter, train=train)
                 b = ConvBNReLU(cur_c, 1, act=False, dtype=self.dtype, name=f"remap{i}")(out, train=train)
                 inter = _ResLayer(cur_c, 1, dtype=self.dtype, name=f"inter{i}")(nn.relu(a + b), train=train)
+        return outs
+
+
+class HourglassAEModule(nn.Module):
+    """Recursive AE hourglass (reference ``hourglass_ae.py:14-75``): single
+    3x3 convs per level (vs residual stacks in the classic hourglass) and a
+    nearest-neighbor upsample."""
+
+    depth: int
+    stage_channels: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cur_c, next_c = self.stage_channels[0], self.stage_channels[1]
+        up1 = ConvBNReLU(cur_c, 3, dtype=self.dtype, name="up1")(x, train=train)
+        low = nn.max_pool(x, (2, 2), strides=(2, 2))
+        low = ConvBNReLU(next_c, 3, dtype=self.dtype, name="low1")(low, train=train)
+        if self.depth > 1:
+            low = HourglassAEModule(self.depth - 1, self.stage_channels[1:],
+                                    dtype=self.dtype, name="low2")(low, train=train)
+        else:
+            low = ConvBNReLU(next_c, 3, dtype=self.dtype, name="low2")(low, train=train)
+        low = ConvBNReLU(cur_c, 3, dtype=self.dtype, name="low3")(low, train=train)
+        B, H, W, C = low.shape
+        up2 = jax.image.resize(low, (B, H * 2, W * 2, C), "nearest")
+        return up1 + up2
+
+
+@MODELS.register_module()
+class HourglassAENet(nn.Module):
+    """Hourglass for Associative Embedding (reference
+    ``hourglass_ae.py:78-184``): stem to 1/4 resolution, ``num_stacks``
+    AE-hourglasses, per-stack 1x1 heads emitting ``out_channels`` maps
+    (kpts + AE tags), inter-stack remapping."""
+
+    downsample_times: int = 4
+    num_stacks: int = 1
+    out_channels: int = 34
+    stage_channels: Sequence[int] = (256, 384, 512, 640, 768)
+    feat_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert len(self.stage_channels) > self.downsample_times
+        x = ConvBNReLU(64, 7, stride=2, dtype=self.dtype, name="stem_conv1")(x, train=train)
+        x = ConvBNReLU(128, 3, dtype=self.dtype, name="stem_conv2")(x, train=train)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = ConvBNReLU(128, 3, dtype=self.dtype, name="stem_conv3")(x, train=train)
+        inter = ConvBNReLU(self.feat_channels, 3, dtype=self.dtype, name="stem_conv4")(x, train=train)
+
+        outs = []
+        for i in range(self.num_stacks):
+            hg = HourglassAEModule(self.downsample_times, self.stage_channels,
+                                   dtype=self.dtype, name=f"hourglass{i}")(inter, train=train)
+            hg = ConvBNReLU(self.feat_channels, 3, dtype=self.dtype, name=f"post_conv{i}a")(hg, train=train)
+            hg = ConvBNReLU(self.feat_channels, 3, dtype=self.dtype, name=f"post_conv{i}b")(hg, train=train)
+            out = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name=f"out_conv{i}")(hg)
+            outs.append(out.astype(jnp.float32))
+            if i < self.num_stacks - 1:
+                remap_out = ConvBNReLU(self.feat_channels, 1, act=False, dtype=self.dtype,
+                                       name=f"remap_out{i}")(out, train=train)
+                remap_feat = ConvBNReLU(self.feat_channels, 1, act=False, dtype=self.dtype,
+                                        name=f"remap_feat{i}")(hg, train=train)
+                inter = inter + remap_out + remap_feat
         return outs
 
 

@@ -12,18 +12,47 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from probpose_code_tpu.registry import MODELS
 
 
-def _bn(train: bool, name: str):
+def _bn(train: bool, name: str, frozen: bool = False):
+    if frozen:
+        return FrozenBatchNorm2d(name=name)
     return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name)
+
+
+@MODELS.register_module()
+class FrozenBatchNorm2d(nn.Module):
+    """BatchNorm whose statistics AND affine parameters never update
+    (gradients stopped), matching the reference's
+    ``models/utils/misc.py:FrozenBatchNorm2d`` used when fine-tuning
+    DETR-family heads on a pretrained backbone
+    (reference ``configs/body_2d_keypoint/edpose/coco/edpose_res50...py:69``).
+
+    Keeps the same variable layout as ``nn.BatchNorm`` (params scale/bias,
+    batch_stats mean/var) so torch checkpoint conversion is unchanged.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        C = x.shape[-1]
+        scale = jax.lax.stop_gradient(self.param("scale", nn.initializers.ones, (C,)))
+        bias = jax.lax.stop_gradient(self.param("bias", nn.initializers.zeros, (C,)))
+        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)).value
+        var = self.variable("batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)).value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
 
 
 class ResBasicBlock(nn.Module):
     channels: int
     stride: int = 1
+    frozen_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -31,14 +60,14 @@ class ResBasicBlock(nn.Module):
         identity = x
         out = nn.Conv(self.channels, (3, 3), strides=(self.stride, self.stride), padding=((1, 1), (1, 1)),
                       use_bias=False, dtype=self.dtype, name="conv1")(x)
-        out = _bn(train, "bn1")(out)
+        out = _bn(train, "bn1", self.frozen_bn)(out)
         out = nn.relu(out)
         out = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype, name="conv2")(out)
-        out = _bn(train, "bn2")(out)
+        out = _bn(train, "bn2", self.frozen_bn)(out)
         if self.stride != 1 or x.shape[-1] != self.channels:
             identity = nn.Conv(self.channels, (1, 1), strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
-            identity = _bn(train, "downsample_bn")(identity)
+            identity = _bn(train, "downsample_bn", self.frozen_bn)(identity)
         return nn.relu(out + identity)
 
 
@@ -47,6 +76,7 @@ class ResBottleneck(nn.Module):
     stride: int = 1
     groups: int = 1
     width_per_group: int = 64
+    frozen_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -55,18 +85,18 @@ class ResBottleneck(nn.Module):
         width = int(self.channels * (self.width_per_group / 64.0)) * self.groups
         out_ch = self.channels * 4
         out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        out = _bn(train, "bn1")(out)
+        out = _bn(train, "bn1", self.frozen_bn)(out)
         out = nn.relu(out)
         out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride), padding=((1, 1), (1, 1)),
                       feature_group_count=self.groups, use_bias=False, dtype=self.dtype, name="conv2")(out)
-        out = _bn(train, "bn2")(out)
+        out = _bn(train, "bn2", self.frozen_bn)(out)
         out = nn.relu(out)
         out = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
-        out = _bn(train, "bn3")(out)
+        out = _bn(train, "bn3", self.frozen_bn)(out)
         if self.stride != 1 or x.shape[-1] != out_ch:
             identity = nn.Conv(out_ch, (1, 1), strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
-            identity = _bn(train, "downsample_bn")(identity)
+            identity = _bn(train, "downsample_bn", self.frozen_bn)(identity)
         return nn.relu(out + identity)
 
 
@@ -91,21 +121,23 @@ class ResNet(nn.Module):
     deep_stem: bool = False
     groups: int = 1
     width_per_group: int = 64
+    norm_cfg: Any = None  # dict(type='FrozenBatchNorm2d') freezes all BN
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         block_type, stage_blocks = ARCH_SETTINGS[self.depth]
+        frozen = bool(self.norm_cfg) and dict(self.norm_cfg).get("type") == "FrozenBatchNorm2d"
         if self.deep_stem:
             for i, c in enumerate([self.stem_channels // 2, self.stem_channels // 2, self.stem_channels]):
                 x = nn.Conv(c, (3, 3), strides=(2, 2) if i == 0 else (1, 1), padding=((1, 1), (1, 1)),
                             use_bias=False, dtype=self.dtype, name=f"stem_conv{i}")(x)
-                x = _bn(train, f"stem_bn{i}")(x)
+                x = _bn(train, f"stem_bn{i}", frozen)(x)
                 x = nn.relu(x)
         else:
             x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                         use_bias=False, dtype=self.dtype, name="conv1")(x)
-            x = _bn(train, "bn1")(x)
+            x = _bn(train, "bn1", frozen)(x)
             x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -116,11 +148,12 @@ class ResNet(nn.Module):
             for b in range(n_blocks):
                 stride = self.strides[stage_idx] if b == 0 else 1
                 if block_type == "basic":
-                    x = ResBasicBlock(channels, stride, dtype=self.dtype,
+                    x = ResBasicBlock(channels, stride, frozen_bn=frozen, dtype=self.dtype,
                                       name=f"layer{stage_idx + 1}_block{b}")(x, train=train)
                 else:
                     x = ResBottleneck(channels, stride, self.groups, self.width_per_group,
-                                      dtype=self.dtype, name=f"layer{stage_idx + 1}_block{b}")(x, train=train)
+                                      frozen_bn=frozen, dtype=self.dtype,
+                                      name=f"layer{stage_idx + 1}_block{b}")(x, train=train)
             if stage_idx in self.out_indices:
                 outs.append(x.astype(jnp.float32))
             channels *= 2

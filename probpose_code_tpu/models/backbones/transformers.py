@@ -195,39 +195,97 @@ class SRAttention(nn.Module):
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
+class MixFFN(nn.Module):
+    """PVT FFN with an optional 3x3 depthwise conv between the two
+    projections, encoding positional information (reference
+    ``pvt.py:22-91``). Operates on (B, N, C) tokens with their ``hw``."""
+
+    hidden: int
+    out: int
+    use_conv: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hw: Tuple[int, int]):
+        B, N, C = x.shape
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        if self.use_conv:
+            H, W = hw
+            fm = x.reshape(B, H, W, self.hidden)
+            fm = nn.Conv(self.hidden, (3, 3), feature_group_count=self.hidden,
+                         dtype=self.dtype, name="dwconv")(fm)
+            x = fm.reshape(B, N, self.hidden)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
 @MODELS.register_module()
 class PyramidVisionTransformer(nn.Module):
-    """PVT (reference ``pvt.py:214-559``)."""
+    """PVT (reference ``pvt.py:214-559``).
 
-    embed_dims: Sequence[int] = (64, 128, 320, 512)
+    ``embed_dims`` follows the reference schema: a scalar base dim whose
+    per-stage width is ``embed_dims * num_heads[i]`` — a full per-stage
+    tuple is also accepted.
+    """
+
+    embed_dims: Any = (64, 128, 320, 512)
     num_layers: Sequence[int] = (3, 4, 6, 3)
     num_heads: Sequence[int] = (1, 2, 5, 8)
     sr_ratios: Sequence[int] = (8, 4, 2, 1)
     mlp_ratios: Sequence[int] = (8, 8, 4, 4)
     patch_sizes: Sequence[int] = (4, 2, 2, 2)
+    strides: Sequence[int] = (4, 2, 2, 2)
+    paddings: Sequence[int] = (0, 0, 0, 0)
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    use_abs_pos_embed: bool = True
+    norm_after_stage: bool = False
+    use_conv_ffn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         outs = []
         for i in range(len(self.num_layers)):
-            p = self.patch_sizes[i]
-            x = nn.Conv(self.embed_dims[i], (p, p), strides=(p, p), dtype=self.dtype, name=f"patch_embed{i}")(x)
+            if isinstance(self.embed_dims, int):
+                dim = self.embed_dims * self.num_heads[i]
+            else:
+                dim = self.embed_dims[i]
+            p, s, pad = self.patch_sizes[i], self.strides[i], self.paddings[i]
+            x = nn.Conv(dim, (p, p), strides=(s, s),
+                        padding=((pad, pad), (pad, pad)) if pad else "VALID",
+                        dtype=self.dtype, name=f"patch_embed{i}")(x)
             B, H, W, C = x.shape
             t = nn.LayerNorm(name=f"embed_norm{i}")(x.reshape(B, H * W, C))
-            pos = self.param(f"pos_embed{i}", nn.initializers.truncated_normal(0.02), (1, H * W, C))
-            t = t + pos
+            if self.use_abs_pos_embed:
+                pos = self.param(f"pos_embed{i}", nn.initializers.truncated_normal(0.02), (1, H * W, C))
+                t = t + pos
             for b in range(self.num_layers[i]):
                 y = nn.LayerNorm(name=f"s{i}_b{b}_norm1")(t)
                 t = t + SRAttention(C, self.num_heads[i], self.sr_ratios[i], dtype=self.dtype,
                                     name=f"s{i}_b{b}_attn")(y, (H, W))
                 y = nn.LayerNorm(name=f"s{i}_b{b}_norm2")(t)
-                t = t + Mlp(C * self.mlp_ratios[i], C, dtype=self.dtype, name=f"s{i}_b{b}_mlp")(y)
+                t = t + MixFFN(C * self.mlp_ratios[i], C, use_conv=self.use_conv_ffn,
+                               dtype=self.dtype, name=f"s{i}_b{b}_mlp")(y, (H, W))
+            if self.norm_after_stage:
+                t = nn.LayerNorm(name=f"stage_norm{i}")(t)
             x = t.reshape(B, H, W, C)
             if i in self.out_indices:
                 outs.append(x.astype(jnp.float32))
         return tuple(outs)
+
+
+@MODELS.register_module()
+class PyramidVisionTransformerV2(PyramidVisionTransformer):
+    """PVTv2 (reference ``pvt.py:547-559``): overlapping patch embeds
+    (7/3/3/3 kernels with 3/1/1/1 padding), no absolute position embedding,
+    depthwise-conv FFN, and a LayerNorm after every stage."""
+
+    embed_dims: Any = 64
+    patch_sizes: Sequence[int] = (7, 3, 3, 3)
+    paddings: Sequence[int] = (3, 1, 1, 1)
+    use_abs_pos_embed: bool = False
+    norm_after_stage: bool = True
+    use_conv_ffn: bool = True
 
 
 class _AttnND(nn.Module):

@@ -236,6 +236,11 @@ class PoseModel:
             # lifter inputs are keypoint sequences, not images
             return jnp.asarray(images, jnp.float32)
         dp = self.aux["data_preprocessor"]
+        if dp.get("type"):  # registered preprocessor (e.g. PoseDataPreprocessor)
+            proc = self.aux.get("_dp_obj")
+            if proc is None:
+                proc = self.aux["_dp_obj"] = MODELS.build(dict(dp))
+            return proc(images)
         return preprocess_inputs(
             images,
             mean=dp.get("mean", (0.0, 0.0, 0.0)),

@@ -62,6 +62,7 @@ class KDLoss:
         return (self._one(sx, tx, beta, target_weight) + self._one(sy, ty, beta, target_weight)) / K
 
 
+@MODELS.register_module()
 class DWPoseDistiller:
     """Runtime distiller pairing a frozen teacher PoseModel with a student.
 

@@ -95,6 +95,8 @@ def test_vipnas_head():
     [
         ("SwinTransformer", dict(out_indices=(3,), depths=(2, 2, 2, 2)), (1, 112, 112, 3)),
         ("PyramidVisionTransformer", dict(num_layers=(2, 2, 2, 2)), (1, 64, 64, 3)),
+        ("PyramidVisionTransformerV2", dict(embed_dims=32, num_layers=(1, 1, 1, 1)), (1, 64, 64, 3)),
+        ("SEResNeXt", dict(depth=50), (1, 64, 64, 3)),
         ("LiteHRNet", dict(), (1, 128, 96, 3)),
         ("ResNeSt", dict(depth=50), (1, 64, 64, 3)),
         ("ViPNAS_ResNet", dict(depth=50), (1, 128, 96, 3)),
@@ -106,6 +108,28 @@ def test_transformer_backbones(name, kwargs, shape):
     mod = MODELS.get(name)(**kwargs)
     out = _run(mod, jnp.zeros(shape))
     assert isinstance(out, tuple) and all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
+def test_hourglass_ae_net():
+    """Stacked AE hourglass emits (B, out_channels, 1/4 res) maps per stack
+    with inter-stack remapping (reference ``hourglass_ae.py:166-184``)."""
+    m = M.HourglassAENet(downsample_times=2, num_stacks=2, out_channels=34,
+                         stage_channels=(32, 48, 64), feat_channels=32)
+    outs = _run(m, jnp.zeros((1, 64, 64, 3)))
+    assert len(outs) == 2
+    for o in outs:
+        assert o.shape == (1, 16, 16, 34)
+        assert np.isfinite(np.asarray(o)).all()
+
+
+def test_pvtv2_stage_dims_follow_heads():
+    """PVTv2 scalar embed_dims scales per-stage width by num_heads
+    (reference ``pvt.py:471``)."""
+    m = MODELS.get("PyramidVisionTransformerV2")(embed_dims=16, num_layers=(1, 1, 1, 1))
+    outs = _run(m, jnp.zeros((1, 64, 64, 3)))
+    assert [o.shape[-1] for o in outs] == [16, 32, 80, 128]
+    # overlapping patch embed: stage strides 4/2/2/2
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
 
 
 def test_dstformer_and_v2v():

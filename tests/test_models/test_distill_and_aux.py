@@ -127,3 +127,61 @@ def test_cid_head_loss_and_predict():
     assert all(np.isfinite(float(v)) for v in losses.values())
     pred = cid_device_predict(out, fwd, max_instances=5)
     assert pred["keypoints"].shape == (2, 5, 17, 2)
+
+
+def test_pose_data_preprocessor_registered():
+    """PoseDataPreprocessor as a registered, jit-safe normalize stage
+    (reference ``data_preprocessor.py:14-105``)."""
+    from probpose_code_tpu.registry import MODELS
+
+    p = MODELS.build(dict(type="PoseDataPreprocessor", mean=[10.0, 20.0, 30.0],
+                          std=[2.0, 2.0, 2.0], bgr_to_rgb=True, pad_size_divisor=32))
+    img = np.zeros((1, 60, 60, 3), np.uint8)
+    img[..., 0] = 30  # B channel -> lands in the last slot after the flip
+    out = np.asarray(p(img))
+    assert out.shape == (1, 64, 64, 3)  # padded to divisor
+    # flipped pixel (0, 0, 30): ((0-10)/2, (0-20)/2, (30-30)/2)
+    np.testing.assert_allclose(out[0, 0, 0], [-5.0, -10.0, 0.0])
+
+
+def test_frozen_batchnorm_stops_gradients():
+    """FrozenBatchNorm2d: affine params receive zero gradient and running
+    stats are applied even in train mode (reference ``models/utils/misc.py``)."""
+    import jax
+    import jax.numpy as jnp
+    from probpose_code_tpu.models.backbones.resnet import FrozenBatchNorm2d
+
+    m = FrozenBatchNorm2d()
+    x = jnp.arange(24, dtype=jnp.float32).reshape(1, 2, 3, 4)
+    vs = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(params):
+        return jnp.sum(m.apply({"params": params, "batch_stats": vs["batch_stats"]}, x) ** 2)
+
+    g = jax.grad(loss)(vs["params"])
+    assert all(float(jnp.abs(v).max()) == 0.0 for v in jax.tree_util.tree_leaves(g))
+    # identity stats -> output equals input
+    np.testing.assert_allclose(np.asarray(m.apply(vs, x)), np.asarray(x), rtol=1e-4)
+
+
+def test_resnet_frozen_norm_cfg():
+    """ResNet(norm_cfg=FrozenBatchNorm2d) builds and its BN params are
+    gradient-isolated (EDPose fine-tuning recipe surface)."""
+    import jax
+    import jax.numpy as jnp
+    from probpose_code_tpu.registry import MODELS
+
+    bb = MODELS.build(dict(type="ResNet", depth=18, out_indices=(3,),
+                           norm_cfg=dict(type="FrozenBatchNorm2d", requires_grad=False)))
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = bb.init(jax.random.PRNGKey(0), x, train=True)
+
+    def loss(params):
+        (out,) = bb.apply({"params": params, **{k: v for k, v in vs.items() if k != "params"}},
+                          x + 1.0, train=True)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(vs["params"])
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    bn_grads = [v for k, v in flat if "bn" in jax.tree_util.keystr(k)]
+    assert bn_grads and all(float(jnp.abs(v).max()) == 0.0 for v in bn_grads)
