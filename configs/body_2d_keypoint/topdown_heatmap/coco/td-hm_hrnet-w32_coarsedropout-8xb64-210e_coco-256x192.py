@@ -56,6 +56,21 @@ train_pipeline = [
     dict(type="CoarseDropout", max_holes=8, max_height=40, max_width=40,
          min_holes=1, min_height=10, min_width=10, prob=0.5),
     dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(
+        type="Albumentation",
+        transforms=[
+            dict(
+                type="CoarseDropout",
+                max_holes=8,
+                max_height=40,
+                max_width=40,
+                min_holes=1,
+                min_height=10,
+                min_width=10,
+                p=0.5,
+            ),
+        ],
+    ),
     dict(type="GenerateTarget", encoder=codec),
     dict(type="PackPoseInputs"),
 ]

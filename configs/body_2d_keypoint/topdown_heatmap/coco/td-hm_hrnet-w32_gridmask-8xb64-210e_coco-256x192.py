@@ -55,6 +55,12 @@ train_pipeline = [
     dict(type="RandomBBoxTransform"),
     dict(type="GridMask", prob=0.5, ratio=0.5, rotate=15),
     dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(
+        type="Albumentation",
+        transforms=[
+            dict(type="GridDropout", unit_size_min=10, unit_size_max=40, random_offset=True, p=0.5),
+        ],
+    ),
     dict(type="GenerateTarget", encoder=codec),
     dict(type="PackPoseInputs"),
 ]

@@ -16,6 +16,23 @@ train_pipeline = [
     dict(type="RandomHalfBody"),
     dict(type="RandomBBoxTransform", scale_factor=(0.5, 1.5), rotate_factor=90),
     dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(
+        type="Albumentation",
+        transforms=[
+            dict(type="Blur", p=0.1),
+            dict(type="MedianBlur", p=0.1),
+            dict(
+                type="CoarseDropout",
+                max_holes=1,
+                max_height=0.4,
+                max_width=0.4,
+                min_holes=1,
+                min_height=0.2,
+                min_width=0.2,
+                p=0.5,
+            ),
+        ],
+    ),
     dict(type="GenerateTarget", encoder=codec),
     dict(type="PackPoseInputs"),
 ]

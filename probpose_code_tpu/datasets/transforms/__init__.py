@@ -7,6 +7,7 @@ from .bottomup import (
 )
 from .converting import KeypointConverter, SingleHandConverter
 from .common import (
+    Albumentation,
     FilterAnnotations,
     GenerateTarget,
     GetBBoxCenterScale,
@@ -25,6 +26,7 @@ from .loading import LoadImage
 from .topdown import TopdownAffine
 
 __all__ = [
+    "Albumentation",
     "BottomupGetHeatmapMask",
     "BottomupRandomAffine",
     "BottomupRandomChoiceResize",

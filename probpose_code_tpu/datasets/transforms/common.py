@@ -740,29 +740,122 @@ class GenerateTarget:
 
 @TRANSFORMS.register_module()
 class Albumentation:
-    """Albumentations wrapper (reference ``common_transforms.py:962``).
+    """Image-only photometric/occlusion augs with the albumentations config
+    schema (reference ``common_transforms.py:962`` wraps the albumentations
+    package; every shipped recipe uses only the small op set implemented
+    natively here — Blur, MedianBlur, GaussianBlur, GaussNoise,
+    CoarseDropout, GridDropout, RandomBrightnessContrast,
+    HueSaturationValue). If the albumentations package IS installed it is
+    used instead, preserving exact upstream semantics.
 
-    The ``albumentations`` package is not available in this environment;
-    constructing this transform raises with guidance. The shipped recipes'
-    photometric augs are covered by :class:`PhotometricDistortion` and
-    :class:`YOLOXHSVRandomAug`.
+    Each op fires independently with its probability ``p``; parameter
+    sampling follows albumentations' conventions (odd blur kernels in
+    ``[3, blur_limit]``, fractional hole sizes relative to the image, HSV
+    shifts in ``[-limit, limit]``).
     """
 
+    _NATIVE_OPS = (
+        "Blur", "MedianBlur", "GaussianBlur", "GaussNoise", "CoarseDropout",
+        "GridDropout", "RandomBrightnessContrast", "HueSaturationValue",
+    )
+
     def __init__(self, transforms=None, keymap=None):
+        self.transforms = [dict(t) for t in (transforms or [])]
+        self.keymap = keymap
         try:
             import albumentations  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "the Albumentation transform requires the 'albumentations' "
-                "package, which is not installed in this environment; use "
-                "PhotometricDistortion / YOLOXHSVRandomAug instead"
-            ) from e
-        self.transforms = transforms
-        self.keymap = keymap
+            self._have_pkg = True
+        except ImportError:
+            self._have_pkg = False
+            unsupported = [t["type"] for t in self.transforms if t["type"] not in self._NATIVE_OPS]
+            if unsupported:
+                raise ImportError(
+                    f"Albumentation ops {unsupported} need the 'albumentations' "
+                    "package (not installed); natively supported ops: "
+                    f"{list(self._NATIVE_OPS)}")
 
-    def __call__(self, results):  # pragma: no cover - requires albumentations
-        import albumentations as A
+    # -- native op implementations (albumentations semantics) ------------
 
-        aug = A.Compose([A.__dict__[t.pop("type")](**t) for t in map(dict, self.transforms or [])])
-        results["img"] = aug(image=results["img"])["image"]
+    @staticmethod
+    def _odd_ksize(rng, blur_limit):
+        lo, hi = (3, blur_limit) if np.isscalar(blur_limit) else blur_limit
+        k = int(rng.integers(lo // 2, hi // 2 + 1)) * 2 + 1
+        return max(3, min(k, hi if hi % 2 else hi - 1))
+
+    def _apply_native(self, img: np.ndarray, t: dict, rng) -> np.ndarray:
+        kind = t["type"]
+        if kind == "Blur":
+            k = self._odd_ksize(rng, t.get("blur_limit", 7))
+            return cv2.blur(img, (k, k))
+        if kind == "MedianBlur":
+            k = self._odd_ksize(rng, t.get("blur_limit", 7))
+            return cv2.medianBlur(np.ascontiguousarray(img), k)
+        if kind == "GaussianBlur":
+            k = self._odd_ksize(rng, t.get("blur_limit", 7))
+            sig = t.get("sigma_limit", 0)
+            sigma = float(rng.uniform(*sig)) if isinstance(sig, (tuple, list)) else float(sig)
+            return cv2.GaussianBlur(img, (k, k), sigmaX=sigma)
+        if kind == "GaussNoise":
+            lo, hi = t.get("var_limit", (10.0, 50.0))
+            std = float(np.sqrt(rng.uniform(lo, hi)))
+            noise = rng.normal(t.get("mean", 0.0), std, img.shape).astype(np.float32)
+            return np.clip(img.astype(np.float32) + noise, 0, 255).astype(img.dtype)
+        if kind == "RandomBrightnessContrast":
+            b = t.get("brightness_limit", 0.2)
+            c = t.get("contrast_limit", 0.2)
+            b = (-b, b) if np.isscalar(b) else b
+            c = (-c, c) if np.isscalar(c) else c
+            alpha = 1.0 + float(rng.uniform(*c))
+            beta = float(rng.uniform(*b)) * (255.0 if t.get("brightness_by_max", True) else float(img.mean()))
+            return np.clip(img.astype(np.float32) * alpha + beta, 0, 255).astype(img.dtype)
+        if kind == "HueSaturationValue":
+            lims = [t.get("hue_shift_limit", 20), t.get("sat_shift_limit", 30), t.get("val_shift_limit", 20)]
+            lims = [(-v, v) if np.isscalar(v) else v for v in lims]
+            hsv = cv2.cvtColor(np.ascontiguousarray(img), cv2.COLOR_BGR2HSV).astype(np.int32)
+            hsv[..., 0] = (hsv[..., 0] + int(rng.uniform(*lims[0]))) % 180
+            hsv[..., 1] = np.clip(hsv[..., 1] + int(rng.uniform(*lims[1])), 0, 255)
+            hsv[..., 2] = np.clip(hsv[..., 2] + int(rng.uniform(*lims[2])), 0, 255)
+            return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
+        if kind == "CoarseDropout":
+            H, W = img.shape[:2]
+            def _px(v, full):
+                return int(round(v * full)) if isinstance(v, float) and v < 1.0 else int(v)
+            max_h = _px(t.get("max_height", 8), H)
+            max_w = _px(t.get("max_width", 8), W)
+            min_h = _px(t.get("min_height", max_h), H)
+            min_w = _px(t.get("min_width", max_w), W)
+            n = int(rng.integers(t.get("min_holes", t.get("max_holes", 8)), t.get("max_holes", 8) + 1))
+            out = img.copy()
+            for _ in range(n):
+                hh = int(rng.integers(min_h, max_h + 1))
+                ww = int(rng.integers(min_w, max_w + 1))
+                y = int(rng.integers(0, max(H - hh, 0) + 1))
+                x = int(rng.integers(0, max(W - ww, 0) + 1))
+                out[y:y + hh, x:x + ww] = t.get("fill_value", 0)
+            return out
+        if kind == "GridDropout":
+            H, W = img.shape[:2]
+            ratio = float(t.get("ratio", 0.5))
+            unit = int(t.get("unit_size_min") or max(min(H, W) // 10, 2))
+            hole = max(1, int(unit * ratio))
+            out = img.copy()
+            for y in range(0, H, unit):
+                for x in range(0, W, unit):
+                    out[y:y + hole, x:x + hole] = t.get("fill_value", 0)
+            return out
+        raise KeyError(kind)
+
+    def __call__(self, results):
+        img = results["img"]
+        if self._have_pkg:  # pragma: no cover - albumentations not in image
+            import albumentations as A
+
+            aug = A.Compose([A.__dict__[t.pop("type")](**t) for t in map(dict, self.transforms)])
+            results["img"] = aug(image=img)["image"]
+            return results
+        rng = np.random.default_rng(np.random.randint(0, 2**31))
+        for t in self.transforms:
+            if rng.uniform() < t.get("p", 0.5):
+                img = self._apply_native(img, t, rng)
+        results["img"] = img
         return results

@@ -49,27 +49,62 @@ class Hook:
 @HOOKS.register_module()
 class ExpMomentumEMA(Hook):
     """EMA of params with exponentially-warmed momentum
-    ``m_t = m * (1 - e^{-t/gamma}) `` (reference ema_hook semantics)."""
+    ``m_t = m * (1 - e^{-t/gamma})`` (reference ema_hook semantics).
+    ``gamma=None`` keeps the momentum constant (plain
+    ExponentialMovingAverage). ``update_buffers`` also tracks batch_stats."""
 
-    def __init__(self, momentum: float = 0.0002, gamma: int = 2000):
+    def __init__(self, momentum: float = 0.0002, gamma: Optional[int] = 2000,
+                 update_buffers: bool = False):
         self.momentum = momentum
         self.gamma = gamma
+        self.update_buffers = update_buffers
         self.ema_params = None
+        self.ema_buffers = None
+
+    def _tracked(self, runner):
+        bufs = runner.state.batch_stats if self.update_buffers else None
+        return runner.state.params, bufs
 
     def after_train_iter(self, runner, step: int, metrics):
-        params = runner.state.params
+        params, bufs = self._tracked(runner)
         if self.ema_params is None:
             self.ema_params = params
+            self.ema_buffers = bufs
             return
-        m = (1 - self.momentum) * math.exp(-(1 + step) / self.gamma) + self.momentum
-        self.ema_params = jax.tree_util.tree_map(
-            lambda e, p: e * (1 - m) + p * m, self.ema_params, params
-        )
+        m = self.momentum
+        if self.gamma:
+            m = (1 - self.momentum) * math.exp(-(1 + step) / self.gamma) + self.momentum
+        blend = lambda e, p: e * (1 - m) + p * m  # noqa: E731
+        self.ema_params = jax.tree_util.tree_map(blend, self.ema_params, params)
+        if bufs is not None and self.ema_buffers is not None:
+            self.ema_buffers = jax.tree_util.tree_map(blend, self.ema_buffers, bufs)
 
     def swap_into(self, runner):
         """Replace the live params with the EMA copy (for eval/export)."""
         if self.ema_params is not None:
             runner.state = runner.state.replace(params=self.ema_params)
+        if self.ema_buffers is not None:
+            runner.state = runner.state.replace(batch_stats=self.ema_buffers)
+
+
+@HOOKS.register_module()
+class EMAHook(ExpMomentumEMA):
+    """mmengine-schema front for the EMA hook, as written by the reference
+    recipes (e.g. ``rtmo-l_16xb16-600e_coco-640x640.py``:
+    ``dict(type='EMAHook', ema_type='ExpMomentumEMA', momentum=0.0002,
+    update_buffers=True, priority=49)``). ``ema_type`` selects the averaging
+    rule: 'ExpMomentumEMA' (exp-warmed momentum) or
+    'ExponentialMovingAverage' / 'StochasticWeightAverage'-style constant
+    momentum."""
+
+    def __init__(self, ema_type: str = "ExpMomentumEMA", momentum: float = 0.0002,
+                 gamma: int = 2000, update_buffers: bool = False,
+                 priority: int = 49, strict_load: bool = False, begin_iter: int = 0,
+                 begin_epoch: int = 0, **_ignored):
+        super().__init__(momentum=momentum,
+                         gamma=gamma if ema_type == "ExpMomentumEMA" else None,
+                         update_buffers=update_buffers)
+        self.priority = priority
 
 
 @HOOKS.register_module()

@@ -105,6 +105,7 @@ def collect_env() -> Dict[str, Any]:
 def register_all_modules(init_default_scope: bool = True) -> None:
     """Import every subpackage so all registry entries exist (reference
     ``setup_env.py:55``)."""
+    import probpose_code_tpu.apis  # noqa: F401  (inferencers)
     import probpose_code_tpu.codecs  # noqa: F401
     import probpose_code_tpu.datasets  # noqa: F401
     import probpose_code_tpu.engine  # noqa: F401

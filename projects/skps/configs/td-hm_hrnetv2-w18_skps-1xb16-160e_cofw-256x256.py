@@ -55,6 +55,25 @@ train_pipeline = [
     dict(type="PhotometricDistortion"),
     dict(type="RandomBBoxTransform", shift_prob=0.0, rotate_factor=45, scale_factor=(0.75, 1.25), scale_prob=1.0),
     dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(
+        type="Albumentation",
+        transforms=[
+            dict(type="RandomBrightnessContrast", p=0.5),
+            dict(type="HueSaturationValue", p=0.5),
+            dict(type="GaussianBlur", p=0.5),
+            dict(type="GaussNoise", p=0.1),
+            dict(
+                type="CoarseDropout",
+                max_holes=8,
+                max_height=0.2,
+                max_width=0.2,
+                min_holes=1,
+                min_height=0.1,
+                min_width=0.1,
+                p=0.5,
+            ),
+        ],
+    ),
     dict(type="GenerateTarget", encoder=codec),
     dict(type="PackPoseInputs"),
 ]

@@ -164,3 +164,61 @@ def test_single_hand_converter_routes_by_hand_type():
               "keypoints_visible": base["keypoints_visible"].copy(),
               "hand_type": np.array([[0, 1]])})
     assert (left["keypoints"][0, 0] == [0, 1]).all() and (left["keypoints"][0, 4] == 0).all()
+
+
+class TestAlbumentationNative:
+    """Native Albumentation ops (reference ``common_transforms.py:962``
+    wraps the albumentations package; the op subset every shipped recipe
+    uses is implemented natively)."""
+
+    def _img(self):
+        rng = np.random.RandomState(3)
+        return (rng.rand(64, 48, 3) * 255).astype(np.uint8)
+
+    def test_rtmpose_recipe_ops(self):
+        from probpose_code_tpu.datasets.transforms import Albumentation
+
+        t = Albumentation(transforms=[
+            dict(type="Blur", p=1.0),
+            dict(type="MedianBlur", p=1.0),
+            dict(type="CoarseDropout", max_holes=1, max_height=0.4, max_width=0.4,
+                 min_holes=1, min_height=0.2, min_width=0.2, p=1.0),
+        ])
+        np.random.seed(0)
+        img = self._img()
+        out = t(dict(img=img.copy()))["img"]
+        assert out.shape == img.shape and out.dtype == img.dtype
+        assert not np.array_equal(out, img)
+        # CoarseDropout must have zeroed a hole of 20-40% of each dim
+        zero_frac = (out == 0).all(-1).mean()
+        assert zero_frac > 0.2 * 0.2 * 0.5
+
+    def test_each_op_runs(self):
+        from probpose_code_tpu.datasets.transforms import Albumentation
+
+        for op in (dict(type="GaussianBlur", blur_limit=5, p=1.0),
+                    dict(type="GaussNoise", var_limit=(10, 20), p=1.0),
+                    dict(type="RandomBrightnessContrast", p=1.0),
+                    dict(type="HueSaturationValue", p=1.0),
+                    dict(type="GridDropout", ratio=0.3, p=1.0)):
+            np.random.seed(1)
+            out = Albumentation(transforms=[op])(dict(img=self._img()))["img"]
+            assert out.shape == (64, 48, 3)
+            assert np.isfinite(out.astype(np.float64)).all()
+
+    def test_probability_zero_is_identity(self):
+        from probpose_code_tpu.datasets.transforms import Albumentation
+
+        img = self._img()
+        t = Albumentation(transforms=[dict(type="Blur", p=0.0),
+                                      dict(type="CoarseDropout", max_holes=4, p=0.0)])
+        np.random.seed(2)
+        out = t(dict(img=img.copy()))["img"]
+        np.testing.assert_array_equal(out, img)
+
+    def test_unsupported_op_raises(self):
+        import pytest
+        from probpose_code_tpu.datasets.transforms import Albumentation
+
+        with pytest.raises(ImportError):
+            Albumentation(transforms=[dict(type="ElasticTransform", p=0.5)])

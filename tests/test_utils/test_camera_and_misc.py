@@ -108,3 +108,42 @@ def test_exp_momentum_ema_math():
     hook.after_train_iter(r, 1, {})
     m = (1 - 0.1) * math.exp(-2 / 10) + 0.1
     np.testing.assert_allclose(float(hook.ema_params["w"]), m, rtol=1e-6)
+
+
+def test_emahook_mmengine_schema():
+    """EMAHook builds from the exact dict the RTMO/YOLOX recipes write
+    (reference ``rtmo-l_16xb16-600e_coco-640x640.py`` custom_hooks) and
+    tracks buffers when update_buffers=True."""
+    import jax.numpy as jnp
+    import math
+    import numpy as np
+    from probpose_code_tpu.registry import HOOKS
+
+    hook = HOOKS.build(dict(type="EMAHook", ema_type="ExpMomentumEMA",
+                            momentum=0.1, gamma=10, update_buffers=True, priority=49))
+
+    class _State:
+        params = {"w": jnp.asarray(0.0)}
+        batch_stats = {"bn": jnp.asarray(0.0)}
+
+    class _Runner:
+        state = _State()
+
+    r = _Runner()
+    hook.after_train_iter(r, 0, {})
+    r.state.params = {"w": jnp.asarray(1.0)}
+    r.state.batch_stats = {"bn": jnp.asarray(2.0)}
+    hook.after_train_iter(r, 1, {})
+    m = (1 - 0.1) * math.exp(-2 / 10) + 0.1
+    np.testing.assert_allclose(float(hook.ema_params["w"]), m, rtol=1e-6)
+    np.testing.assert_allclose(float(hook.ema_buffers["bn"]), 2 * m, rtol=1e-6)
+
+    # constant-momentum mode (non-ExpMomentumEMA ema_type)
+    hook2 = HOOKS.build(dict(type="EMAHook", ema_type="ExponentialMovingAverage", momentum=0.25))
+    r2 = _Runner()
+    r2.state = _State()
+    r2.state.params = {"w": jnp.asarray(0.0)}
+    hook2.after_train_iter(r2, 0, {})
+    r2.state.params = {"w": jnp.asarray(1.0)}
+    hook2.after_train_iter(r2, 1, {})
+    np.testing.assert_allclose(float(hook2.ema_params["w"]), 0.25, rtol=1e-6)
