@@ -12,7 +12,7 @@ param_scheduler = [
     dict(type="MultiStepLR", begin=0, end=300, milestones=[240, 280], gamma=0.1, by_epoch=True),
 ]
 
-auto_scale_lr = dict(base_batch_size=256)
+auto_scale_lr = dict(base_batch_size=512)
 
 default_hooks = dict(checkpoint=dict(save_best="PCK", rule="greater"))
 

@@ -2,13 +2,13 @@
 # TPU-native counterpart of the reference config of the same name.
 _base_ = ["../../../_base_/default_runtime.py"]
 
-train_cfg = dict(max_epochs=300, val_interval=10)
+train_cfg = dict(max_epochs=140, val_interval=10)
 optim_wrapper = dict(optimizer=dict(type="Adam", lr=1.5e-3))
 param_scheduler = [
     dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
-    dict(type="MultiStepLR", begin=0, end=300, milestones=[200, 260], gamma=0.1, by_epoch=True),
+    dict(type="MultiStepLR", begin=0, end=140, milestones=[90, 120], gamma=0.1, by_epoch=True),
 ]
-auto_scale_lr = dict(base_batch_size=192)
+auto_scale_lr = dict(base_batch_size=160)
 
 codec = dict(type="DecoupledHeatmap", input_size=(512, 512), heatmap_size=(128, 128))
 
@@ -54,7 +54,7 @@ val_pipeline = [
 ]
 data_root = "data/coco/"
 train_dataloader = dict(
-    batch_size=24, num_workers=8, sampler=dict(type="DefaultSampler", shuffle=True),
+    batch_size=20, num_workers=8, sampler=dict(type="DefaultSampler", shuffle=True),
     dataset=dict(type="CocoDataset", data_root=data_root, data_mode="bottomup",
                  ann_file="annotations/person_keypoints_train2017.json",
                  data_prefix=dict(img="train2017/"), pipeline=train_pipeline),

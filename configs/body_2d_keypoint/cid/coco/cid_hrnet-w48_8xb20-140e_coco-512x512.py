@@ -11,7 +11,7 @@ param_scheduler = [
     dict(type="MultiStepLR", begin=0, end=140, milestones=[90, 120], gamma=0.1, by_epoch=True),
 ]
 
-auto_scale_lr = dict(base_batch_size=20)
+auto_scale_lr = dict(base_batch_size=160)
 
 default_hooks = dict(checkpoint=dict(save_best="coco/AP", rule="greater"))
 

@@ -16,7 +16,7 @@ auto_scale_lr = dict(base_batch_size=512)
 
 default_hooks = dict(checkpoint=dict(save_best="coco/AP", rule="greater"))
 
-codec = dict(type="IntegralRegressionLabel", input_size=(256, 256), heatmap_size=(64, 64), sigma=2.0)
+codec = dict(type="IntegralRegressionLabel", input_size=(256, 256), heatmap_size=(64, 64), sigma=2.0, normalize=True)
 
 model = dict(
     type="TopdownPoseEstimator",
@@ -25,15 +25,22 @@ model = dict(
     ),
     backbone=dict(type="ResNet", depth=50, out_indices=(3,)),
     head=dict(
-        type="IntegralRegressionHead",
+        type="DSNTHead",
         in_channels=2048,
-        in_featuremap_size=(6, 8),
+        in_featuremap_size=(8, 8),
         num_joints=17,
         debias=True,
-        loss=dict(type="SmoothL1Loss", use_target_weight=True),
+        beta=10.0,
+        loss=dict(
+            type="MultipleLossWrapper",
+            losses=[
+                dict(type="SmoothL1Loss", use_target_weight=True),
+                dict(type="JSDiscretLoss", use_target_weight=True),
+            ],
+        ),
         decoder=codec,
     ),
-    test_cfg=dict(flip_test=True),
+    test_cfg=dict(flip_test=True, shift_coords=True, shift_heatmap=True),
 )
 
 train_pipeline = [

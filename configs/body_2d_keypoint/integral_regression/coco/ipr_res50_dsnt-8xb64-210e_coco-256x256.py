@@ -16,7 +16,7 @@ auto_scale_lr = dict(base_batch_size=512)
 
 default_hooks = dict(checkpoint=dict(save_best="coco/AP", rule="greater"))
 
-codec = dict(type="IntegralRegressionLabel", input_size=(256, 256), heatmap_size=(64, 64), sigma=2.0)
+codec = dict(type="IntegralRegressionLabel", input_size=(256, 256), heatmap_size=(64, 64), sigma=2.0, normalize=True)
 
 model = dict(
     type="TopdownPoseEstimator",
@@ -27,12 +27,18 @@ model = dict(
     head=dict(
         type="DSNTHead",
         in_channels=2048,
-        in_featuremap_size=(6, 8),
+        in_featuremap_size=(8, 8),
         num_joints=17,
-        loss=dict(type="SmoothL1Loss", use_target_weight=True),
+        loss=dict(
+            type="MultipleLossWrapper",
+            losses=[
+                dict(type="SmoothL1Loss", use_target_weight=True),
+                dict(type="JSDiscretLoss", use_target_weight=True),
+            ],
+        ),
         decoder=codec,
     ),
-    test_cfg=dict(flip_test=True),
+    test_cfg=dict(flip_test=True, shift_coords=True, shift_heatmap=True),
 )
 
 train_pipeline = [

@@ -166,7 +166,7 @@ val_pipeline = [
 
 data_root = "data/coco/"
 train_dataloader = dict(
-    batch_size=32,
+    batch_size=16,
     num_workers=8,
     sampler=dict(type="DefaultSampler", shuffle=True),
     dataset=dict(

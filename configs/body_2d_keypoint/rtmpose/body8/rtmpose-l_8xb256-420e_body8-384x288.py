@@ -24,7 +24,7 @@ param_scheduler = [
     ),
 ]
 
-auto_scale_lr = dict(base_batch_size=2048)
+auto_scale_lr = dict(base_batch_size=1024)
 
 codec = dict(
     type="SimCCLabel", input_size=(288, 384), sigma=(6.0, 6.93), simcc_split_ratio=2.0, normalize=False,

@@ -24,7 +24,7 @@ param_scheduler = [
     ),
 ]
 
-auto_scale_lr = dict(base_batch_size=4096)
+auto_scale_lr = dict(base_batch_size=1024)
 
 codec = dict(
     type="SimCCLabel", input_size=(192, 256), sigma=(4.9, 5.66), simcc_split_ratio=2.0, normalize=False,

@@ -3,16 +3,16 @@
 # (/root/reference/configs/body_2d_keypoint/simcc/coco/simcc_res50_8xb32-140e_coco-384x288.py).
 _base_ = ["../../../_base_/default_runtime.py"]
 
-train_cfg = dict(max_epochs=210, val_interval=10)
+train_cfg = dict(max_epochs=140, val_interval=10)
 
 optim_wrapper = dict(optimizer=dict(type="Adam", lr=5e-4))
 
 param_scheduler = [
     dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
-    dict(type="MultiStepLR", begin=0, end=210, milestones=[170, 200], gamma=0.1, by_epoch=True),
+    dict(type="MultiStepLR", begin=0, end=140, milestones=[90, 120], gamma=0.1, by_epoch=True),
 ]
 
-auto_scale_lr = dict(base_batch_size=256)
+auto_scale_lr = dict(base_batch_size=512)
 
 default_hooks = dict(checkpoint=dict(save_best="coco/AP", rule="greater"))
 

@@ -12,7 +12,7 @@ param_scheduler = [
     dict(type="MultiStepLR", begin=0, end=210, milestones=[170, 200], gamma=0.1, by_epoch=True),
 ]
 
-auto_scale_lr = dict(base_batch_size=2048)
+auto_scale_lr = dict(base_batch_size=1024)
 
 default_hooks = dict(checkpoint=dict(save_best="coco/AP", rule="greater"))
 

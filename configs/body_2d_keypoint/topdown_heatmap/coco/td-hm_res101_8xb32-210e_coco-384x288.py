@@ -11,7 +11,7 @@ param_scheduler = [
     dict(type="MultiStepLR", begin=0, end=210, milestones=[170, 200], gamma=0.1, by_epoch=True),
 ]
 
-auto_scale_lr = dict(base_batch_size=512)
+auto_scale_lr = dict(base_batch_size=256)
 
 default_hooks = dict(checkpoint=dict(save_best="coco/AP", rule="greater"))
 
@@ -52,7 +52,7 @@ val_pipeline = [
 
 data_root = "data/coco/"
 train_dataloader = dict(
-    batch_size=64,
+    batch_size=32,
     num_workers=8,
     sampler=dict(type="DefaultSampler", shuffle=True),
     dataset=dict(

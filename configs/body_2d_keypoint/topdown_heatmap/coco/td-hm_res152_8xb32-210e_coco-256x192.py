@@ -52,7 +52,7 @@ val_pipeline = [
 
 data_root = "data/coco/"
 train_dataloader = dict(
-    batch_size=64,
+    batch_size=32,
     num_workers=8,
     sampler=dict(type="DefaultSampler", shuffle=True),
     dataset=dict(

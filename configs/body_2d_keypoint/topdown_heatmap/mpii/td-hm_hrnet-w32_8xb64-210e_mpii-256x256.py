@@ -64,7 +64,7 @@ val_pipeline = [
 
 data_root = "data/mpii/"
 train_dataloader = dict(
-    batch_size=64,
+    batch_size=16,
     num_workers=4,
     sampler=dict(type="DefaultSampler", shuffle=True),
     dataset=dict(

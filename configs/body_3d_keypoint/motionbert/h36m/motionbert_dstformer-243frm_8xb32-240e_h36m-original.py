@@ -10,7 +10,7 @@ optim_wrapper = dict(optimizer=dict(type="AdamW", lr=2e-4, weight_decay=0.01))
 
 param_scheduler = [dict(type="ExponentialLR", gamma=0.99, end=120, by_epoch=True)]
 
-auto_scale_lr = dict(base_batch_size=256)
+auto_scale_lr = dict(base_batch_size=512)
 
 codec = dict(
     type="MotionBERTLabel", num_keypoints=17, concat_vis=True, rootrel=True, mode="train"

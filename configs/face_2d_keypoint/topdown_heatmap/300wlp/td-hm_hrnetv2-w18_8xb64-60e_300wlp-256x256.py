@@ -69,7 +69,7 @@ val_pipeline = [
 
 data_root = "data/300wlp/"
 train_dataloader = dict(
-    batch_size=64,
+    batch_size=2,
     num_workers=8,
     sampler=dict(type="DefaultSampler", shuffle=True),
     dataset=dict(

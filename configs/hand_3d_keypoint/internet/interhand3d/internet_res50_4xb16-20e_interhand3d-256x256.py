@@ -12,7 +12,7 @@ param_scheduler = [
     dict(type="MultiStepLR", begin=0, end=20, milestones=[15, 17], gamma=0.1, by_epoch=True),
 ]
 
-auto_scale_lr = dict(base_batch_size=64)
+auto_scale_lr = dict(base_batch_size=128)
 
 codec = dict(
     type="Hand3DHeatmap",
