@@ -5,7 +5,12 @@ _base_ = ["../../../_base_/default_runtime.py"]
 
 train_cfg = dict(max_epochs=300, val_interval=10)
 
-optim_wrapper = dict(optimizer=dict(type="Adam", lr=5e-4))
+optim_wrapper = dict(
+    optimizer=dict(
+        type="AdamW",
+        lr=5e-4,
+    )
+)
 
 param_scheduler = [
     dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),

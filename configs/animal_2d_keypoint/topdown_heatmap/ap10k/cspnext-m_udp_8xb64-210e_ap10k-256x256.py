@@ -3,13 +3,29 @@
 # (/root/reference/configs/animal_2d_keypoint/topdown_heatmap/ap10k/cspnext-m_udp_8xb64-210e_ap10k-256x256.py).
 _base_ = ["../../../_base_/default_runtime.py"]
 
-train_cfg = dict(max_epochs=210, val_interval=10)
+max_epochs = 210
+train_cfg = dict(max_epochs=max_epochs, val_interval=10)
 
-optim_wrapper = dict(optimizer=dict(type="Adam", lr=5e-4))
+base_lr = 4e-3
+
+optim_wrapper = dict(
+    type="OptimWrapper",
+    optimizer=dict(type="AdamW", lr=base_lr, weight_decay=0.05),
+    paramwise_cfg=dict(norm_decay_mult=0, bias_decay_mult=0, bypass_duplicate=True),
+)
 
 param_scheduler = [
-    dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
-    dict(type="MultiStepLR", begin=0, end=210, milestones=[170, 200], gamma=0.1, by_epoch=True),
+    dict(type="LinearLR", start_factor=1.0e-5, by_epoch=False, begin=0, end=1000),
+    dict(
+        # use cosine lr from 105 to 210 epoch
+        type="CosineAnnealingLR",
+        eta_min=base_lr * 0.05,
+        begin=max_epochs // 2,
+        end=max_epochs,
+        T_max=max_epochs // 2,
+        by_epoch=True,
+        convert_to_iter_based=True,
+    ),
 ]
 
 auto_scale_lr = dict(base_batch_size=1024)

@@ -5,7 +5,21 @@ _base_ = ["../../../_base_/default_runtime.py"]
 
 train_cfg = dict(max_epochs=210, val_interval=10)
 
-optim_wrapper = dict(optimizer=dict(type="Adam", lr=5e-4))
+optim_wrapper = dict(
+    optimizer=dict(type="AdamW", lr=5e-4, betas=(0.9, 0.999), weight_decay=0.1),
+    paramwise_cfg=dict(
+        num_layers=12,
+        layer_decay_rate=0.75,
+        custom_keys={
+            "bias": dict(decay_multi=0.0),
+            "pos_embed": dict(decay_mult=0.0),
+            "relative_position_bias_table": dict(decay_mult=0.0),
+            "norm": dict(decay_mult=0.0),
+        },
+    ),
+    constructor="LayerDecayOptimWrapperConstructor",
+    clip_grad=dict(max_norm=1.0, norm_type=2),
+)
 
 param_scheduler = [
     dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),

@@ -16,7 +16,7 @@ auto_scale_lr = dict(base_batch_size=512)
 
 default_hooks = dict(checkpoint=dict(save_best="coco/AP", rule="greater"))
 
-codec = dict(type="MSRAHeatmap", input_size=(384, 384), heatmap_size=(96, 96), sigma=2)
+codec = dict(type="MSRAHeatmap", input_size=(384, 384), heatmap_size=(96, 96), sigma=3)
 
 model = dict(
     type="TopdownPoseEstimator",

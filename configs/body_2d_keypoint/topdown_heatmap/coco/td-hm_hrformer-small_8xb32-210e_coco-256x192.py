@@ -4,7 +4,15 @@ _base_ = ["../../../_base_/default_runtime.py"]
 
 train_cfg = dict(max_epochs=210, val_interval=10)
 
-optim_wrapper = dict(optimizer=dict(type="Adam", lr=5e-4))
+optim_wrapper = dict(
+    optimizer=dict(
+        type="AdamW",
+        lr=5e-4,
+        betas=(0.9, 0.999),
+        weight_decay=0.01,
+    ),
+    paramwise_cfg=dict(custom_keys={"relative_position_bias_table": dict(decay_mult=0.0)}),
+)
 
 param_scheduler = [
     dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),

@@ -5,7 +5,21 @@ _base_ = ["../../../_base_/default_runtime.py"]
 
 train_cfg = dict(max_epochs=210, val_interval=10)
 
-optim_wrapper = dict(optimizer=dict(type="Adam", lr=5e-4))
+optim_wrapper = dict(
+    optimizer=dict(
+        type="AdamW",
+        lr=5e-4,
+        betas=(0.9, 0.999),
+        weight_decay=0.01,
+    ),
+    paramwise_cfg=dict(
+        custom_keys={
+            "absolute_pos_embed": dict(decay_mult=0.0),
+            "relative_position_bias_table": dict(decay_mult=0.0),
+            "norm": dict(decay_mult=0.0),
+        }
+    ),
+)
 
 param_scheduler = [
     dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
@@ -16,7 +30,7 @@ auto_scale_lr = dict(base_batch_size=256)
 
 default_hooks = dict(checkpoint=dict(save_best="coco/AP", rule="greater"))
 
-codec = dict(type="MSRAHeatmap", input_size=(288, 384), heatmap_size=(72, 96), sigma=3)
+codec = dict(type="MSRAHeatmap", input_size=(288, 384), heatmap_size=(72, 96), sigma=2)
 
 model = dict(
     type="TopdownPoseEstimator",

@@ -16,7 +16,7 @@ auto_scale_lr = dict(base_batch_size=512)
 
 default_hooks = dict(checkpoint=dict(save_best="posetrack18/Total AP", rule="greater"))
 
-codec = dict(type="MSRAHeatmap", input_size=(288, 384), heatmap_size=(72, 96), sigma=2)
+codec = dict(type="MSRAHeatmap", input_size=(288, 384), heatmap_size=(72, 96), sigma=3)
 
 model = dict(
     type="TopdownPoseEstimator",

@@ -3,7 +3,7 @@
 _base_ = ["../../../_base_/default_runtime.py"]
 
 train_cfg = dict(max_epochs=200, val_interval=10)
-optim_wrapper = dict(optimizer=dict(type="Adam", lr=1e-3))
+optim_wrapper = dict(optimizer=dict(type="Adam", lr=1e-4))
 param_scheduler = [dict(type="ExponentialLR", gamma=0.975, end=100, by_epoch=True)]
 auto_scale_lr = dict(base_batch_size=1024)
 

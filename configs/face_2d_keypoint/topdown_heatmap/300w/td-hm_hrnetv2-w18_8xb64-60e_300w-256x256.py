@@ -5,7 +5,12 @@ _base_ = ["../../../_base_/default_runtime.py"]
 
 train_cfg = dict(max_epochs=60, val_interval=10)
 
-optim_wrapper = dict(optimizer=dict(type="Adam", lr=5e-4))
+optim_wrapper = dict(
+    optimizer=dict(
+        type="Adam",
+        lr=2e-3,
+    )
+)
 
 param_scheduler = [
     dict(type="LinearLR", begin=0, end=500, start_factor=0.001, by_epoch=False),
@@ -16,7 +21,7 @@ auto_scale_lr = dict(base_batch_size=512)
 
 default_hooks = dict(checkpoint=dict(save_best="NME", rule="less"))
 
-codec = dict(type="MSRAHeatmap", input_size=(256, 256), heatmap_size=(64, 64), sigma=2)
+codec = dict(type="MSRAHeatmap", input_size=(256, 256), heatmap_size=(64, 64), sigma=1.5)
 
 model = dict(
     type="TopdownPoseEstimator",
