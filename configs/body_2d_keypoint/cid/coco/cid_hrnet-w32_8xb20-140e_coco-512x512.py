@@ -29,12 +29,13 @@ model = dict(
             stage1=dict(num_modules=1, num_branches=1, block="BOTTLENECK", num_blocks=(4,), num_channels=(64,)),
             stage2=dict(num_modules=1, num_branches=2, block="BASIC", num_blocks=(4, 4), num_channels=(32, 64)),
             stage3=dict(num_modules=4, num_branches=3, block="BASIC", num_blocks=(4, 4, 4), num_channels=(32, 64, 128)),
-            stage4=dict(num_modules=3, num_branches=4, block="BASIC", num_blocks=(4, 4, 4, 4), num_channels=(32, 64, 128, 256)),
+            stage4=dict(num_modules=3, num_branches=4, block="BASIC", num_blocks=(4, 4, 4, 4), num_channels=(32, 64, 128, 256), multiscale_output=True),
         ),
     ),
+    neck=dict(type="FeatureMapProcessor", concat=True),
     head=dict(
         type="CIDHead",
-        in_channels=32,
+        in_channels=480,
         gfd_channels=32,
         num_keypoints=17,
         coupled_heatmap_loss=dict(type="FocalHeatmapLoss", loss_weight=1.0),

@@ -34,9 +34,10 @@ model = dict(
             ),
         ),
     ),
+    neck=dict(type="FeatureMapProcessor", concat=True),
     head=dict(
         type="CIDHead",
-        in_channels=48,
+        in_channels=720,
         gfd_channels=32,
         num_keypoints=17,
         coupled_heatmap_loss=dict(type="FocalHeatmapLoss", loss_weight=1.0),

@@ -37,9 +37,10 @@ model = dict(
             ),
         ),
     ),
+    neck=dict(type="FeatureMapProcessor", concat=True),
     head=dict(
         type="DEKRHead",
-        in_channels=48,
+        in_channels=720,
         num_keypoints=17,
         heatmap_loss=dict(type="KeypointMSELoss", use_target_weight=True),
         displacement_loss=dict(type="SoftWeightSmoothL1Loss", use_target_weight=True, supervise_empty=False),

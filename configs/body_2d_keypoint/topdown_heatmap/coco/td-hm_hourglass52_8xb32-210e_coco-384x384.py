@@ -23,12 +23,12 @@ model = dict(
     data_preprocessor=dict(
         type="PoseDataPreprocessor", mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], bgr_to_rgb=True
     ),
-    backbone=dict(type="HourglassNet", num_stacks=2),
+    backbone=dict(type="HourglassNet", num_stacks=1),
     head=dict(
         type="CPMHead",
         in_channels=256,
         out_channels=17,
-        num_stages=2,
+        num_stages=1,
         deconv_out_channels=None,
         loss=dict(type="KeypointMSELoss", use_target_weight=True),
         decoder=codec,
