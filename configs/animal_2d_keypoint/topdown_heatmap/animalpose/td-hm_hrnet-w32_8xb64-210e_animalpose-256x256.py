@@ -49,6 +49,7 @@ train_pipeline = [
     dict(type="LoadImage"),
     dict(type="GetBBoxCenterScale"),
     dict(type="RandomFlip", direction="horizontal"),
+    dict(type="RandomHalfBody"),
     dict(type="RandomBBoxTransform", rotate_factor=60),
     dict(type="TopdownAffine", input_size=codec["input_size"]),
     dict(type="GenerateTarget", encoder=codec),

@@ -49,6 +49,7 @@ train_pipeline = [
     dict(type="BottomupRandomAffine", input_size=codec["input_size"]),
     dict(type="RandomFlip", direction="horizontal"),
     dict(type="GenerateTarget", encoder=codec),
+    dict(type="BottomupGetHeatmapMask"),
     dict(type="PackPoseInputs"),
 ]
 val_pipeline = [

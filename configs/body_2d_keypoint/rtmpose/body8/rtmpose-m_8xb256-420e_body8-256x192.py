@@ -94,6 +94,7 @@ train_pipeline = [
     dict(type="RandomHalfBody"),
     dict(type="RandomBBoxTransform", scale_factor=[0.6, 1.4], rotate_factor=80),
     dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="YOLOXHSVRandomAug"),
     dict(type="PhotometricDistortion"),
     dict(
         type="Albumentation",

@@ -53,7 +53,6 @@ train_pipeline = [
     dict(type="RandomFlip", direction="horizontal"),
     dict(type="RandomHalfBody"),
     dict(type="RandomBBoxTransform"),
-    dict(type="GridMask", prob=0.5, ratio=0.5, rotate=15),
     dict(type="TopdownAffine", input_size=codec["input_size"]),
     dict(
         type="Albumentation",

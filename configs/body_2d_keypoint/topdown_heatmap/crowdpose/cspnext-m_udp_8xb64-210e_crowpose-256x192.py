@@ -56,6 +56,7 @@ train_pipeline = [
     dict(type="RandomHalfBody"),
     dict(type="RandomBBoxTransform"),
     dict(type="TopdownAffine", input_size=codec["input_size"], use_udp=True),
+    dict(type="YOLOXHSVRandomAug"),
     dict(
         type="Albumentation",
         transforms=[

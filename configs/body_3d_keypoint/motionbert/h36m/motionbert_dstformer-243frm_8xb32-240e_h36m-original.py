@@ -40,9 +40,18 @@ model = dict(
 
 train_pipeline = [
     dict(type="GenerateTarget", encoder=codec),
+    dict(
+        type="RandomFlipAroundRoot",
+        keypoints_flip_cfg=dict(center_mode="static", center_x=0.0),
+        target_flip_cfg=dict(center_mode="static", center_x=0.0),
+        flip_label=True,
+    ),
     dict(type="PackPoseInputs"),
 ]
-val_pipeline = train_pipeline
+val_pipeline = [
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="PackPoseInputs"),
+]
 
 data_root = "data/h36m/"
 train_dataloader = dict(

@@ -29,10 +29,18 @@ model = dict(
 )
 
 train_pipeline = [
+    dict(
+        type="RandomFlipAroundRoot",
+        keypoints_flip_cfg=dict(),
+        target_flip_cfg=dict(),
+    ),
     dict(type="GenerateTarget", encoder=codec),
     dict(type="PackPoseInputs"),
 ]
-val_pipeline = train_pipeline
+val_pipeline = [
+    dict(type="GenerateTarget", encoder=codec),
+    dict(type="PackPoseInputs"),
+]
 
 data_root = "data/h36m/"
 train_dataloader = dict(

@@ -72,8 +72,9 @@ model = dict(
 train_pipeline = [
     dict(type="LoadImage"),
     dict(type="GetBBoxCenterScale"),
-    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="RandomHalfBody"),
     dict(type="RandomBBoxTransform", scale_factor=(0.6, 1.4), rotate_factor=60),
+    dict(type="RandomFlip", direction="horizontal"),
     dict(type="TopdownAffine", input_size=codec["input_size"]),
     dict(type="YOLOXHSVRandomAug"),
     dict(

@@ -44,6 +44,8 @@ model = dict(
 train_pipeline = [
     dict(type="LoadImage"),
     dict(type="GetBBoxCenterScale"),
+    dict(type="HandRandomFlip", prob=0.5),
+    dict(type="RandomBBoxTransform", rotate_factor=90.0),
     dict(type="TopdownAffine", input_size=codec["image_size"]),
     dict(type="GenerateTarget", encoder=codec),
     dict(type="PackPoseInputs"),

@@ -16,6 +16,7 @@ train_pipeline = [
     dict(type="RandomHalfBody"),
     dict(type="RandomBBoxTransform", scale_factor=(0.5, 1.5), rotate_factor=90),
     dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="PhotometricDistortion"),
     dict(
         type="Albumentation",
         transforms=[

@@ -836,12 +836,19 @@ class Albumentation:
         if kind == "GridDropout":
             H, W = img.shape[:2]
             ratio = float(t.get("ratio", 0.5))
-            unit = int(t.get("unit_size_min") or max(min(H, W) // 10, 2))
+            lo = t.get("unit_size_min")
+            hi = t.get("unit_size_max")
+            if lo and hi:
+                unit = int(rng.integers(int(lo), int(hi) + 1))
+            else:
+                unit = int(lo or max(min(H, W) // 10, 2))
             hole = max(1, int(unit * ratio))
+            oy = int(rng.integers(0, unit)) if t.get("random_offset") else 0
+            ox = int(rng.integers(0, unit)) if t.get("random_offset") else 0
             out = img.copy()
-            for y in range(0, H, unit):
-                for x in range(0, W, unit):
-                    out[y:y + hole, x:x + hole] = t.get("fill_value", 0)
+            for y in range(oy - unit, H, unit):
+                for x in range(ox - unit, W, unit):
+                    out[max(y, 0):max(y + hole, 0), max(x, 0):max(x + hole, 0)] = t.get("fill_value", 0)
             return out
         raise KeyError(kind)
 

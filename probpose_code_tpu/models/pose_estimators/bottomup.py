@@ -109,11 +109,16 @@ def ae_head_loss(outputs, batch, keypoint_loss, tag_loss) -> Dict[str, jnp.ndarr
 
 
 def dekr_head_loss(outputs, batch, heatmap_loss, displacement_loss) -> Dict[str, jnp.ndarray]:
-    """DEKR losses: weighted heatmap MSE + smooth-L1 displacement field."""
+    """DEKR losses: weighted heatmap MSE + smooth-L1 displacement field.
+    An invalid-region ``heatmap_mask`` (BottomupGetHeatmapMask, reference
+    ``dekr config`` train pipeline) multiplies into the heatmap weights."""
+    mask = batch.get("heatmap_weights")
+    hm_mask = batch.get("heatmap_mask")
+    if hm_mask is not None:
+        hm_mask = hm_mask[:, None]  # (B, 1, H, W) broadcast over channels
+        mask = hm_mask if mask is None else mask * hm_mask
     losses = {
-        "loss_kpt": heatmap_loss(
-            outputs["heatmaps"], batch["heatmaps"], None, mask=batch.get("heatmap_weights")
-        )
+        "loss_kpt": heatmap_loss(outputs["heatmaps"], batch["heatmaps"], None, mask=mask)
     }
     if "displacements" in batch:
         losses["loss_disp"] = displacement_loss(
