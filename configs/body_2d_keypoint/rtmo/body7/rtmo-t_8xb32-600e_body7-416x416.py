@@ -145,3 +145,24 @@ train_dataloader = dict(
 
 val_dataloader = dict(dataset=dict(pipeline=val_pipeline))
 test_dataloader = val_dataloader
+
+custom_hooks = [
+    dict(
+        type="YOLOXPoseModeSwitchHook",
+        num_last_epochs=20,
+        new_train_dataset=dataset_coco,
+        new_train_pipeline=train_pipeline_stage2,
+        priority=48,
+    ),
+    dict(
+        type="RTMOModeSwitchHook",
+        epoch_attributes={
+            280: {"proxy_target_cc": True, "loss_mle.loss_weight": 5.0, "loss_oks.loss_weight": 10.0},
+        },
+        priority=48,
+    ),
+    dict(type="SyncNormHook", priority=48),
+    dict(
+        type="EMAHook", ema_type="ExpMomentumEMA", momentum=0.0002, update_buffers=True, strict_load=False, priority=49
+    ),
+]

@@ -97,6 +97,34 @@ train_pipeline = [
     dict(type="GenerateTarget", encoder=codec, use_dataset_keypoint_weights=True),
     dict(type="PackPoseInputs"),
 ]
+
+train_pipeline_stage2 = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="RandomHalfBody"),
+    dict(type="RandomBBoxTransform", shift_factor=0.0, scale_factor=[0.6, 1.4], rotate_factor=80),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(
+        type="Albumentation",
+        transforms=[
+            dict(type="Blur", p=0.1),
+            dict(type="MedianBlur", p=0.1),
+            dict(
+                type="CoarseDropout",
+                max_holes=1,
+                max_height=0.4,
+                max_width=0.4,
+                min_holes=1,
+                min_height=0.2,
+                min_width=0.2,
+                p=0.5,
+            ),
+        ],
+    ),
+    dict(type="GenerateTarget", encoder=codec, use_dataset_keypoint_weights=True),
+    dict(type="PackPoseInputs"),
+]
 val_pipeline = [
     dict(type="LoadImage"),
     dict(type="GetBBoxCenterScale"),
@@ -194,16 +222,41 @@ val_dataloader = dict(
     drop_last=False,
     sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
     dataset=dict(
-        type="HalpeDataset",
-        data_root=data_root,
-        data_mode="topdown",
-        ann_file="halpe/annotations/halpe_val_v1.json",
-        data_prefix=dict(img="detection/coco/val2017/"),
-        test_mode=True,
+        type="CombinedDataset",
+        metainfo=dict(dataset_name="halpe26"),
+        datasets=[
+            dict(dataset_coco, ann_file="coco/annotations/person_keypoints_val2017.json",
+                 data_prefix=dict(img="detection/coco/val2017/")),
+            dict(dataset_aic, ann_file="aic/annotations/aic_val.json",
+                 data_prefix=dict(img="pose/ai_challenge/ai_challenger_keypoint_validation_20170911/"
+                                      "keypoint_validation_images_20170911/")),
+            dict(dataset_crowdpose, ann_file="crowdpose/annotations/mmpose_crowdpose_test.json"),
+            dict(dataset_mpii, ann_file="mpii/annotations/mpii_val.json"),
+            dict(dataset_jhmdb, ann_file="jhmdb/annotations/Sub1_test.json"),
+            dict(dataset_halpe, ann_file="halpe/annotations/halpe_val_v1.json"),
+            dict(type="OCHumanDataset", data_root=data_root, data_mode="topdown",
+                 ann_file="ochuman/annotations/ochuman_coco_format_val_range_0.00_1.00.json",
+                 data_prefix=dict(img="pose/OCHuman/images/"),
+                 pipeline=dataset_coco["pipeline"]),
+            dict(dataset_posetrack, ann_file="posetrack18/annotations/posetrack18_val.json"),
+        ],
         pipeline=val_pipeline,
+        test_mode=True,
     ),
 )
 test_dataloader = val_dataloader
 
+default_hooks = dict(checkpoint=dict(save_best="AUC", rule="greater", max_keep_ckpts=1))
+
 val_evaluator = [dict(type="PCKAccuracy", thr=0.1), dict(type="AUC")]
 test_evaluator = val_evaluator
+
+stage2_num_epochs = 30
+custom_hooks = [
+    dict(type="EMAHook", ema_type="ExpMomentumEMA", momentum=0.0002, update_buffers=True, priority=49),
+    dict(
+        type="PipelineSwitchHook",
+        switch_epoch=max_epochs - stage2_num_epochs,
+        switch_pipeline=train_pipeline_stage2,
+    ),
+]

@@ -50,7 +50,7 @@ train_pipeline = [
     dict(type="GetBBoxCenterScale"),
     dict(type="RandomFlip", direction="horizontal"),
     dict(type="RandomHalfBody"),
-    dict(type="RandomBBoxTransform", rotate_factor=40),
+    dict(type="RandomBBoxTransform"),
     dict(type="TopdownAffine", input_size=codec["input_size"]),
     dict(type="GenerateTarget", encoder=codec),
     dict(type="PackPoseInputs"),
@@ -63,17 +63,45 @@ val_pipeline = [
 ]
 
 data_root = "data/UBody/"
+
+scenes = [
+    "Magic_show", "Entertainment", "ConductMusic", "Online_class", "TalkShow",
+    "Speech", "Fitness", "Interview", "Olympic", "TVShow", "Singing",
+    "SignLanguage", "Movie", "LiveVlog", "VideoConference",
+]
+
+train_datasets = [
+    dict(
+        type="CocoWholeBodyDataset",
+        data_root="data/coco/",
+        data_mode="topdown",
+        ann_file="annotations/coco_wholebody_train_v1.0.json",
+        data_prefix=dict(img="train2017/"),
+        pipeline=[],
+    )
+] + [
+    dict(
+        type="UBody2dDataset",
+        data_root=data_root,
+        data_mode="topdown",
+        ann_file=f"annotations/{scene}/train_annotations.json",
+        data_prefix=dict(img="images/"),
+        pipeline=[],
+        sample_interval=10,
+    )
+    for scene in scenes
+]
+
 train_dataloader = dict(
     batch_size=64,
     num_workers=4,
     sampler=dict(type="DefaultSampler", shuffle=True),
     dataset=dict(
-        type="UBody2dDataset",
-        data_root=data_root,
-        data_mode="topdown",
-        ann_file="annotations/train_annotations.json",
-        data_prefix=dict(img="images/"),
+        type="CombinedDataset",
+        metainfo=dict(dataset_name="coco_wholebody"),
+        datasets=train_datasets,
         pipeline=train_pipeline,
+        test_mode=False,
     ),
 )
 val_dataloader = dict(
@@ -82,16 +110,15 @@ val_dataloader = dict(
     drop_last=False,
     sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
     dataset=dict(
-        type="UBody2dDataset",
-        data_root=data_root,
-        data_mode="topdown",
-        ann_file="annotations/val_annotations.json",
-        data_prefix=dict(img="images/"),
+        type="CocoWholeBodyDataset",
+        ann_file="data/coco/annotations/coco_wholebody_val_v1.0.json",
+        data_prefix=dict(img="data/coco/val2017/"),
+        bbox_file="data/coco/person_detection_results/COCO_val2017_detections_AP_H_56_person.json",
         test_mode=True,
         pipeline=val_pipeline,
     ),
 )
 test_dataloader = val_dataloader
 
-val_evaluator = dict(type="CocoWholeBodyMetric", ann_file=data_root + "annotations/val_annotations.json")
+val_evaluator = dict(type="CocoWholeBodyMetric", ann_file="data/coco/annotations/coco_wholebody_val_v1.0.json")
 test_evaluator = val_evaluator

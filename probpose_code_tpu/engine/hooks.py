@@ -24,6 +24,7 @@ import os.path as osp
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from probpose_code_tpu.registry import HOOKS
@@ -68,8 +69,12 @@ class ExpMomentumEMA(Hook):
     def after_train_iter(self, runner, step: int, metrics):
         params, bufs = self._tracked(runner)
         if self.ema_params is None:
-            self.ema_params = params
-            self.ema_buffers = bufs
+            # deep-copy: the live state buffers are DONATED to the next jitted
+            # train step (train_step.py donate_argnums) and would be deleted
+            # under our feet if we kept references
+            copy = lambda t: jax.tree_util.tree_map(jnp.array, t)  # noqa: E731
+            self.ema_params = copy(params)
+            self.ema_buffers = copy(bufs) if bufs is not None else None
             return
         m = self.momentum
         if self.gamma:
@@ -112,20 +117,57 @@ class YOLOXPoseModeSwitchHook(Hook):
     """Disable strong augmentations for the last N epochs
     (reference mode_switch_hooks.py:14)."""
 
-    def __init__(self, num_last_epochs: int = 20, new_train_pipeline: Optional[list] = None):
+    def __init__(self, num_last_epochs: int = 20, new_train_pipeline: Optional[list] = None,
+                 new_train_dataset: Optional[dict] = None, priority: int = 48):
         self.num_last_epochs = num_last_epochs
         self.new_train_pipeline = new_train_pipeline
+        self.new_train_dataset = new_train_dataset
+        self.priority = priority
         self._switched = False
 
     def before_train_epoch(self, runner, epoch: int):
         if self._switched or epoch < runner.max_epochs - self.num_last_epochs:
             return
         self._switched = True
-        if self.new_train_pipeline and runner.train_loader is not None:
-            from probpose_code_tpu.datasets.base_dataset import Compose
+        if runner.train_loader is None:
+            return
+        from probpose_code_tpu.datasets.base_dataset import Compose
+        from probpose_code_tpu.registry import DATASETS
 
+        if self.new_train_dataset is not None:
+            # reference mode_switch_hooks.py:14 also swaps the dataset (e.g.
+            # RTMO body7 drops the mosaic CombinedDataset for plain COCO)
+            cfg = dict(self.new_train_dataset)
+            if self.new_train_pipeline is not None:
+                cfg["pipeline"] = self.new_train_pipeline
+            runner.train_loader.dataset = DATASETS.build(cfg)
+            runner.logger.log(f"mode switch at epoch {epoch}: train dataset replaced")
+        elif self.new_train_pipeline:
             runner.train_loader.dataset.pipeline = Compose(self.new_train_pipeline)
             runner.logger.log(f"mode switch at epoch {epoch}: train pipeline replaced")
+
+
+@HOOKS.register_module()
+class PipelineSwitchHook(Hook):
+    """Swap the train dataset's pipeline at ``switch_epoch`` — the
+    mmdet.PipelineSwitchHook schema every reference RTMPose-style recipe
+    writes (``custom_hooks=[..., dict(type='PipelineSwitchHook',
+    switch_epoch=max_epochs-stage2, switch_pipeline=train_pipeline_stage2)]``)."""
+
+    def __init__(self, switch_epoch: int, switch_pipeline: Optional[list] = None):
+        self.switch_epoch = int(switch_epoch)
+        self.switch_pipeline = switch_pipeline
+        self._switched = False
+
+    def before_train_epoch(self, runner, epoch: int):
+        if self._switched or epoch < self.switch_epoch:
+            return
+        self._switched = True
+        if self.switch_pipeline and runner.train_loader is not None:
+            from probpose_code_tpu.datasets.base_dataset import Compose
+
+            runner.train_loader.dataset.pipeline = Compose(self.switch_pipeline)
+            runner.logger.log(f"pipeline switch at epoch {epoch}: stage2 train pipeline active")
 
 
 @HOOKS.register_module()
@@ -134,8 +176,9 @@ class RTMOModeSwitchHook(Hook):
     (reference mode_switch_hooks.py:69): ``epoch_attributes`` maps epoch ->
     {attr: value} applied to the runner's head config (consumed by losses)."""
 
-    def __init__(self, epoch_attributes: Dict[int, Dict[str, Any]]):
+    def __init__(self, epoch_attributes: Dict[int, Dict[str, Any]], priority: int = 48):
         self.epoch_attributes = {int(k): v for k, v in epoch_attributes.items()}
+        self.priority = priority
 
     def before_train_epoch(self, runner, epoch: int):
         if epoch in self.epoch_attributes:
@@ -211,3 +254,6 @@ class SyncNormHook(Hook):
     """No-op on TPU (reference ``engine/hooks/sync_norm_hook.py:22`` all-reduces
     norm-layer states across ranks before val; jit's global-view BN makes the
     states identical on every device by construction)."""
+
+    def __init__(self, priority: int = 48, **_ignored):
+        self.priority = priority

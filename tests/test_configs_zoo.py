@@ -23,6 +23,19 @@ def test_config_loads_and_model_builds(path):
         assert cfg["distiller"]["type"] == "DWPoseDistiller"
     else:
         pytest.fail(f"config {path} has neither model nor distiller")
+    # the declared pipelines must compose and every custom hook must build —
+    # guards against recipes writing transform/hook schemas the runtime
+    # doesn't accept (e.g. the EMAHook dicts every RTMO recipe carries)
+    from probpose_code_tpu.datasets.base_dataset import Compose
+    from probpose_code_tpu.registry import HOOKS
+    from probpose_code_tpu.utils import register_all_modules
+
+    register_all_modules()
+    for key in ("train_pipeline", "val_pipeline", "train_pipeline_stage2"):
+        if key in cfg and isinstance(cfg[key], list):
+            Compose(cfg[key])
+    for h in cfg.get("custom_hooks", []):
+        HOOKS.build(dict(h))
 
 
 def _unique_arch_configs():
