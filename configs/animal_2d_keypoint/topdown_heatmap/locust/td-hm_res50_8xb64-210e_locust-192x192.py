@@ -14,7 +14,7 @@ param_scheduler = [
 
 auto_scale_lr = dict(base_batch_size=512)
 
-default_hooks = dict(checkpoint=dict(save_best="PCK", rule="greater"))
+default_hooks = dict(checkpoint=dict(save_best="AUC", rule="greater"))
 
 codec = dict(type="MSRAHeatmap", input_size=(192, 192), heatmap_size=(48, 48), sigma=2)
 
@@ -82,5 +82,9 @@ val_dataloader = dict(
 )
 test_dataloader = val_dataloader
 
-val_evaluator = dict(type="PCKAccuracy", thr=0.2)
+val_evaluator = [
+    dict(type="PCKAccuracy", thr=0.2),
+    dict(type="AUC"),
+    dict(type="EPE"),
+]
 test_evaluator = val_evaluator

@@ -68,5 +68,5 @@ val_dataloader = dict(
 )
 test_dataloader = val_dataloader
 val_evaluator = dict(type="CocoMetric", ann_file=data_root + "annotations/person_keypoints_val2017.json",
-                     nms_mode="none", score_mode="keypoint")
+                     nms_mode="none", score_mode="bbox")
 test_evaluator = val_evaluator

@@ -14,7 +14,7 @@ param_scheduler = [
 
 auto_scale_lr = dict(base_batch_size=512)
 
-default_hooks = dict(checkpoint=dict(save_best="coco/AP", rule="greater"))
+default_hooks = dict(checkpoint=dict(save_best="PCK", rule="greater"))
 
 codec = dict(type="SimCCLabel", input_size=(256, 256), sigma=6.0, simcc_split_ratio=2.0)
 

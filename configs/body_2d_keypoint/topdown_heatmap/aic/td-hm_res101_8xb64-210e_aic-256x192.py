@@ -82,5 +82,5 @@ val_dataloader = dict(
 )
 test_dataloader = val_dataloader
 
-val_evaluator = dict(type="CocoMetric", ann_file=data_root + "annotations/aic_val.json", use_area=True)
+val_evaluator = dict(type="CocoMetric", ann_file=data_root + "annotations/aic_val.json", use_area=False)
 test_evaluator = val_evaluator

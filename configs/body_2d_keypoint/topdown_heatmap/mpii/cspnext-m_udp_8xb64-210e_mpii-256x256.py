@@ -30,7 +30,7 @@ param_scheduler = [
 
 auto_scale_lr = dict(base_batch_size=1024)
 
-default_hooks = dict(checkpoint=dict(save_best="PCKh", rule="greater"))
+default_hooks = dict(checkpoint=dict(save_best="PCK", rule="greater"))
 
 codec = dict(type="UDPHeatmap", input_size=(256, 256), heatmap_size=(64, 64), sigma=2)
 

@@ -14,7 +14,7 @@ param_scheduler = [
 
 auto_scale_lr = dict(base_batch_size=512)
 
-default_hooks = dict(checkpoint=dict(save_best="PCKh", rule="greater"))
+default_hooks = dict(checkpoint=dict(save_best="PCK", rule="greater"))
 
 codec = dict(type="MSRAHeatmap", input_size=(384, 384), heatmap_size=(96, 96), sigma=2)
 

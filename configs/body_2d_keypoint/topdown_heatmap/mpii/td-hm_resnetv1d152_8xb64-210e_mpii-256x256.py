@@ -14,7 +14,7 @@ param_scheduler = [
 
 auto_scale_lr = dict(base_batch_size=512)
 
-default_hooks = dict(checkpoint=dict(save_best="PCKh", rule="greater"))
+default_hooks = dict(checkpoint=dict(save_best="PCK", rule="greater"))
 
 codec = dict(type="MSRAHeatmap", input_size=(256, 256), heatmap_size=(64, 64), sigma=2)
 

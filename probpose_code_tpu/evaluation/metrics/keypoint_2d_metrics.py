@@ -97,7 +97,10 @@ class PCKAccuracy(_KeypointMetricBase):
 
 @METRICS.register_module()
 class MpiiPCKAccuracy(PCKAccuracy):
-    """MPII PCKh@0.5 with the standard per-joint breakdown."""
+    """MPII PCKh@0.5 with the official protocol (reference
+    ``keypoint_2d_metrics.py:290-355``): +1px MATLAB index offset on
+    predictions, pelvis/thorax (joints 6, 7) masked out, joint-count-weighted
+    overall 'PCK' / 'PCK@0.1', and the per-bodypart '<Part> PCK' table."""
 
     default_prefix = "mpii"
 
@@ -107,20 +110,35 @@ class MpiiPCKAccuracy(PCKAccuracy):
     def compute_metrics(self, results: list) -> Dict[str, float]:
         pred, gt, mask = _collect(results)
         norm = np.concatenate([r["head_size"] for r in results])
-        acc, pckh, _ = keypoint_pck_accuracy(pred, gt, mask, self.thr, norm)
-        # standard MPII joint groups (16-keypoint layout)
-        joints = {
-            "Head": [9], "Shoulder": [12, 13], "Elbow": [11, 14], "Wrist": [10, 15],
-            "Hip": [2, 3], "Knee": [1, 4], "Ankle": [0, 5],
+        # MPII ground truth is 1-based (MATLAB); shift 0-based predictions
+        pred = pred + 1.0
+        acc, _, _ = keypoint_pck_accuracy(pred, gt, mask, self.thr, norm)
+        PCKh = 100.0 * acc
+
+        if pred.shape[1] != 16:
+            return {"PCK": float(np.mean(PCKh[PCKh >= 0]))}
+
+        jnt_count = mask.sum(axis=0).astype(np.float64)
+        keep = np.ones(16, bool)
+        keep[6:8] = False  # pelvis/thorax excluded from the official mean
+        jnt_ratio = np.where(keep, jnt_count, 0.0)
+        jnt_ratio = jnt_ratio / max(jnt_ratio.sum(), 1e-12)
+
+        acc01, _, _ = keypoint_pck_accuracy(pred, gt, mask, 0.1, norm)
+
+        # dataset joint indices: head 9; sho 13/12; elb 14/11; wri 15/10;
+        # hip 3/2; knee 4/1; ank 5/0 (reference :336-349)
+        metrics = {
+            "Head PCK": float(PCKh[9]),
+            "Shoulder PCK": float(0.5 * (PCKh[13] + PCKh[12])),
+            "Elbow PCK": float(0.5 * (PCKh[14] + PCKh[11])),
+            "Wrist PCK": float(0.5 * (PCKh[15] + PCKh[10])),
+            "Hip PCK": float(0.5 * (PCKh[3] + PCKh[2])),
+            "Knee PCK": float(0.5 * (PCKh[4] + PCKh[1])),
+            "Ankle PCK": float(0.5 * (PCKh[5] + PCKh[0])),
+            "PCK": float(np.sum(np.where(keep, PCKh, 0.0) * jnt_ratio)),
+            "PCK@0.1": float(np.sum(np.where(keep, 100.0 * acc01, 0.0) * jnt_ratio)),
         }
-        metrics: Dict[str, float] = {}
-        if pred.shape[1] == 16:
-            for name, ids in joints.items():
-                vals = acc[ids]
-                vals = vals[vals >= 0]
-                if len(vals):
-                    metrics[name] = float(vals.mean() * 100)
-        metrics["PCKh"] = float(pckh * 100)
         return metrics
 
 
