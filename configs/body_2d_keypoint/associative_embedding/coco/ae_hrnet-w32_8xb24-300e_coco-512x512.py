@@ -37,7 +37,7 @@ model = dict(
         tag_loss=dict(type="AssociativeEmbeddingLoss"),
         decoder=codec,
     ),
-    test_cfg=dict(flip_test=False),
+    test_cfg=dict(flip_test=True),
 )
 
 train_pipeline = [

@@ -43,7 +43,7 @@ model = dict(
         contrastive_loss=dict(type="InfoNCELoss", temperature=0.05, loss_weight=1.0),
         decoder=codec,
     ),
-    test_cfg=dict(flip_test=False),
+    test_cfg=dict(flip_test=True),
 )
 
 train_pipeline = [

@@ -44,7 +44,7 @@ model = dict(
         decoupled_heatmap_loss=dict(type="FocalHeatmapLoss", loss_weight=4.0),
         decoder=codec,
     ),
-    test_cfg=dict(flip_test=False),
+    test_cfg=dict(flip_test=True),
 )
 
 train_pipeline = [

@@ -41,7 +41,7 @@ model = dict(
         displacement_loss=dict(type="SoftWeightSmoothL1Loss", use_target_weight=True, supervise_empty=False),
         decoder=codec,
     ),
-    test_cfg=dict(flip_test=False),
+    test_cfg=dict(flip_test=True),
 )
 
 train_pipeline = [

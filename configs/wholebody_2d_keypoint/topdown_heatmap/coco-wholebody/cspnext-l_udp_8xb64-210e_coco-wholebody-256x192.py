@@ -46,7 +46,7 @@ model = dict(
         loss=dict(type="KeypointMSELoss", use_target_weight=True),
         decoder=codec,
     ),
-    test_cfg=dict(flip_test=True),
+    test_cfg=dict(flip_test=False),
 )
 
 train_pipeline = [

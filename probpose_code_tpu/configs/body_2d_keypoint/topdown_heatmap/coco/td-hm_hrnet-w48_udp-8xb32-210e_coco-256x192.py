@@ -65,7 +65,7 @@ val_pipeline = [
 
 data_root = "data/coco/"
 train_dataloader = dict(
-    batch_size=64,
+    batch_size=32,
     num_workers=4,
     sampler=dict(type="DefaultSampler", shuffle=True),
     dataset=dict(

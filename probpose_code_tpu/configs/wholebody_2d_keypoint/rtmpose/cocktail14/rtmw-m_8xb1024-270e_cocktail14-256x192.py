@@ -51,6 +51,7 @@ train_pipeline = [
     dict(type="RandomHalfBody"),
     dict(type="RandomBBoxTransform", scale_factor=(0.5, 1.5), rotate_factor=90),
     dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(type="PhotometricDistortion"),
     dict(
         type="Albumentation",
         transforms=[
@@ -69,6 +70,24 @@ train_pipeline = [
         ],
     ),
     dict(type="GenerateTarget", encoder=codec),
+    dict(type="PackPoseInputs"),
+]
+
+train_pipeline_stage2 = [
+    dict(type="LoadImage"),
+    dict(type="GetBBoxCenterScale"),
+    dict(type="RandomFlip", direction="horizontal"),
+    dict(type="RandomHalfBody"),
+    dict(type="RandomBBoxTransform", shift_factor=0.0, scale_factor=[0.5, 1.5], rotate_factor=90),
+    dict(type="TopdownAffine", input_size=codec["input_size"]),
+    dict(
+        type="Albumentation",
+        transforms=[
+            dict(type="Blur", p=0.1),
+            dict(type="MedianBlur", p=0.1),
+        ],
+    ),
+    dict(type="GenerateTarget", encoder=codec, use_dataset_keypoint_weights=True),
     dict(type="PackPoseInputs"),
 ]
 val_pipeline = [
@@ -95,3 +114,13 @@ test_dataloader = val_dataloader
 val_evaluator = dict(type="CocoWholeBodyMetric",
                      ann_file=data_root + "annotations/coco_wholebody_val_v1.0.json")
 test_evaluator = val_evaluator
+
+stage2_num_epochs = 10
+custom_hooks = [
+    dict(type="EMAHook", ema_type="ExpMomentumEMA", momentum=0.0002, update_buffers=True, priority=49),
+    dict(
+        type="PipelineSwitchHook",
+        switch_epoch=max_epochs - stage2_num_epochs,
+        switch_pipeline=train_pipeline_stage2,
+    ),
+]
