@@ -44,3 +44,14 @@ def test_get_flops_tiny():
               "--shape", "64", "48"])
     assert r.returncode == 0, r.stderr[-800:]
     assert "FLOP" in r.stdout or "flops" in r.stdout.lower()
+
+
+def test_config_parity_audit_clean():
+    """The zoo has zero content drift vs the reference on the audited
+    fields (tools/analysis_tools/audit_config_parity.py)."""
+    import os
+    import pytest
+    if not os.path.isdir("/root/reference/configs"):
+        pytest.skip("reference checkout not available")
+    res = _run(["tools/analysis_tools/audit_config_parity.py"])
+    assert res.returncode == 0, res.stdout[-3000:]
