@@ -249,7 +249,28 @@ val_dataloader = dict(
         pipeline=val_pipeline,
     ),
 )
-test_dataloader = val_dataloader
+test_dataloader = dict(
+    batch_size=32,
+    num_workers=4,
+    drop_last=False,
+    sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
+    dataset=dict(
+        type="CombinedDataset",
+        metainfo=dict(dataset_name="lapa"),
+        datasets=[
+            dict(dataset_lapa, ann_file="LaPa/annotations/lapa_test.json"),
+            dict(dataset_cwf, ann_file="coco/annotations/coco_wholebody_val_v1.0.json",
+                 data_prefix=dict(img="detection/coco/val2017/")),
+            dict(dataset_wflw, ann_file="wflw/annotations/face_landmarks_wflw_test.json"),
+            dict(dataset_300w, ann_file="300w/annotations/face_landmarks_300w_test.json"),
+            dict(dataset_cofw, ann_file="cofw/annotations/cofw_test.json"),
+            dict(dataset_halpe, ann_file="halpe/annotations/halpe_val_v1.json",
+                 data_prefix=dict(img="detection/coco/val2017/")),
+        ],
+        pipeline=val_pipeline,
+        test_mode=True,
+    ),
+)
 
 val_evaluator = dict(type="NME", norm_mode="keypoint_distance")
 test_evaluator = val_evaluator
@@ -263,3 +284,5 @@ custom_hooks = [
         switch_pipeline=train_pipeline_stage2,
     ),
 ]
+
+default_hooks = dict(checkpoint=dict(save_best="NME", rule="less", max_keep_ckpts=1, interval=1))

@@ -203,7 +203,27 @@ val_dataloader = dict(
         pipeline=val_pipeline,
     ),
 )
-test_dataloader = val_dataloader
+test_dataloader = dict(
+    batch_size=32,
+    num_workers=4,
+    drop_last=False,
+    sampler=dict(type="DefaultSampler", shuffle=False, round_up=False),
+    dataset=dict(
+        type="CombinedDataset",
+        metainfo=dict(dataset_name="coco_wholebody_hand"),
+        datasets=[
+            dict(dataset_coco, ann_file="coco/annotations/coco_wholebody_val_v1.0.json",
+                 data_prefix=dict(img="detection/coco/val2017/")),
+            dict(dataset_onehand10k, ann_file="onehand10k/annotations/onehand10k_test.json"),
+            dict(dataset_freihand, ann_file="freihand/annotations/freihand_test.json"),
+            dict(dataset_rhd, ann_file="rhd/annotations/rhd_test.json"),
+            dict(dataset_halpehand, ann_file="halpe/annotations/halpe_val_v1.json",
+                 data_prefix=dict(img="detection/coco/val2017/")),
+        ],
+        pipeline=val_pipeline,
+        test_mode=True,
+    ),
+)
 
 val_evaluator = [dict(type="PCKAccuracy", thr=0.2), dict(type="AUC"), dict(type="EPE")]
 test_evaluator = val_evaluator
