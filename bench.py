@@ -94,6 +94,11 @@ def _check_history(metric: str, value: float) -> dict:
                 f"recorded {best:.1f} (see BENCH_HISTORY.json)",
                 file=sys.stderr,
             )
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        # CPU dry-runs (bench health checks) must not pollute the TPU history
+        return out
     hist.append({"metric": metric, "value": round(value, 1), "ts": time.strftime("%Y-%m-%d %H:%M:%S")})
     try:
         with open(_HISTORY, "w") as f:
