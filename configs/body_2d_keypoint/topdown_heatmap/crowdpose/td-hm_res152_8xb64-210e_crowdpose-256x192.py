@@ -75,6 +75,7 @@ val_dataloader = dict(
         data_root=data_root,
         data_mode="topdown",
         ann_file="annotations/mmpose_crowdpose_test.json",
+        bbox_file="data/crowdpose/annotations/det_for_crowd_test_0.1_0.5.json",
         data_prefix=dict(img="images/"),
         test_mode=True,
         pipeline=val_pipeline,

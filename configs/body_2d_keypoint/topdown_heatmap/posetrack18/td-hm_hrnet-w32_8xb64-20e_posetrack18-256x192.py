@@ -86,6 +86,8 @@ val_dataloader = dict(
         data_root=data_root,
         data_mode="topdown",
         ann_file="annotations/posetrack18_val.json",
+        bbox_file="data/posetrack18/annotations/" "posetrack18_val_human_detections.json",
+        filter_cfg=dict(bbox_score_thr=0.4),
         data_prefix=dict(img=""),
         test_mode=True,
         pipeline=val_pipeline,
