@@ -129,3 +129,40 @@ def test_runner_train_and_val(mini_coco, tmp_path):
     metrics = runner.val()
     assert "COCO/AP" in metrics
     assert "COCO/Ex_AP" in metrics
+
+
+def test_runner_custom_hooks_protocol(mini_coco, tmp_path):
+    """The reference training protocol every RTMPose-style recipe writes:
+    EMAHook (ExpMomentumEMA, update_buffers) + PipelineSwitchHook swapping
+    to a stage-2 pipeline partway through. Exercises the donated-buffer
+    safety of the EMA seed and the live pipeline swap."""
+    cfg = make_cfg(mini_coco, tmp_path / "work_hooks")
+    stage2 = [
+        dict(type="LoadImage"),
+        dict(type="GetBBoxCenterScale"),
+        dict(type="TopdownAffine", input_size=(192, 256), use_udp=True, input_padding=1.25),
+        dict(type="GenerateTarget", encoder=dict(type="ProbMap", input_size=(192, 256),
+                                                 heatmap_size=(48, 64), sigma=-1)),
+        dict(type="PackPoseInputs"),
+    ]
+    cfg["custom_hooks"] = [
+        dict(type="EMAHook", ema_type="ExpMomentumEMA", momentum=0.1, gamma=4,
+             update_buffers=True, priority=49),
+        dict(type="PipelineSwitchHook", switch_epoch=1, switch_pipeline=stage2),
+    ]
+    runner = Runner.from_cfg(cfg)
+    runner.train()
+
+    ema = runner.hooks[0]
+    assert ema.ema_params is not None
+    import jax
+    import numpy as np
+
+    # EMA tree mirrors the live params and holds finite values
+    live = jax.tree_util.tree_leaves(runner.state.params)
+    tracked = jax.tree_util.tree_leaves(ema.ema_params)
+    assert len(live) == len(tracked)
+    assert all(np.isfinite(np.asarray(t)).all() for t in tracked)
+    # the pipeline switch actually replaced the train pipeline (no RandomFlip)
+    names = [type(t).__name__ for t in runner.train_loader.dataset.pipeline.transforms]
+    assert "RandomFlip" not in names
