@@ -53,8 +53,6 @@ train_pipeline = [
     dict(type="RandomFlip", direction="horizontal"),
     dict(type="RandomHalfBody"),
     dict(type="RandomBBoxTransform"),
-    dict(type="CoarseDropout", max_holes=8, max_height=40, max_width=40,
-         min_holes=1, min_height=10, min_width=10, prob=0.5),
     dict(type="TopdownAffine", input_size=codec["input_size"]),
     dict(
         type="Albumentation",

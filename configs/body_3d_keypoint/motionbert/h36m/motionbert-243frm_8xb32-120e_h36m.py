@@ -40,7 +40,7 @@ model = dict(
 
 train_pipeline = [
     dict(type="GenerateTarget", encoder=codec),
-    dict(type="PackPoseInputs"),
+    dict(type="PackPoseInputs", meta_keys=("id", "category_id", "target_img_path", "flip_indices", "factor", "camera_param")),
 ]
 val_pipeline = train_pipeline
 

@@ -47,11 +47,11 @@ train_pipeline = [
         target_flip_cfg=dict(center_mode="static", center_x=0.0),
         flip_label=True,
     ),
-    dict(type="PackPoseInputs"),
+    dict(type="PackPoseInputs", meta_keys=("id", "category_id", "target_img_path", "flip_indices", "factor", "camera_param")),
 ]
 val_pipeline = [
     dict(type="GenerateTarget", encoder=codec),
-    dict(type="PackPoseInputs"),
+    dict(type="PackPoseInputs", meta_keys=("id", "category_id", "target_img_path", "flip_indices", "factor", "camera_param")),
 ]
 
 data_root = "data/h36m/"

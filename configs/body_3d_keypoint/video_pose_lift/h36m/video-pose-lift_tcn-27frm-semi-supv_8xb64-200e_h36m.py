@@ -50,7 +50,7 @@ model = dict(
 
 train_pipeline = [
     dict(type="GenerateTarget", encoder=codec),
-    dict(type="PackPoseInputs"),
+    dict(type="PackPoseInputs", meta_keys=("id", "category_id", "target_img_path", "flip_indices", "target_root")),
 ]
 val_pipeline = train_pipeline
 

@@ -35,11 +35,11 @@ train_pipeline = [
         target_flip_cfg=dict(),
     ),
     dict(type="GenerateTarget", encoder=codec),
-    dict(type="PackPoseInputs"),
+    dict(type="PackPoseInputs", meta_keys=("id", "category_id", "target_img_path", "flip_indices", "target_root")),
 ]
 val_pipeline = [
     dict(type="GenerateTarget", encoder=codec),
-    dict(type="PackPoseInputs"),
+    dict(type="PackPoseInputs", meta_keys=("id", "category_id", "target_img_path", "flip_indices", "target_root")),
 ]
 
 data_root = "data/h36m/"

@@ -18,3 +18,9 @@ log_level = "INFO"
 log_processor = dict(type="LogProcessor", window_size=50, by_epoch=True)
 load_from = None
 resume = False
+
+custom_hooks = [
+    # Synchronize model buffers such as running_mean and running_var in BN
+    # at the end of each epoch
+    dict(type="SyncBuffersHook")
+]

@@ -78,6 +78,12 @@ def collate_pose_samples(samples: List[dict]) -> Dict:
 
     if "heatmaps" in ds0.gt_fields:
         batch["heatmaps"] = np.stack([np.asarray(d.gt_fields.heatmaps) for d in data_samples]).astype(np.float32)
+    if "heatmap_mask" in ds0.gt_fields:
+        # valid-region mask at heatmap resolution (BottomupGetHeatmapMask) —
+        # consumed by dekr_head_loss / cid losses as (B, Hh, Wh)
+        batch["heatmap_mask"] = np.stack(
+            [np.asarray(d.gt_fields.heatmap_mask) for d in data_samples]
+        ).astype(np.float32)
 
     def stack_instance(name, squeeze=True):
         vals = [np.asarray(d.gt_instances[name]) for d in data_samples]

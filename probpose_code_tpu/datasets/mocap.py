@@ -113,10 +113,17 @@ class BaseMocapDataset:
             k2d = kpts_2d[frame_ids].astype(np.float32)
             k3d = kpts_3d[frame_ids].astype(np.float32)
             target_idx = -1 if self.causal else len(frame_ids) // 2
+            img_paths = [str(ann["imgname"][i]) for i in frame_ids]
+            # reference base_mocap_dataset.py:350: target_img_path is the
+            # list of target-frame paths — the MPJPE metric parses the H36M
+            # action category (and skip_list stem) from its first entry
+            target_img_path = ([img_paths[i] for i in range(self.multiple_target)]
+                               if self.multiple_target else [img_paths[target_idx]])
             info = dict(
                 id=idx,
                 frame_ids=frame_ids,
-                img_paths=[str(ann["imgname"][i]) for i in frame_ids],
+                img_paths=img_paths,
+                target_img_path=target_img_path,
                 keypoints=k2d[..., :2],
                 keypoints_visible=k2d[..., 2],
                 lifting_target=k3d[target_idx:target_idx + 1 or None][..., :3][0]

@@ -275,7 +275,23 @@ class BottomupGetHeatmapMask:
                 mask = cv2.warpPerspective(mask, warp_mat, (int(w), int(h)))
         if results.get("flip", False):
             mask = mask[:, ::-1]
-        results["heatmap_mask"] = mask.astype(np.float32)
+        mask = mask.astype(np.float32)
+        # reference bottomup_transforms.py:121-139: when the heatmap targets
+        # are already present (GenerateTarget runs before this transform in
+        # the dekr/cid recipes) the mask is resized to the heatmap grid and
+        # binarized, so the loss can multiply it into (B, K, Hh, Wh) weights
+        if "heatmaps" in results:
+            heatmaps = results["heatmaps"]
+            if isinstance(heatmaps, list):
+                mask = [
+                    (cv2.resize(mask, (hm.shape[-1], hm.shape[-2]),
+                                interpolation=cv2.INTER_LINEAR) > 0.5).astype(np.float32)
+                    for hm in heatmaps
+                ]
+            else:
+                mask = (cv2.resize(mask, (heatmaps.shape[-1], heatmaps.shape[-2]),
+                                   interpolation=cv2.INTER_LINEAR) > 0.5).astype(np.float32)
+        results["heatmap_mask"] = mask
         return results
 
 

@@ -43,6 +43,15 @@ class Hook:
     def after_val_epoch(self, runner, metrics: Dict[str, float]):
         pass
 
+    def before_eval(self, runner):
+        """Called before validation / checkpoint save — lets weight-averaging
+        hooks swap their averaged params into the live train state (reference
+        mmengine EMAHook swaps EMA in for val and stores EMA weights in the
+        checkpoint's ``state_dict``)."""
+
+    def after_eval(self, runner):
+        """Restore the live training params after ``before_eval``."""
+
     def after_run(self, runner):
         pass
 
@@ -55,12 +64,16 @@ class ExpMomentumEMA(Hook):
     ExponentialMovingAverage). ``update_buffers`` also tracks batch_stats."""
 
     def __init__(self, momentum: float = 0.0002, gamma: Optional[int] = 2000,
-                 update_buffers: bool = False):
+                 update_buffers: bool = False, begin_iter: int = 0,
+                 begin_epoch: int = 0):
         self.momentum = momentum
         self.gamma = gamma
         self.update_buffers = update_buffers
+        self.begin_iter = begin_iter
+        self.begin_epoch = begin_epoch
         self.ema_params = None
         self.ema_buffers = None
+        self._backup = None  # (params, batch_stats) while EMA is swapped in
 
     def _tracked(self, runner):
         bufs = runner.state.batch_stats if self.update_buffers else None
@@ -68,7 +81,12 @@ class ExpMomentumEMA(Hook):
 
     def after_train_iter(self, runner, step: int, metrics):
         params, bufs = self._tracked(runner)
-        if self.ema_params is None:
+        # mmengine EMAHook begin_iter/begin_epoch semantics: until the begin
+        # point the EMA is re-seeded from the live weights every step (so at
+        # the start point EMA == current weights); blending starts after it.
+        before_begin = (step < self.begin_iter
+                        or getattr(runner, "epoch", 0) < self.begin_epoch)
+        if self.ema_params is None or before_begin:
             # deep-copy: the live state buffers are DONATED to the next jitted
             # train step (train_step.py donate_argnums) and would be deleted
             # under our feet if we kept references
@@ -91,6 +109,24 @@ class ExpMomentumEMA(Hook):
         if self.ema_buffers is not None:
             runner.state = runner.state.replace(batch_stats=self.ema_buffers)
 
+    # Runner protocol: validation metrics, best-checkpoint selection and saved
+    # checkpoints all read the EMA weights, like the reference mmengine
+    # EMAHook (before_val_epoch/before_save_checkpoint swap semantics).
+    def before_eval(self, runner):
+        if self.ema_params is None or self._backup is not None:
+            return
+        self._backup = (runner.state.params, runner.state.batch_stats)
+        self.swap_into(runner)
+
+    def after_eval(self, runner):
+        if self._backup is None:
+            return
+        params, bufs = self._backup
+        self._backup = None
+        runner.state = runner.state.replace(params=params)
+        if bufs is not None:
+            runner.state = runner.state.replace(batch_stats=bufs)
+
 
 @HOOKS.register_module()
 class EMAHook(ExpMomentumEMA):
@@ -108,7 +144,8 @@ class EMAHook(ExpMomentumEMA):
                  begin_epoch: int = 0, **_ignored):
         super().__init__(momentum=momentum,
                          gamma=gamma if ema_type == "ExpMomentumEMA" else None,
-                         update_buffers=update_buffers)
+                         update_buffers=update_buffers,
+                         begin_iter=begin_iter, begin_epoch=begin_epoch)
         self.priority = priority
 
 

@@ -78,7 +78,14 @@ class Runner:
         ckpt_cfg = cfg.get("default_hooks", {}).get("checkpoint", {})
         self.ckpt_interval = ckpt_cfg.get("interval", 10)
         self.save_best = ckpt_cfg.get("save_best")
-        self.best_metric = -np.inf
+        # mmengine CheckpointHook rule semantics: explicit rule wins, else
+        # inferred from the key name (error-style metrics are minimized).
+        rule = ckpt_cfg.get("rule")
+        if rule is None and self.save_best:
+            key = str(self.save_best).lower()
+            rule = "less" if any(t in key for t in ("nme", "epe", "mpjpe", "loss", "error")) else "greater"
+        self.save_best_rule = rule or "greater"
+        self.best_metric = -np.inf if self.save_best_rule == "greater" else np.inf
         self.state: Optional[TrainState] = None
         self.epoch = 0
 
@@ -178,13 +185,25 @@ class Runner:
             self.train_loader.set_epoch(epoch)
             self._train_epoch(epoch)
 
-            if (epoch + 1) % self.ckpt_interval == 0 or epoch + 1 == max_epochs:
+            save_ckpt = (epoch + 1) % self.ckpt_interval == 0 or epoch + 1 == max_epochs
+            run_val = evaluator is not None and (
+                (epoch + 1) % self.val_interval == 0 or epoch + 1 == max_epochs)
+            if save_ckpt or run_val:
+                # EMA-style hooks swap their averaged weights in here, so val
+                # metrics, best-ckpt selection and saved checkpoints all see
+                # the EMA weights (reference EMAHook protocol).
+                for hook in self.hooks:
+                    hook.before_eval(self)
+            if save_ckpt:
                 self.save_checkpoint(osp.join(self.work_dir, f"epoch_{epoch + 1}"))
-            if evaluator is not None and ((epoch + 1) % self.val_interval == 0 or epoch + 1 == max_epochs):
+            if run_val:
                 metrics = self.val(evaluator)
                 for hook in self.hooks:
                     hook.after_val_epoch(self, metrics)
                 self._maybe_save_best(metrics)
+            if save_ckpt or run_val:
+                for hook in self.hooks:
+                    hook.after_eval(self)
         for hook in self.hooks:
             hook.after_run(self)
         return self.state
@@ -250,12 +269,21 @@ class Runner:
         return metrics
 
     def _maybe_save_best(self, metrics: Dict[str, float]):
-        if not self.save_best or self.save_best not in metrics:
+        if not self.save_best:
             return
-        if metrics[self.save_best] > self.best_metric:
-            self.best_metric = metrics[self.save_best]
+        # Reference recipes write unprefixed keys (save_best='PCK') while our
+        # metrics arrive prefixed by the metric's default_prefix
+        # ('mpii/PCK', 'coco/AP', ...) — match exact key or '/<key>' suffix.
+        key = self.save_best if self.save_best in metrics else next(
+            (k for k in metrics if k.endswith("/" + self.save_best)), None)
+        if key is None:
+            return
+        better = (metrics[key] > self.best_metric) if self.save_best_rule == "greater" \
+            else (metrics[key] < self.best_metric)
+        if better:
+            self.best_metric = metrics[key]
             self.save_checkpoint(osp.join(self.work_dir, "best"))
-            self.logger.log(f"new best {self.save_best}: {self.best_metric:.4f}")
+            self.logger.log(f"new best {key}: {self.best_metric:.4f}")
 
     # -- checkpointing ----------------------------------------------------
 

@@ -23,3 +23,17 @@ def test_mirror_config_loads(path):
 
     cfg = Config.fromfile(path)
     assert "model" in cfg and "type" in cfg.model
+
+
+def test_mirror_content_in_sync_with_repo_zoo():
+    """The package mirror must stay byte-identical to the repo configs/ tree
+    (guards the drift where later zoo edits missed the mirror)."""
+    repo_root = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    all_mirrored = sorted(glob.glob(osp.join(PKG, "configs", "**", "*.py"), recursive=True))
+    assert all_mirrored
+    for path in all_mirrored:
+        rel = osp.relpath(path, osp.join(PKG, "configs"))
+        src = osp.join(repo_root, "configs", rel)
+        assert osp.exists(src), f"mirror file has no zoo source: {rel}"
+        with open(path) as f_m, open(src) as f_s:
+            assert f_m.read() == f_s.read(), f"mirror drifted from configs/: {rel}"

@@ -222,3 +222,36 @@ class TestAlbumentationNative:
 
         with pytest.raises(ImportError):
             Albumentation(transforms=[dict(type="ElasticTransform", p=0.5)])
+
+
+def test_bottomup_heatmap_mask_resized_to_heatmap_grid():
+    """BottomupGetHeatmapMask must deliver the valid-region mask at HEATMAP
+    resolution when targets are present (reference bottomup_transforms.py:
+    121-139) and the collate step must lift it into the batch for the
+    dekr/cid losses."""
+    import numpy as np
+
+    from probpose_code_tpu.datasets.loader import collate_pose_samples
+    from probpose_code_tpu.datasets.transforms.bottomup import BottomupGetHeatmapMask
+    from probpose_code_tpu.datasets.transforms.formatting import PackPoseInputs
+
+    results = dict(
+        img=np.zeros((512, 512, 3), np.uint8),
+        ori_shape=(512, 512),
+        input_size=(512, 512),
+        # polygon covering the left half of the image marked invalid
+        invalid_segs=[[[0.0, 0.0, 256.0, 0.0, 256.0, 512.0, 0.0, 512.0]]],
+        heatmaps=np.zeros((18, 128, 128), np.float32),
+        keypoints=np.zeros((1, 17, 2), np.float32),
+        keypoints_visible=np.ones((1, 17), np.float32),
+    )
+    out = BottomupGetHeatmapMask()(dict(results))
+    mask = out["heatmap_mask"]
+    assert mask.shape == (128, 128)
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+    assert mask[:, 80:].mean() > 0.9  # right half valid
+    assert mask[:, :48].mean() < 0.1  # left half masked out
+
+    packed = PackPoseInputs()(out)
+    batch = collate_pose_samples([packed, packed])
+    assert batch["heatmap_mask"].shape == (2, 128, 128)

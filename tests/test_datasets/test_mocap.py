@@ -29,6 +29,37 @@ def test_h36m_padded_sequences(tmp_path):
     assert s["lifting_target"].shape == (17, 3)
 
 
+def test_h36m_action_breakdown_through_pipeline(tmp_path):
+    """The MPJPE per-action breakdown must work through the REAL path:
+    dataset ``target_img_path`` -> PackPoseInputs meta_keys (as written by the
+    reference lifting recipes) -> metric. Guards the round-3 regression where
+    the dataset never emitted the key and the metric silently produced no
+    ``MPJPE_<action>`` entries."""
+    from probpose_code_tpu.evaluation.metrics.keypoint_3d_metrics import MPJPE
+
+    # the reference val pipeline for every lifting recipe
+    pipeline = [
+        dict(type="GenerateTarget",
+             encoder=dict(type="VideoPoseLifting", num_keypoints=17,
+                          zero_center=True, root_index=0)),
+        dict(type="PackPoseInputs", meta_keys=("id", "category_id",
+                                               "target_img_path",
+                                               "flip_indices", "target_root")),
+    ]
+    path = _make_npz(tmp_path)
+    ds = Human36mDataset(ann_file=path, seq_len=1, causal=False, pipeline=pipeline)
+    assert ds.get_data_info(0)["target_img_path"]
+    metric = MPJPE(mode="mpjpe")
+    for i in range(len(ds)):
+        sample = ds[i]["data_samples"]
+        gt = np.asarray(sample.gt_instances["lifting_target"])
+        sample.pred_instances = dict(keypoints=gt[None] + 0.01)
+        metric.process(None, [sample])
+    res = metric.evaluate(len(ds))
+    assert "mpjpe/MPJPE_Walking" in res, res.keys()
+    assert "mpjpe/MPJPE_Eating" in res, res.keys()
+
+
 def test_h36m_videos_not_mixed(tmp_path):
     path = _make_npz(tmp_path)
     ds = Human36mDataset(ann_file=path, seq_len=9, causal=True, pipeline=[])

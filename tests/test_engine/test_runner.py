@@ -166,3 +166,23 @@ def test_runner_custom_hooks_protocol(mini_coco, tmp_path):
     # the pipeline switch actually replaced the train pipeline (no RandomFlip)
     names = [type(t).__name__ for t in runner.train_loader.dataset.pipeline.transforms]
     assert "RandomFlip" not in names
+
+    # EMA weights were actually APPLIED: the saved checkpoint holds the EMA
+    # params (reference EMAHook swaps EMA in around val/checkpoint), which
+    # after training differ from the live params and match the hook's tree.
+    import os
+
+    from probpose_code_tpu.engine.checkpoint import load_checkpoint
+
+    ckpts = sorted(f[: -len(".orbax")] for f in os.listdir(runner.work_dir)
+                   if f.startswith("epoch_") and f.endswith(".orbax"))
+    saved = load_checkpoint(os.path.join(runner.work_dir, ckpts[-1]))
+    saved_leaves = jax.tree_util.tree_leaves(saved["params"])
+    ema_leaves = jax.tree_util.tree_leaves(ema.ema_params)
+    for s, e in zip(saved_leaves, ema_leaves):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(e), rtol=1e-6)
+    # live params were restored after the swap (training can continue)
+    assert any(
+        not np.allclose(np.asarray(l), np.asarray(e))
+        for l, e in zip(live, ema_leaves)
+    )

@@ -83,12 +83,14 @@ def pipeline_types(src: str, name: str):
 
 
 def values_equal(a: str, b: str) -> bool:
-    if a.split(".")[-1] == b.split(".")[-1]:
-        return True
+    # numeric values compare numerically FIRST — the dotted-name rule below
+    # must never see numbers ('2.5' vs '1.5' share the tail '5')
     try:
         return abs(float(a) - float(b)) < 1e-12
     except ValueError:
-        return False
+        pass
+    # scoped type names: 'mmdet.PackDetInputs' == 'PackDetInputs'
+    return a.split(".")[-1] == b.split(".")[-1]
 
 
 def main() -> int:
