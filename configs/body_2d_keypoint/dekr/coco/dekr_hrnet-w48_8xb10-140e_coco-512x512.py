@@ -45,6 +45,14 @@ model = dict(
         heatmap_loss=dict(type="KeypointMSELoss", use_target_weight=True),
         displacement_loss=dict(type="SoftWeightSmoothL1Loss", use_target_weight=True, supervise_empty=False),
         decoder=codec,
+        # reference dekr recipe rescore net (pretrained by the DEKR
+        # authors); weights load via the torch-checkpoint converter
+        rescore_cfg=dict(
+            in_channels=74,
+            norm_indexes=(5, 6),
+            init_cfg=dict(type="Pretrained",
+                          checkpoint="https://download.openmmlab.com/mmpose/pretrain_models/kpt_rescore_coco-33d58c5c.pth"),
+        ),
     ),
     test_cfg=dict(flip_test=False),
 )

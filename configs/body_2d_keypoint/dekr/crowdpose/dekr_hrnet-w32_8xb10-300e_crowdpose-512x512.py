@@ -3,7 +3,16 @@ _base_ = ["../coco/dekr_hrnet-w32_8xb10-140e_coco-512x512.py"]
 
 train_cfg = dict(max_epochs=300, val_interval=20)
 
-model = dict(head=dict(num_keypoints=14))
+model = dict(head=dict(
+    num_keypoints=14,
+    # crowdpose-trained rescore net (reference crowdpose dekr recipes)
+    rescore_cfg=dict(
+        in_channels=59,
+        norm_indexes=(0, 1),
+        init_cfg=dict(type="Pretrained",
+              checkpoint="https://download.openmmlab.com/mmpose/pretrain_models/kpt_rescore_crowdpose-300c7efe.pth"),
+    ),
+))
 
 train_dataloader = dict(
     dataset=dict(

@@ -5,7 +5,17 @@ train_cfg = dict(max_epochs=300, val_interval=20)
 
 codec = dict(type="SPR", input_size=(640, 640), heatmap_size=(160, 160), sigma=(4, 2), generate_keypoint_heatmaps=True)
 
-model = dict(head=dict(num_keypoints=14, decoder=codec))
+model = dict(head=dict(
+    num_keypoints=14,
+    decoder=codec,
+    # crowdpose-trained rescore net (reference crowdpose dekr recipes)
+    rescore_cfg=dict(
+        in_channels=59,
+        norm_indexes=(0, 1),
+        init_cfg=dict(type="Pretrained",
+                      checkpoint="https://download.openmmlab.com/mmpose/pretrain_models/kpt_rescore_crowdpose-300c7efe.pth"),
+    ),
+))
 
 train_dataloader = dict(
     dataset=dict(

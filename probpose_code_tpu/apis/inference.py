@@ -201,6 +201,8 @@ def inference_bottomup(model: PoseModel, img: Union[str, np.ndarray]) -> List[Po
     """
     if getattr(model, "head_type", None) == "EDPoseHead":
         return _inference_edpose(model, img)
+    if getattr(model, "head_type", None) in ("DEKRHead", "AssociativeEmbeddingHead", "CIDHead"):
+        return _inference_bottomup_dense(model, img)
     if not getattr(model, "onestage", False):
         return inference_topdown(model, img, bboxes=None)
 
@@ -261,6 +263,47 @@ def inference_bottomup(model: PoseModel, img: Union[str, np.ndarray]) -> List[Po
     inst.set_field(bboxes, "bboxes")
     inst.set_field(np.asarray(inst_np["scores"], dtype=np.float32), "bbox_scores")
     sample.pred_instances = inst
+    return [sample]
+
+
+def _inference_bottomup_dense(model: PoseModel, img: Union[str, np.ndarray]) -> List[PoseDataSample]:
+    """Whole-image inference for dense bottomup heads (DEKR / AE / CID):
+    BottomupResize -> jitted dense predict (flip-TTA merged on device) ->
+    the same codec host decode + rescore + NMS tail the runner val loop
+    uses (reference ``BottomupPoseEstimator.predict``)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from probpose_code_tpu.engine.runner import attach_bottomup_predictions
+
+    if isinstance(img, str):
+        image = cv2.imread(img)
+        img_path = img
+        assert image is not None, f"cannot read {img}"
+    else:
+        image = img
+        img_path = None
+    h, w = image.shape[:2]
+
+    metainfo = model.metainfo or parse_pose_metainfo({"dataset_name": "coco"})
+    resize_cfg = next(
+        (t for t in _default_val_pipeline(model) if t.get("type") == "BottomupResize"),
+        dict(type="BottomupResize", input_size=tuple(model.input_size)),
+    )
+    pipeline = Compose([resize_cfg, dict(type="PackPoseInputs")])
+    data_info = dict(
+        img=image.copy(), img_path=img_path, img_shape=(h, w), ori_shape=(h, w),
+        dataset_name=metainfo["dataset_name"], id=0, img_id=0,
+        flip_indices=metainfo["flip_indices"],
+    )
+    out = pipeline(data_info)
+    sample = out["data_samples"]
+    inputs = jnp.asarray(np.asarray(out["inputs"], dtype=np.float32)[None])
+
+    predict = _cached_predict(model)
+    preds = predict(model.variables, inputs)
+    preds = {k: np.asarray(v) for k, v in preds.items()}
+    attach_bottomup_predictions(preds, [sample], model)
     return [sample]
 
 

@@ -249,7 +249,8 @@ class BaseCocoStyleDataset:
                     continue
                 vals = [i[key] for i in insts]
                 if isinstance(vals[0], np.ndarray):
-                    merged[key] = np.concatenate(vals, axis=0)
+                    # scalar per-instance fields (e.g. area) arrive 0-d
+                    merged[key] = np.concatenate([np.atleast_1d(v) for v in vals], axis=0)
                 else:
                     merged[key] = vals
             merged["segmentation"] = seg_list

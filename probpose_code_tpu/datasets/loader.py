@@ -69,15 +69,51 @@ def collate_pose_samples(samples: List[dict]) -> Dict:
             v = v[:, 0]
         return v
 
+    is_cid = "instance_heatmaps" in ds0.gt_fields
     for name in (
         "keypoint_weights", "keypoint_labels", "keypoint_x_labels", "keypoint_y_labels",
         "lifting_target_label", "lifting_target_weight", "trajectory_weights",
     ):
-        if name in ds0.gt_instance_labels:
+        if name in ds0.gt_instance_labels and not (is_cid and name == "keypoint_weights"):
             batch[name] = stack_label(name).astype(np.float32)
 
     if "heatmaps" in ds0.gt_fields:
         batch["heatmaps"] = np.stack([np.asarray(d.gt_fields.heatmaps) for d in data_samples]).astype(np.float32)
+    for name in ("heatmap_weights", "displacements", "displacement_weights"):
+        # SPR/DEKR dense targets live in gt_fields at fixed shapes
+        if name in ds0.gt_fields:
+            batch[name] = np.stack(
+                [np.asarray(d.gt_fields[name]) for d in data_samples]
+            ).astype(np.float32)
+    if is_cid:
+        # CID: per-image instance counts vary — pad to the batch max and
+        # carry a validity mask (cid_head_loss masks on instance_valid)
+        hms = [np.asarray(d.gt_fields.instance_heatmaps) for d in data_samples]
+        coords = [np.asarray(d.gt_instances.instance_coords) for d in data_samples]
+        kws = [
+            np.asarray(d.gt_instance_labels.keypoint_weights)
+            if "keypoint_weights" in d.gt_instance_labels
+            else np.ones(h.shape[:2], np.float32)
+            for d, h in zip(data_samples, hms)
+        ]
+        M = max(1, max(h.shape[0] for h in hms))
+        B = len(hms)
+        K, Hh, Wh = hms[0].shape[1:]
+        inst_hms = np.zeros((B, M, K, Hh, Wh), np.float32)
+        inst_coords = np.zeros((B, M, 2), np.int64)
+        inst_valid = np.zeros((B, M), np.float32)
+        inst_kw = np.zeros((B, M, kws[0].shape[-1] if kws[0].ndim == 2 else K), np.float32)
+        for b, (h, c, w) in enumerate(zip(hms, coords, kws)):
+            n = h.shape[0]
+            if n:
+                inst_hms[b, :n] = h
+                inst_coords[b, :n] = c.reshape(n, 2)
+                inst_valid[b, :n] = 1.0
+                inst_kw[b, :n] = w.reshape(n, -1)
+        batch["instance_heatmaps"] = inst_hms
+        batch["instance_coords"] = inst_coords
+        batch["instance_valid"] = inst_valid
+        batch["keypoint_weights"] = inst_kw
     if "heatmap_mask" in ds0.gt_fields:
         # valid-region mask at heatmap resolution (BottomupGetHeatmapMask) —
         # consumed by dekr_head_loss / cid losses as (B, Hh, Wh)

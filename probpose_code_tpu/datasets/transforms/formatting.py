@@ -174,6 +174,7 @@ class PackOneStageInputs:
             gt_vis_weights=kvis_w.astype(np.float32),
             gt_areas=np.asarray(area, np.float32).reshape(-1),
             img_meta=dict(
+                id=results.get("id", results.get("img_id", 0)),
                 img_id=results.get("img_id", 0),
                 ori_shape=results.get("ori_shape"),
                 input_size=results.get("input_size"),

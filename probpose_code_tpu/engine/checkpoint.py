@@ -813,6 +813,21 @@ def _convert_head(sd: Dict[str, Any]):
         if tower_p:
             head_p[name] = tower_p
             head_s[name] = tower_s
+
+    # DEKR RescoreNet (reference dekr_head.py:90-152): 3 torch Linears whose
+    # weights may ship inside a model checkpoint (head.rescore_net.*) or as
+    # the standalone kpt_rescore_*.pth release (bare l1/l2/l3 keys)
+    for prefix in ("head.rescore_net.", "rescore_net.", ""):
+        if (all(f"{prefix}l{i}.weight" in sd for i in (1, 2, 3))
+                and sd[f"{prefix}l1.weight"].ndim == 2):
+            head_p["rescore"] = {
+                f"l{i}": {
+                    "kernel": np.transpose(sd[f"{prefix}l{i}.weight"]),
+                    "bias": sd[f"{prefix}l{i}.bias"],
+                }
+                for i in (1, 2, 3)
+            }
+            break
     return head_p, head_s
 
 

@@ -246,16 +246,34 @@ class Runner:
             self.val_loader = self.build_val_loader()
         if evaluator is None:
             evaluator = self.build_evaluator()
+        if self.state is None and self.model.variables is None:
+            self.model.init()
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats} \
             if self.state is not None else self.model.variables
         predict = self.model.make_predict(flip_test=flip_test, jit=True)
 
         for batch in self.val_loader:
-            data_samples = batch["data_samples"]
+            data_samples = batch.get("data_samples")
+            if data_samples is None and "img_metas" in batch:
+                # one-stage collate (PackOneStageInputs) ships flat meta
+                # dicts instead of PoseDataSamples — synthesize them so the
+                # metric sees the same contract as every other family
+                from probpose_code_tpu.structures import PoseDataSample
+
+                data_samples = []
+                for meta in batch["img_metas"]:
+                    s = PoseDataSample()
+                    s.set_metainfo(dict(meta))
+                    data_samples.append(s)
             preds = predict(variables, jnp.asarray(batch["inputs"]))
             preds = {k: np.asarray(v) for k, v in preds.items()}
             if "pred_logits" in preds:  # DETR-family: host top-k decode
                 attach_edpose_predictions(preds, data_samples, self.model)
+            elif "displacements" in preds or "tags" in preds or "instance_coords" in preds:
+                # bottomup dense heads (DEKR / AE / CID): codec host decode
+                attach_bottomup_predictions(preds, data_samples, self.model, variables=variables)
+            elif getattr(self.model, "onestage", False):
+                attach_onestage_predictions(preds, data_samples, self.model)
             else:
                 attach_predictions(preds, data_samples, self.model.input_size)
             evaluator.process(data_samples)
@@ -380,6 +398,124 @@ def attach_predictions(preds: Dict[str, np.ndarray], data_samples: List, input_s
             inst.set_field(np.asarray(gt.bboxes), "bboxes")
         if "bbox_scores" in gt:
             inst.set_field(np.asarray(gt.bbox_scores), "bbox_scores")
+        sample.pred_instances = inst
+
+
+def _input_to_image(coords: np.ndarray, sample, default_input_size) -> np.ndarray:
+    """Model-input space -> original image space (reference bottomup
+    ``add_pred_to_datasample``, same formula as the topdown path)."""
+    in_wh = np.asarray(sample.metainfo.get("input_size", default_input_size), np.float32)
+    center = np.asarray(sample.metainfo["input_center"], np.float32)
+    scale = np.asarray(sample.metainfo["input_scale"], np.float32)
+    return coords / in_wh * scale + center - 0.5 * scale
+
+
+def _set_bottomup_instances(sample, keypoints, keypoint_scores) -> None:
+    inst = InstanceData()
+    inst.set_field(np.asarray(keypoints, np.float32), "keypoints")
+    inst.set_field(np.asarray(keypoint_scores, np.float32), "keypoint_scores")
+    inst.set_field(np.asarray(keypoint_scores, np.float32), "keypoints_visible")
+    sample.pred_instances = inst
+
+
+def attach_bottomup_predictions(preds: Dict[str, np.ndarray], data_samples: List, model,
+                                variables: Optional[dict] = None) -> None:
+    """Host tail for dense bottomup heads: codec grouping/decoding, DEKR
+    rescoring + nearby-joints NMS, coordinate restore. Mirrors reference
+    ``dekr_head.predict`` (:440-492), ``ae_head.predict`` and
+    ``cid_head.predict`` host sections. ``variables`` must be the tree the
+    predict program ran with (the runner's live train state during val —
+    the model's init tree may have been donated to the train step)."""
+    test_cfg = model.aux["test_cfg"]
+    metainfo = model.metainfo or {}
+    if variables is None:
+        variables = model.variables
+
+    if "displacements" in preds:  # DEKR: SPR decode per sample
+        from probpose_code_tpu.evaluation.functional.nms import nearby_joints_nms
+        from probpose_code_tpu.models.pose_estimators.bottomup import rescore_dekr_instances
+
+        rcfg = model.aux["head_cfg"].get("rescore_cfg")
+        rescore_params = None
+        if rcfg is not None:
+            rescore_params = variables["params"].get("head", {}).get("rescore")
+        skeleton = metainfo.get("skeleton_links")
+        for i, sample in enumerate(data_samples):
+            kpts, (root_scores, kpt_scores) = model.decoder.decode(
+                preds["heatmaps"][i], preds["displacements"][i]
+            )
+            if kpt_scores is None:
+                kpt_scores = np.ones(kpts.shape[:2], np.float32)
+            if rescore_params is not None and skeleton and len(kpts) > 0:
+                inst_scores = rescore_dekr_instances(
+                    kpts, kpt_scores, skeleton,
+                    tuple(rcfg.get("norm_indexes", (5, 6))), rescore_params,
+                )
+                root_scores = root_scores * np.nan_to_num(inst_scores, nan=0.0)
+            scores = root_scores[..., None] * kpt_scores
+            nms_dist_thr = float(test_cfg.get("nms_dist_thr", 0) or 0)
+            if len(kpts) and nms_dist_thr > 0:
+                kpts_db = [dict(keypoints=kpts[j], score=kpt_scores[j]) for j in range(len(kpts))]
+                keep = nearby_joints_nms(
+                    kpts_db, nms_dist_thr, test_cfg.get("nms_joints_thr"),
+                    score_per_joint=True, max_dets=int(test_cfg.get("max_num_people", 30)),
+                )
+                kpts, scores = kpts[keep], scores[keep]
+            if len(kpts):
+                kpts = _input_to_image(kpts, sample, model.input_size)
+            _set_bottomup_instances(sample, kpts, scores)
+        return
+
+    if "tags" in preds:  # AE: tag grouping per batch
+        batch_kpts, batch_scores, _ = model.decoder.batch_decode(preds["heatmaps"], preds["tags"])
+        for sample, kpts, scores in zip(data_samples, batch_kpts, batch_scores):
+            if len(kpts):
+                kpts = _input_to_image(kpts, sample, model.input_size)
+            _set_bottomup_instances(sample, kpts, scores)
+        return
+
+    # CID: instances decoded on device, padded to max_instances
+    for i, sample in enumerate(data_samples):
+        valid = preds["scores"][i] > 0
+        kpts = preds["keypoints"][i][valid]
+        scores = preds["keypoint_scores"][i][valid]
+        if len(kpts):
+            kpts = _input_to_image(kpts, sample, model.input_size)
+        _set_bottomup_instances(sample, kpts, scores)
+
+
+def attach_onestage_predictions(preds: Dict[str, np.ndarray], data_samples: List, model) -> None:
+    """Host tail for one-stage heads (YOLOX-Pose / RTMO) in the val loop:
+    threshold + bbox NMS (``postprocess_onestage``) then coordinate restore,
+    the same tail ``apis.inference_bottomup`` drives for demos."""
+    from probpose_code_tpu.models.heads.yoloxpose_head import postprocess_onestage
+
+    test_cfg = model.aux["test_cfg"]
+    results = postprocess_onestage(
+        preds,
+        score_thr=float(test_cfg.get("score_thr", 0.1)),
+        nms_thr=float(test_cfg.get("nms_thr", 0.65)),
+        input_size=tuple(model.input_size),
+    )
+    for sample, r in zip(data_samples, results):
+        inst = InstanceData()
+        kpts = np.asarray(r["keypoints"], np.float32)
+        bboxes = np.asarray(r["bboxes"], np.float32)
+        if len(kpts):
+            kpts = _input_to_image(kpts, sample, model.input_size)
+        if bboxes.size:
+            bboxes = np.concatenate(
+                [
+                    _input_to_image(bboxes[:, :2], sample, model.input_size),
+                    _input_to_image(bboxes[:, 2:4], sample, model.input_size),
+                ],
+                axis=1,
+            )
+        inst.set_field(kpts, "keypoints")
+        inst.set_field(np.asarray(r["keypoint_scores"], np.float32), "keypoint_scores")
+        inst.set_field(np.asarray(r["keypoints_visible"], np.float32), "keypoints_visible")
+        inst.set_field(bboxes, "bboxes")
+        inst.set_field(np.asarray(r["scores"], np.float32), "bbox_scores")
         sample.pred_instances = inst
 
 

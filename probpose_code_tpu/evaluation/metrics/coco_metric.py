@@ -156,7 +156,10 @@ class CocoMetric(BaseMetric):
                 keypoint_probs=_get("keypoints_probs"),
                 keypoint_oks=_get("keypoints_oks"),
                 keypoint_error=_get("keypoints_error"),
-                category_id=sample.get("category_id", 1),
+                # bottomup samples carry a per-instance category array; the
+                # COCO json wants one scalar per prediction (person=1)
+                category_id=int(np.asarray(sample.get("category_id", 1)).reshape(-1)[0])
+                if np.size(sample.get("category_id", 1)) else 1,
             )
             if "bboxes" in pred_inst:
                 pred["bbox"] = bbox_xyxy2xywh(np.asarray(pred_inst["bboxes"]))

@@ -145,6 +145,18 @@ def build_loss_modules(head_cfg: Dict[str, Any]) -> Dict[str, Any]:
     # single-loss heads (HeatmapHead, SimCCHead, RTMCCHead) use the 'loss' key
     if "loss" in head_cfg and head_cfg["loss"]:
         out["keypoint"] = MODELS.build(head_cfg["loss"])
+    # bottomup heads: DEKR (heatmap + displacement), AE (keypoint + tag),
+    # CID (coupled/decoupled focal + contrastive InfoNCE)
+    for key, short in (
+        ("heatmap_loss", "heatmap"),
+        ("displacement_loss", "displacement"),
+        ("tag_loss", "tag"),
+        ("coupled_heatmap_loss", "coupled"),
+        ("decoupled_heatmap_loss", "decoupled"),
+        ("contrastive_loss", "contrastive"),
+    ):
+        if head_cfg.get(key):
+            out[short] = MODELS.build(head_cfg[key])
     return out
 
 
@@ -215,6 +227,16 @@ class PoseModel:
             def init_fn(module, x):
                 out = module(x, train=False)
                 module.head.log_phi(jnp.zeros((1, out.shape[1], 2), jnp.float32))
+                return out
+
+            self.variables = self.module.init({"params": rng, "dropout": rng}, dummy, method=init_fn)
+        elif self.head_type == "CIDHead":
+            # the GFD only runs per detected instance — drive it once at
+            # init so its params exist in the variable tree
+            def init_fn(module, x):
+                out = module(x, train=False)
+                coords = jnp.zeros((x.shape[0], 2), jnp.int32)
+                module.head.forward_instances(out["feats"], coords, jnp.arange(x.shape[0]))
                 return out
 
             self.variables = self.module.init({"params": rng, "dropout": rng}, dummy, method=init_fn)
@@ -382,6 +404,33 @@ class PoseModel:
             return self._onestage_loss(variables, batch, rngs=rngs)
         batch = self.device_preprocess_batch(batch)
         x = self.preprocess(batch["inputs"])
+        if self.head_type == "CIDHead":
+            # the per-instance GFD pass needs module methods, so the loss
+            # computes inside one method-apply (reference cid_head.py:566-660)
+            from .heads.cid_head import cid_head_loss
+
+            class _DefaultContrastive:
+                temp, loss_weight = 0.05, 1.0
+
+            losses_cfg = dict(
+                coupled=self.loss_modules.get("coupled") or self.loss_modules["keypoint"],
+                decoupled=self.loss_modules.get("decoupled") or self.loss_modules["keypoint"],
+                contrastive=self.loss_modules.get("contrastive") or _DefaultContrastive(),
+            )
+
+            def fn(module, x):
+                outputs = module(x, train=True)
+                return cid_head_loss(
+                    outputs, batch,
+                    lambda f, c, i: module.head.forward_instances(f, c, i),
+                    losses_cfg,
+                )
+
+            losses, new_state = self.module.apply(
+                variables, x, method=fn, rngs=rngs, mutable=["batch_stats"]
+            )
+            total = sum(v for k, v in losses.items() if k.startswith("loss"))
+            return total, (losses, new_state)
         outputs, new_state = self.module.apply(
             variables, x, train=True, rngs=rngs, mutable=["batch_stats"]
         )
@@ -414,6 +463,20 @@ class PoseModel:
             from .pose_estimators.topdown import internet_head_loss
 
             losses = internet_head_loss(outputs, batch)
+        elif self.head_type == "DEKRHead":
+            from .pose_estimators.bottomup import dekr_head_loss
+
+            losses = dekr_head_loss(
+                outputs, batch,
+                self.loss_modules.get("heatmap") or self.loss_modules["keypoint"],
+                self.loss_modules.get("displacement"),
+            )
+        elif self.head_type == "AssociativeEmbeddingHead":
+            from .pose_estimators.bottomup import ae_head_loss
+
+            losses = ae_head_loss(
+                outputs, batch, self.loss_modules["keypoint"], self.loss_modules.get("tag")
+            )
         elif self.head_type in ("TemporalRegressionHead", "TrajectoryRegressionHead", "MotionRegressionHead"):
             # PoseLifter training (reference ``pose_lifter.py:loss`` ->
             # temporal_regression_head.loss: MPJPE on root-centered labels)
@@ -533,6 +596,41 @@ class PoseModel:
             return jax.jit(_predict_onestage_p) if jit else _predict_onestage_p
         flip_test = test_cfg.get("flip_test", False) if flip_test is None else flip_test
         shift_heatmap = test_cfg.get("shift_heatmap", False)
+        if self.head_type == "CIDHead":
+            # instance-conditioned bottomup: the whole detect->GFD->decode
+            # chain is one jitted program (reference cid_head.py:491-564)
+            fi = list(self.metainfo["flip_indices"]) if self.metainfo else None
+            max_instances = int(test_cfg.get("max_instances", 30))
+            score_threshold = float(test_cfg.get("score_threshold", 0.01))
+            blur = int(test_cfg.get("blur_kernel_size", 3))
+            input_size = self.input_size
+            do_flip = bool(flip_test)
+            precision = self._predict_precision()
+
+            def _predict_cid(variables, images):
+                from probpose_code_tpu.models.heads.cid_head import cid_device_predict
+
+                with jax.default_matmul_precision(precision):
+                    x = self.preprocess(images)
+                    if do_flip:
+                        x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
+
+                    def fn(module, x):
+                        outputs = module(x, train=False)
+                        return cid_device_predict(
+                            outputs,
+                            lambda f, c, i: module.head.forward_instances(f, c, i),
+                            flip_test=do_flip,
+                            flip_indices=fi,
+                            input_size=input_size,
+                            max_instances=max_instances,
+                            score_threshold=score_threshold,
+                            blur_kernel_size=blur,
+                        )
+
+                    return self.module.apply(variables, x, method=fn)
+
+            return jax.jit(_predict_cid) if jit else _predict_cid
         if self.metainfo:
             flip_indices = list(self.metainfo["flip_indices"])
         else:
@@ -568,6 +666,20 @@ class PoseModel:
                     outputs, outputs_flipped = split(outs_both)
             else:
                 outputs = self.module.apply(variables, x, train=False)
+            if head_type == "DEKRHead":
+                from .pose_estimators.bottomup import dekr_predict_merge
+
+                return dekr_predict_merge(
+                    outputs, outputs_flipped, flip_indices, input_size, shift_heatmap
+                )
+            if head_type == "AssociativeEmbeddingHead":
+                from .pose_estimators.bottomup import ae_predict_merge
+
+                tag_per_kpt = bool(self.aux["head_cfg"].get("tag_per_keypoint", True))
+                return ae_predict_merge(
+                    outputs, outputs_flipped, flip_indices, shift_heatmap,
+                    tag_per_keypoint=tag_per_kpt,
+                )
             if head_type == "ProbMapHead":
                 return probmap_head_predict(
                     outputs,

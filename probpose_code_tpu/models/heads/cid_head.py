@@ -156,37 +156,101 @@ def cid_head_loss(
     return losses
 
 
+def smooth_heatmaps_device(heatmaps: jnp.ndarray, blur_kernel_size: int) -> jnp.ndarray:
+    """Reference ``cid_head.py:smooth_heatmaps:19-31``: average-pool blur
+    (count_include_pad semantics: divisor is always k*k) averaged with the
+    raw maps. Works on any (..., H, W) layout."""
+    if blur_kernel_size <= 1:
+        return heatmaps
+    k = blur_kernel_size
+    pad = (k - 1) // 2
+    ndim = heatmaps.ndim
+    window = (1,) * (ndim - 2) + (k, k)
+    padding = ((0, 0),) * (ndim - 2) + (((pad, pad),) * 2)
+    summed = jax.lax.reduce_window(heatmaps, 0.0, jax.lax.add, window, (1,) * ndim, padding)
+    return (heatmaps + summed / (k * k)) * 0.5
+
+
 def cid_device_predict(
     outputs: Dict[str, jnp.ndarray],
     forward_instances,
     *,
+    flip_test: bool = False,
+    flip_indices: Optional[Sequence[int]] = None,
+    input_size: Optional[Tuple[int, int]] = None,
     max_instances: int = 30,
     score_threshold: float = 0.01,
-    nms_kernel: int = 3,
+    blur_kernel_size: int = 3,
 ) -> Dict[str, jnp.ndarray]:
-    """Root NMS -> top-M instances -> decoupled heatmaps -> argmax decode
-    (reference ``forward_test`` :152-200 + ``predict`` :491-564)."""
+    """Root detect -> top-M instances -> decoupled heatmaps -> refine decode,
+    entirely in the jitted program (reference ``forward_test`` :152-200 +
+    ``predict`` :491-564, with the reference's dynamic instance filtering
+    replaced by a static top-M + validity mask).
+
+    With ``flip_test`` the inputs batch is [orig; mirrored] (2B): the IIA is
+    a 1x1 conv, which commutes with the mirror, so the flipped half's feats
+    and heatmaps are spatially re-aligned here (reference flips the FEATURE
+    map before the IIA, ``cid_head.py:523-527``); decoupled heatmaps from the
+    mirrored half are channel-gathered with ``flip_indices`` and averaged
+    (:540-543).
+    """
+    from probpose_code_tpu.ops.decode import quarter_offset_refine_batch
     from probpose_code_tpu.ops.heatmap import batch_heatmap_nms
 
-    heatmaps = outputs["heatmaps"]  # (B, K+1, H, W)
-    B, _, H, W = heatmaps.shape
-    roots = heatmaps[:, -1:]
-    roots_nms = batch_heatmap_nms(roots, nms_kernel)[:, 0]  # (B, H, W)
-    flat = roots_nms.reshape(B, -1)
-    scores, idx = jax.lax.top_k(flat, max_instances)  # (B, M)
+    heatmaps = outputs["heatmaps"]  # (B or 2B, K+1, H, W)
+    feats = outputs["feats"]  # NHWC
+    if flip_test:
+        B = heatmaps.shape[0] // 2
+        roots = (heatmaps[:B, -1:] + heatmaps[B:, -1:, :, ::-1]) * 0.5
+        feats = jnp.concatenate([feats[:B], feats[B:, :, ::-1, :]], axis=0)
+    else:
+        B = heatmaps.shape[0]
+        roots = heatmaps[:, -1:]
+    H, W = roots.shape[-2:]
+    max_instances = min(max_instances, H * W)
+
+    smoothed = smooth_heatmaps_device(roots, blur_kernel_size)
+    # hierarchical pool (reference :114-132): kernel grows with map size
+    map_size = (H + W) / 2.0
+    nms_kernel = 7 if map_size > 300 else (5 if map_size > 200 else 3)
+    peaks = batch_heatmap_nms(smoothed, nms_kernel)[:, 0]  # (B, H, W)
+    scores, idx = jax.lax.top_k(peaks.reshape(B, -1), max_instances)  # (B, M)
     xs = (idx % W).astype(jnp.int32)
     ys = (idx // W).astype(jnp.int32)
     coords = jnp.stack([xs, ys], -1).reshape(B * max_instances, 2)
     imgids = jnp.repeat(jnp.arange(B), max_instances)
-    inst_hms = forward_instances(outputs["feats"], coords, imgids)  # (BM, K, H, W)
-    inst_hms = inst_hms.reshape(B, max_instances, -1, H, W)
-    kflat = inst_hms.reshape(B, max_instances, inst_hms.shape[2], -1)
+    if flip_test:
+        coords_all = jnp.concatenate([coords, coords], axis=0)
+        imgids_all = jnp.concatenate([imgids, imgids + B], axis=0)
+    else:
+        coords_all, imgids_all = coords, imgids
+
+    inst_hms = forward_instances(feats, coords_all, imgids_all)  # ((1|2)BM, K, H, W)
+    if flip_test:
+        orig, flipped = jnp.split(inst_hms, 2, axis=0)
+        flipped = flipped[:, jnp.asarray(list(flip_indices))]
+        inst_hms = (orig + flipped) * 0.5
+    inst_hms = smooth_heatmaps_device(inst_hms, blur_kernel_size)  # (BM, K, H, W)
+
+    # DecoupledHeatmap-codec decode on device: argmax + quarter-offset refine
+    K = inst_hms.shape[1]
+    kflat = inst_hms.reshape(B * max_instances, K, -1)
     kidx = jnp.argmax(kflat, axis=-1)
     kx = (kidx % W).astype(jnp.float32)
     ky = (kidx // W).astype(jnp.float32)
+    locs = jnp.stack([kx, ky], -1)  # (BM, K, 2)
+    locs = quarter_offset_refine_batch(locs, inst_hms)
     kscores = jnp.take_along_axis(kflat, kidx[..., None], axis=-1)[..., 0]
+    kscores = kscores.reshape(B, max_instances, K) * scores[..., None]
+
+    keypoints = locs.reshape(B, max_instances, K, 2)
+    if input_size is not None:
+        # input-space scale + the half-cell center shift the reference adds
+        # after decoding (cid_head.py:549-551)
+        scale = jnp.asarray([input_size[0] / W, input_size[1] / H], jnp.float32)
+        keypoints = keypoints * scale + scale * 0.5
     return dict(
-        keypoints=jnp.stack([kx, ky], -1),  # heatmap-space
+        keypoints=keypoints,
         keypoint_scores=kscores,
         scores=scores * (scores > score_threshold),
         instance_coords=coords.reshape(B, max_instances, 2),

@@ -263,3 +263,51 @@ class TestSemiSupervisionLossParity:
         got = SemiSupervisionLoss(self.JP)(output, target, num_iterations=1)
         for k in ("proj_loss", "bone_loss"):
             assert abs(float(want[k]) - float(got[k])) < 1e-4, k
+
+
+def test_dekr_rescore_net_matches_reference_source():
+    """The host-side DEKR rescore forward + the checkpoint mapping must match
+    the reference's own RescoreNet (``dekr_head.py:90-152``), executed here
+    from its genuine source (the class only needs torch + a BaseModule
+    no-op, so it is extracted and exec'd verbatim)."""
+    import re
+
+    import numpy as np
+
+    from probpose_code_tpu.engine.checkpoint import convert_torch_state_dict
+    from probpose_code_tpu.models.pose_estimators.bottomup import rescore_dekr_instances
+
+    src = (REPO.parent / "reference/mmpose/models/heads/hybrid_heads/dekr_head.py").read_text() \
+        if (REPO.parent / "reference").exists() else None
+    if src is None:
+        src = open("/root/reference/mmpose/models/heads/hybrid_heads/dekr_head.py").read()
+    m = re.search(r"class RescoreNet.*?(?=\n\n@)", src, re.S)
+    assert m, "RescoreNet class not found in reference source"
+
+    class BaseModule(torch.nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+
+    ns = dict(torch=torch, BaseModule=BaseModule)
+    exec(compile(m.group(0), "ref_rescore", "exec"), ns)
+    ref_net = ns["RescoreNet"](in_channels=74, norm_indexes=(5, 6))
+    torch.manual_seed(0)
+    for p in ref_net.parameters():
+        torch.nn.init.normal_(p, std=0.2)
+
+    # COCO-style inputs: 10 instances, 17 kpts, 19 skeleton links
+    rng = np.random.RandomState(1)
+    skeleton = [[15, 13], [13, 11], [16, 14], [14, 12], [11, 12], [5, 11],
+                [6, 12], [5, 6], [5, 7], [6, 8], [7, 9], [8, 10], [1, 2],
+                [0, 1], [0, 2], [1, 3], [2, 4], [3, 5], [4, 6]]
+    kpts = rng.rand(10, 17, 2).astype(np.float32) * 200
+    scores = rng.rand(10, 17).astype(np.float32)
+
+    with torch.no_grad():
+        expected = ref_net(torch.from_numpy(kpts), torch.from_numpy(scores), skeleton).numpy()
+
+    sd = {f"head.rescore_net.{k}": v for k, v in ref_net.state_dict().items()}
+    converted = convert_torch_state_dict(sd)
+    rescore = converted["params"]["head"]["rescore"]
+    got = rescore_dekr_instances(kpts, scores, skeleton, (5, 6), rescore)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,235 @@
+"""End-to-end Runner val for the bottomup families (DEKR / AE / CID).
+
+Guards the round-3 gap where ``make_predict`` only knew topdown heads:
+DEKR with the RescoreNet + nearby-joints NMS, AE tag grouping, and the
+CID padded-instance device decode must all produce COCO metrics through
+``runner.val()`` exactly like the reference TestLoop does through
+``model.test_step`` (reference ``pose_estimators/bottomup.py:predict``).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from probpose_code_tpu.config import Config
+from probpose_code_tpu.engine import Runner
+
+pytest.importorskip("orbax.checkpoint")
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def mini_coco(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("minicoco_bottomup")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(3)
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, 5):
+        h = w = 128  # square: fixed BottomupResize output lets batches stack
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        fname = f"{img_id:06d}.jpg"
+        cv2.imwrite(str(img_dir / fname), img)
+        images.append(dict(id=img_id, file_name=fname, width=w, height=h))
+        for _ in range(2):
+            x, y = rng.randint(5, w // 2), rng.randint(5, h // 2)
+            bw, bh = rng.randint(30, 60), rng.randint(40, 70)
+            kpts, nk = [], 0
+            for _k in range(17):
+                kx, ky = x + rng.rand() * bw, y + rng.rand() * bh
+                v = int(rng.choice([0, 1, 2], p=[0.1, 0.2, 0.7]))
+                nk += v > 0
+                kpts.extend([float(kx), float(ky), v])
+            annotations.append(
+                dict(id=ann_id, image_id=img_id, category_id=1,
+                     bbox=[float(x), float(y), float(bw), float(bh)],
+                     area=float(bw * bh), iscrowd=0, keypoints=kpts,
+                     num_keypoints=int(nk))
+            )
+            ann_id += 1
+    ds = dict(images=images, annotations=annotations,
+              categories=[dict(id=1, name="person")])
+    ann_file = root / "annotations.json"
+    ann_file.write_text(json.dumps(ds))
+    return dict(ann_file=str(ann_file), img_dir=str(img_dir))
+
+
+def _make_cfg(mini_coco, work_dir, model, codec, with_mask=False):
+    train_pipeline = [
+        dict(type="LoadImage"),
+        dict(type="BottomupRandomAffine", input_size=codec["input_size"]),
+        dict(type="RandomFlip", direction="horizontal"),
+        dict(type="GenerateTarget", encoder=codec),
+    ]
+    if with_mask:
+        train_pipeline.append(dict(type="BottomupGetHeatmapMask"))
+    train_pipeline.append(dict(type="PackPoseInputs"))
+    val_pipeline = [
+        dict(type="LoadImage"),
+        dict(type="BottomupResize", input_size=codec["input_size"]),
+        dict(type="PackPoseInputs"),
+    ]
+    dataset = dict(
+        type="CocoDataset",
+        ann_file=mini_coco["ann_file"],
+        data_mode="bottomup",
+        data_prefix=dict(img=mini_coco["img_dir"]),
+        pipeline=train_pipeline,
+    )
+    val_dataset = {**dataset, "pipeline": val_pipeline, "test_mode": True}
+    return Config.fromdict(
+        dict(
+            work_dir=str(work_dir),
+            model=model,
+            train_cfg=dict(max_epochs=1, val_interval=1),
+            optim_wrapper=dict(optimizer=dict(type="Adam", lr=1e-3)),
+            env_cfg=dict(mesh=dict(data=2, model=1)),
+            default_hooks=dict(logger=dict(interval=1), checkpoint=dict(interval=10)),
+            train_dataloader=dict(batch_size=2, num_workers=2, dataset=dataset),
+            val_dataloader=dict(batch_size=2, num_workers=2, dataset=val_dataset),
+            val_evaluator=dict(
+                type="CocoMetric", ann_file=mini_coco["ann_file"],
+                prefix="COCO", score_mode="bbox", nms_mode="none",
+            ),
+        )
+    )
+
+
+def _assert_val_metrics(runner):
+    metrics = runner.val()
+    assert "COCO/AP" in metrics
+    for s in runner.val_loader.dataset:
+        pass  # dataset iterable stays healthy after val
+    return metrics
+
+
+def test_runner_dekr_val_with_rescore(mini_coco, tmp_path):
+    # ResNet-18 ends at stride 32: 128px input -> 4x4 maps (the shipped
+    # recipes use HRNet at stride 4; the tiny graph covers the same path)
+    codec = dict(type="SPR", input_size=(128, 128), heatmap_size=(4, 4),
+                 sigma=(2, 1), generate_keypoint_heatmaps=True)
+    model = dict(
+        type="BottomupPoseEstimator",
+        data_preprocessor=dict(type="PoseDataPreprocessor",
+                               mean=[123.675, 116.28, 103.53],
+                               std=[58.395, 57.12, 57.375], bgr_to_rgb=True),
+        backbone=dict(type="ResNet", depth=18),
+        head=dict(
+            type="DEKRHead", in_channels=512, num_keypoints=17,
+            heatmap_loss=dict(type="KeypointMSELoss", use_target_weight=True),
+            displacement_loss=dict(type="SoftWeightSmoothL1Loss",
+                                   use_target_weight=True, supervise_empty=False),
+            rescore_cfg=dict(in_channels=74, norm_indexes=(5, 6)),
+            decoder=codec,
+        ),
+        test_cfg=dict(flip_test=True, shift_heatmap=True, nms_dist_thr=0.05),
+    )
+    cfg = _make_cfg(mini_coco, tmp_path / "dekr", model, codec, with_mask=True)
+    runner = Runner.from_cfg(cfg)
+    runner.train()
+    # rescore params materialized in the tree (torch ckpts convert into them)
+    assert "rescore" in runner.state.params["head"]
+    metrics = _assert_val_metrics(runner)
+    assert np.isfinite(metrics["COCO/AP"])
+
+
+def test_runner_ae_val(mini_coco, tmp_path):
+    codec = dict(type="AssociativeEmbedding", input_size=(128, 128),
+                 heatmap_size=(8, 8), decode_keypoint_order=list(range(17)))
+    model = dict(
+        type="BottomupPoseEstimator",
+        data_preprocessor=dict(type="PoseDataPreprocessor",
+                               mean=[123.675, 116.28, 103.53],
+                               std=[58.395, 57.12, 57.375], bgr_to_rgb=True),
+        backbone=dict(type="ResNet", depth=18),
+        head=dict(
+            type="AssociativeEmbeddingHead", in_channels=512, num_keypoints=17,
+            deconv_out_channels=(64,), deconv_kernel_sizes=(4,),
+            keypoint_loss=dict(type="KeypointMSELoss", use_target_weight=True),
+            tag_loss=dict(type="AssociativeEmbeddingLoss"),
+            decoder=codec,
+        ),
+        test_cfg=dict(flip_test=True, shift_heatmap=True),
+    )
+    cfg = _make_cfg(mini_coco, tmp_path / "ae", model, codec)
+    runner = Runner.from_cfg(cfg)
+    runner.setup_training()
+    metrics = _assert_val_metrics(runner)
+    assert np.isfinite(metrics["COCO/AP"])
+
+
+def test_runner_cid_val(mini_coco, tmp_path):
+    codec = dict(type="DecoupledHeatmap", input_size=(128, 128),
+                 heatmap_size=(4, 4))
+    model = dict(
+        type="BottomupPoseEstimator",
+        data_preprocessor=dict(type="PoseDataPreprocessor",
+                               mean=[123.675, 116.28, 103.53],
+                               std=[58.395, 57.12, 57.375], bgr_to_rgb=True),
+        backbone=dict(type="ResNet", depth=18),
+        head=dict(
+            type="CIDHead", in_channels=512, gfd_channels=32, num_keypoints=17,
+            coupled_heatmap_loss=dict(type="FocalHeatmapLoss"),
+            decoupled_heatmap_loss=dict(type="FocalHeatmapLoss"),
+            decoder=codec,
+        ),
+        test_cfg=dict(flip_test=True, max_instances=8, score_threshold=0.01),
+    )
+    cfg = _make_cfg(mini_coco, tmp_path / "cid", model, codec)
+    runner = Runner.from_cfg(cfg)
+    runner.setup_training()
+    metrics = _assert_val_metrics(runner)
+    assert np.isfinite(metrics["COCO/AP"])
+
+
+def test_runner_onestage_val(mini_coco, tmp_path):
+    """runner.val() routes one-stage (YOLOX-Pose) padded device outputs
+    through the postprocess_onestage host tail + coordinate restore."""
+    model = dict(
+        type="BottomupPoseEstimator",
+        data_preprocessor=dict(type="PoseDataPreprocessor",
+                               mean=[0, 0, 0], std=[1, 1, 1]),
+        backbone=dict(type="CSPDarknet", deepen_factor=0.33, widen_factor=0.25,
+                      out_indices=(2, 3, 4)),
+        neck=dict(type="YOLOXPAFPN", in_channels=[64, 128, 256], out_channels=32,
+                  num_csp_blocks=1),
+        head=dict(type="YOLOXPoseHead", num_keypoints=17, featmap_strides=(8, 16, 32),
+                  head_module_cfg=dict(num_classes=1, in_channels=32, feat_channels=32,
+                                       widen_factor=1.0, stacked_convs=1),
+                  prior_generator=dict(type="MlvlPointGenerator", offset=0,
+                                       strides=[8, 16, 32])),
+        test_cfg=dict(input_size=(128, 128), score_thr=0.0, nms_thr=0.65, nms_pre=20),
+    )
+    val_pipeline = [
+        dict(type="LoadImage"),
+        dict(type="BottomupResize", input_size=(128, 128)),
+        dict(type="PackOneStageInputs"),
+    ]
+    dataset = dict(
+        type="CocoDataset", ann_file=mini_coco["ann_file"], data_mode="bottomup",
+        data_prefix=dict(img=mini_coco["img_dir"]), pipeline=val_pipeline,
+        test_mode=True,
+    )
+    cfg = Config.fromdict(
+        dict(
+            work_dir=str(tmp_path / "yolox"),
+            model=model,
+            train_cfg=dict(max_epochs=1, val_interval=1),
+            optim_wrapper=dict(optimizer=dict(type="Adam", lr=1e-3)),
+            env_cfg=dict(mesh=dict(data=2, model=1)),
+            default_hooks=dict(logger=dict(interval=1), checkpoint=dict(interval=10)),
+            train_dataloader=dict(batch_size=2, num_workers=2, dataset=dataset),
+            val_dataloader=dict(batch_size=2, num_workers=2, dataset=dataset),
+            val_evaluator=dict(type="CocoMetric", ann_file=mini_coco["ann_file"],
+                               prefix="COCO", score_mode="bbox", nms_mode="none"),
+        )
+    )
+    runner = Runner.from_cfg(cfg)
+    metrics = runner.val()
+    assert "COCO/AP" in metrics and np.isfinite(metrics["COCO/AP"])
+
