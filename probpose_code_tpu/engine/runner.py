@@ -267,7 +267,9 @@ class Runner:
                     data_samples.append(s)
             preds = predict(variables, jnp.asarray(batch["inputs"]))
             preds = {k: np.asarray(v) for k, v in preds.items()}
-            if "pred_logits" in preds:  # DETR-family: host top-k decode
+            if "keypoints_3d" in preds:  # PoseLifter: codec denormalize + root restore
+                attach_lifting_predictions(preds, data_samples, self.model)
+            elif "pred_logits" in preds:  # DETR-family: host top-k decode
                 attach_edpose_predictions(preds, data_samples, self.model)
             elif "displacements" in preds or "tags" in preds or "instance_coords" in preds:
                 # bottomup dense heads (DEKR / AE / CID): codec host decode
@@ -385,12 +387,16 @@ def attach_predictions(preds: Dict[str, np.ndarray], data_samples: List, input_s
         w_h = np.asarray(sample.metainfo.get("input_size", input_size), dtype=np.float32)
 
         kpts = preds["keypoints"][i].copy()
-        kpts = kpts / w_h * input_scale + input_center - 0.5 * input_scale
+        if kpts.shape[-1] == 3:  # 3D hand volume: x/y restore, z stays in bins
+            kpts[..., :2] = kpts[..., :2] / w_h * input_scale + input_center - 0.5 * input_scale
+        else:
+            kpts = kpts / w_h * input_scale + input_center - 0.5 * input_scale
 
         inst = InstanceData()
         inst.set_field(kpts[None], "keypoints")
         inst.set_field(preds["keypoint_scores"][i][None], "keypoint_scores")
-        for name in ("keypoints_probs", "keypoints_visible", "keypoints_oks", "keypoints_error", "keypoints_conf"):
+        for name in ("keypoints_probs", "keypoints_visible", "keypoints_oks", "keypoints_error",
+                     "keypoints_conf", "rel_root_depth", "hand_type"):
             if name in preds:
                 inst.set_field(preds[name][i][None], name)
         gt = sample.gt_instances
@@ -482,6 +488,28 @@ def attach_bottomup_predictions(preds: Dict[str, np.ndarray], data_samples: List
         if len(kpts):
             kpts = _input_to_image(kpts, sample, model.input_size)
         _set_bottomup_instances(sample, kpts, scores)
+
+
+def attach_lifting_predictions(preds: Dict[str, np.ndarray], data_samples: List, model) -> None:
+    """Host tail for PoseLifter val: lifting-codec decode (denormalize, add
+    the root back — reference ``temporal_regression_head.predict`` ->
+    ``codec.decode(encoded, target_root)``)."""
+    kpts3d = preds["keypoints_3d"]
+    for i, sample in enumerate(data_samples):
+        pred = np.asarray(kpts3d[i], np.float32)
+        if pred.ndim == 2:
+            pred = pred[None]  # (T=1, K, 3)
+        target_root = sample.metainfo.get("target_root")
+        if target_root is not None:
+            target_root = np.asarray(target_root, np.float32)
+        if model.decoder is not None:
+            kpts, scores = model.decoder.decode(pred, target_root)
+        else:
+            kpts, scores = pred, np.ones(pred.shape[:-1], np.float32)
+        inst = InstanceData()
+        inst.set_field(kpts.astype(np.float32), "keypoints")
+        inst.set_field(scores.astype(np.float32), "keypoint_scores")
+        sample.pred_instances = inst
 
 
 def attach_onestage_predictions(preds: Dict[str, np.ndarray], data_samples: List, model) -> None:

@@ -145,6 +145,14 @@ def build_loss_modules(head_cfg: Dict[str, Any]) -> Dict[str, Any]:
     # single-loss heads (HeatmapHead, SimCCHead, RTMCCHead) use the 'loss' key
     if "loss" in head_cfg and head_cfg["loss"]:
         out["keypoint"] = MODELS.build(head_cfg["loss"])
+    if head_cfg.get("type") == "VisPredictHead":
+        # the wrapper's 'loss' supervises VISIBILITY; the pose loss comes
+        # from the wrapped head (reference hybrid_heads/vis_head.py)
+        out["vis"] = out.pop("keypoint", None) or MODELS.build(
+            dict(type="BCELoss", use_target_weight=False))
+        inner = dict(head_cfg.get("pose_cfg", {}))
+        out["keypoint"] = MODELS.build(inner["loss"]) if inner.get("loss") else MODELS.build(
+            dict(type="KeypointMSELoss", use_target_weight=True))
     # bottomup heads: DEKR (heatmap + displacement), AE (keypoint + tag),
     # CID (coupled/decoupled focal + contrastive InfoNCE)
     for key, short in (
@@ -477,6 +485,14 @@ class PoseModel:
             losses = ae_head_loss(
                 outputs, batch, self.loss_modules["keypoint"], self.loss_modules.get("tag")
             )
+        elif self.head_type == "VisPredictHead":
+            # wrapped-head loss + visibility BCE on the annotated flags
+            # (reference hybrid_heads/vis_head.py:loss)
+            pose_out, vis = outputs
+            losses = heatmap_head_loss(pose_out, batch, self.loss_modules["keypoint"])
+            vis_target = batch.get("keypoints_visibility", batch.get("annotated"))
+            if vis_target is not None:
+                losses["loss_vis"] = self.loss_modules["vis"](vis, vis_target)
         elif self.head_type in ("TemporalRegressionHead", "TrajectoryRegressionHead", "MotionRegressionHead"):
             # PoseLifter training (reference ``pose_lifter.py:loss`` ->
             # temporal_regression_head.loss: MPJPE on root-centered labels)
@@ -596,6 +612,45 @@ class PoseModel:
             return jax.jit(_predict_onestage_p) if jit else _predict_onestage_p
         flip_test = test_cfg.get("flip_test", False) if flip_test is None else flip_test
         shift_heatmap = test_cfg.get("shift_heatmap", False)
+        if self.is_lifter:
+            # 2D->3D lifting (reference ``pose_lifter.py:predict:223-300``):
+            # decode (denormalize + root restore) runs host-side in the val
+            # loop via the lifting codec. Flip-TTA mirrors the input around
+            # x=0 with flip_indices and un-mirrors the 3D output (the
+            # MotionBERT protocol; TCN recipes ship flip_test=False).
+            fi = list(self.metainfo["flip_indices"]) if self.metainfo else None
+            is_dst = self.aux["backbone_cfg"].get("type") == "DSTFormer"
+            do_flip = bool(flip_test) and fi is not None and is_dst
+            precision = self._predict_precision()
+
+            def _predict_lifter(variables, inputs):
+                with jax.default_matmul_precision(precision):
+                    x = self.preprocess(inputs)
+
+                    def run(z):
+                        out = self.module.apply(variables, z, train=False)
+                        return out if isinstance(out, tuple) else (out,)
+
+                    outs = run(x)
+                    if do_flip:
+                        idx = jnp.asarray(fi)
+                        xf = jnp.take(x.at[..., 0].multiply(-1.0), idx, axis=-2)  # (B, T, K, C)
+                        outs_f = run(xf)
+
+                        def unflip(o):
+                            # permute the keypoint axis back, negate x
+                            return jnp.take(o, idx, axis=-2).at[..., 0].multiply(-1.0)
+
+                        outs = tuple(
+                            (o + unflip(of)) * 0.5 if of.ndim >= 3 else o
+                            for o, of in zip(outs, outs_f)
+                        )
+                    preds = dict(keypoints_3d=outs[0])
+                    if len(outs) > 1:
+                        preds["trajectory"] = outs[1]
+                    return preds
+
+            return jax.jit(_predict_lifter) if jit else _predict_lifter
         if self.head_type == "CIDHead":
             # instance-conditioned bottomup: the whole detect->GFD->decode
             # chain is one jitted program (reference cid_head.py:491-564)
@@ -644,6 +699,7 @@ class PoseModel:
         input_size = self.input_size
 
         def _predict(variables, images):
+            head_type = self.head_type  # local: VisPredictHead rebinds to its inner head
             x = self.preprocess(images)
             outputs_flipped = None
             if flip_test:
@@ -666,6 +722,18 @@ class PoseModel:
                     outputs, outputs_flipped = split(outs_both)
             else:
                 outputs = self.module.apply(variables, x, train=False)
+            vis_pred = None
+            if head_type == "VisPredictHead":
+                # unwrap (reference hybrid_heads/vis_head.py:predict): the
+                # inner pose head decodes as usual; visibility averages over
+                # the flip pair with the channel permutation (flip_visibility)
+                inner_type = dict(self.aux["head_cfg"].get("pose_cfg", {})).get("type", "HeatmapHead")
+                outputs, vis_pred = outputs
+                if outputs_flipped is not None:
+                    outputs_flipped, vis_f = outputs_flipped
+                    vis_f = vis_f[:, jnp.asarray(flip_indices)]
+                    vis_pred = (vis_pred + vis_f) * 0.5
+                head_type = inner_type
             if head_type == "DEKRHead":
                 from .pose_estimators.bottomup import dekr_predict_merge
 
@@ -703,11 +771,39 @@ class PoseModel:
                 from .pose_estimators.topdown import simcc_head_predict
 
                 ratio = (self.decoder_cfg or {}).get("simcc_split_ratio", 2.0)
-                return simcc_head_predict(outputs, outputs_flipped, flip_indices, simcc_split_ratio=ratio)
+                res = simcc_head_predict(outputs, outputs_flipped, flip_indices, simcc_split_ratio=ratio)
+                if vis_pred is not None:
+                    res["keypoints_visible"] = vis_pred
+                return res
             if head_type in ("RegressionHead", "RLEHead", "IntegralRegressionHead", "DSNTHead"):
                 from .pose_estimators.topdown import regression_head_predict
 
-                return regression_head_predict(outputs, outputs_flipped, flip_indices, input_size, head_type)
+                res = regression_head_predict(outputs, outputs_flipped, flip_indices, input_size, head_type)
+                if vis_pred is not None:
+                    res["keypoints_visible"] = vis_pred
+                return res
+            if head_type == "InternetHead":
+                # 3D hand volume decode in-jit: argmax over (D, H, W), x/y
+                # scaled to input space, z kept in depth bins (reference
+                # internet_head.py predict -> Hand3DHeatmap decode; the
+                # shipped recipe runs flip_test=False)
+                hm3d = outputs["heatmaps"]  # (B, K, D, Hh, Ww)
+                B3, K3, D3, Hh3, Ww3 = hm3d.shape
+                flat3 = hm3d.reshape(B3, K3, -1)
+                idx3 = jnp.argmax(flat3, axis=-1)
+                vals3 = jnp.take_along_axis(flat3, idx3[..., None], axis=-1)[..., 0]
+                z3 = (idx3 // (Hh3 * Ww3)).astype(jnp.float32)
+                y3 = ((idx3 % (Hh3 * Ww3)) // Ww3).astype(jnp.float32)
+                x3 = (idx3 % Ww3).astype(jnp.float32)
+                kpts3 = jnp.stack(
+                    [x3 / Ww3 * input_size[0], y3 / Hh3 * input_size[1], z3], axis=-1
+                )
+                return dict(
+                    keypoints=kpts3,
+                    keypoint_scores=vals3,
+                    rel_root_depth=outputs["root_depth"][..., 0],
+                    hand_type=jax.nn.sigmoid(outputs["hand_type"]),
+                )
             # plain heatmap head: decode per the decoder codec type
             from probpose_code_tpu.ops.decode import (
                 dark_refine_batch,
@@ -743,7 +839,10 @@ class PoseModel:
                 locs, vals = heatmap_maximum_batch(heatmaps)
                 locs = dark_udp_refine_batch(locs, heatmaps, blur)
                 scale = jnp.asarray([input_size[0] / (W - 1), input_size[1] / (H - 1)], dtype=jnp.float32)
-            return dict(keypoints=locs * scale, keypoint_scores=vals, heatmaps=heatmaps)
+            res = dict(keypoints=locs * scale, keypoint_scores=vals, heatmaps=heatmaps)
+            if vis_pred is not None:
+                res["keypoints_visible"] = vis_pred
+            return res
 
         precision = self._predict_precision()
 

@@ -66,3 +66,47 @@ def test_h36m_videos_not_mixed(tmp_path):
     for info in ds.data_list:
         subjects = {p.split(".")[0] for p in info["img_paths"]}
         assert len(subjects) == 1  # never crosses video boundaries
+
+
+def test_runner_lifter_train_and_val(tmp_path):
+    """PoseLifter end-to-end through the Runner: H36M-style npz -> lifting
+    pipeline -> sharded train epoch -> runner.val() with the MPJPE metric
+    (guards the gap where make_predict had no lifter branch at all)."""
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    from probpose_code_tpu.config import Config
+    from probpose_code_tpu.engine import Runner
+
+    codec = dict(type="VideoPoseLifting", num_keypoints=17, zero_center=True, root_index=0)
+    pipeline = [
+        dict(type="GenerateTarget", encoder=codec),
+        dict(type="PackPoseInputs", meta_keys=("id", "category_id", "target_img_path",
+                                               "flip_indices", "target_root")),
+    ]
+    path = _make_npz(tmp_path)
+    dataset = dict(type="Human36mDataset", ann_file=path, seq_len=9, causal=False,
+                   pipeline=pipeline)
+    cfg = Config.fromdict(dict(
+        work_dir=str(tmp_path / "work_lift"),
+        model=dict(
+            type="PoseLifter",
+            backbone=dict(type="TCN", in_channels=2 * 17, stem_channels=64,
+                          num_blocks=1, kernel_sizes=(3, 3), dropout=0.1),
+            head=dict(type="TemporalRegressionHead", in_channels=64, num_joints=17,
+                      loss=dict(type="MPJPELoss"), decoder=codec),
+        ),
+        train_cfg=dict(max_epochs=1, val_interval=1),
+        optim_wrapper=dict(optimizer=dict(type="Adam", lr=1e-3)),
+        env_cfg=dict(mesh=dict(data=2, model=1)),
+        default_hooks=dict(logger=dict(interval=4), checkpoint=dict(interval=5)),
+        train_dataloader=dict(batch_size=4, num_workers=2, dataset=dataset),
+        val_dataloader=dict(batch_size=4, num_workers=2, dataset={**dataset, "test_mode": True}),
+        val_evaluator=dict(type="MPJPE", mode="mpjpe"),
+    ))
+    runner = Runner.from_cfg(cfg)
+    runner.train()
+    metrics = runner.val()
+    assert "mpjpe/MPJPE" in metrics and np.isfinite(metrics["mpjpe/MPJPE"])
+    # the per-action breakdown flows through the real packed meta
+    assert any(k.startswith("mpjpe/MPJPE_") for k in metrics), metrics.keys()
