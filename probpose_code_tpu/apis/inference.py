@@ -203,7 +203,7 @@ def inference_bottomup(model: PoseModel, img: Union[str, np.ndarray]) -> List[Po
         return _inference_edpose(model, img)
     if getattr(model, "head_type", None) in ("DEKRHead", "AssociativeEmbeddingHead", "CIDHead"):
         return _inference_bottomup_dense(model, img)
-    if not getattr(model, "onestage", False):
+    if not getattr(model, "onestage", False) and getattr(model, "head_type", None) != "EDPoseTPUHead":
         return inference_topdown(model, img, bboxes=None)
 
     import cv2

@@ -103,7 +103,10 @@ class Runner:
     # -- construction helpers ---------------------------------------------
 
     def _collate_fn(self):
-        if getattr(self.model, "onestage", False):
+        if getattr(self.model, "onestage", False) or \
+                getattr(self.model, "head_type", None) == "EDPoseTPUHead":
+            # padded flat-GT batches (PackOneStageInputs); EDPoseTPU trains
+            # on the same contract as the one-stage heads
             from probpose_code_tpu.datasets.transforms import collate_onestage
 
             return collate_onestage
@@ -274,7 +277,8 @@ class Runner:
             elif "displacements" in preds or "tags" in preds or "instance_coords" in preds:
                 # bottomup dense heads (DEKR / AE / CID): codec host decode
                 attach_bottomup_predictions(preds, data_samples, self.model, variables=variables)
-            elif getattr(self.model, "onestage", False):
+            elif getattr(self.model, "onestage", False) or ("bboxes" in preds and "scores" in preds):
+                # one-stage padded outputs (YOLOX-Pose / RTMO / EDPoseTPU)
                 attach_onestage_predictions(preds, data_samples, self.model)
             else:
                 attach_predictions(preds, data_samples, self.model.input_size)

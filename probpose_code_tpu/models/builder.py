@@ -485,6 +485,10 @@ class PoseModel:
             losses = ae_head_loss(
                 outputs, batch, self.loss_modules["keypoint"], self.loss_modules.get("tag")
             )
+        elif self.head_type == "EDPoseTPUHead":
+            from .heads.edpose_head import edpose_loss
+
+            losses = edpose_loss(outputs, batch, input_size=tuple(self.input_size))
         elif self.head_type == "VisPredictHead":
             # wrapped-head loss + visibility BCE on the annotated flags
             # (reference hybrid_heads/vis_head.py:loss)
@@ -651,6 +655,22 @@ class PoseModel:
                     return preds
 
             return jax.jit(_predict_lifter) if jit else _predict_lifter
+        if self.head_type == "EDPoseTPUHead":
+            # trainable DETR-family redesign: normalized two-stage outputs ->
+            # input-pixel boxes/keypoints; host applies score_thr + NMS via
+            # the one-stage attach tail
+            input_size = tuple(self.input_size)
+            precision = self._predict_precision()
+
+            def _predict_edpose_tpu(variables, images):
+                from probpose_code_tpu.models.heads.edpose_head import edpose_device_predict
+
+                with jax.default_matmul_precision(precision):
+                    x = self.preprocess(images)
+                    out = self.module.apply(variables, x, train=False)
+                    return edpose_device_predict(out, input_size)
+
+            return jax.jit(_predict_edpose_tpu) if jit else _predict_edpose_tpu
         if self.head_type == "CIDHead":
             # instance-conditioned bottomup: the whole detect->GFD->decode
             # chain is one jitted program (reference cid_head.py:491-564)

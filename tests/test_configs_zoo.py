@@ -108,3 +108,18 @@ def test_config_forward_smoke(path):
     out = m.forward(m.variables, jnp.zeros((1, h, w, 3)))
     for leaf in jax.tree_util.tree_leaves(out):
         assert np.isfinite(np.asarray(leaf)).all()
+
+    # every head family must also route through make_predict — the program
+    # runner.val / the inference APIs drive. flip_test=False: the smoke
+    # builds with COCO metainfo regardless of the head's keypoint count, so
+    # flip permutations would mis-gather (decode itself is count-agnostic).
+    if m.is_lifter:
+        return  # lifter inputs are keypoint sequences, covered separately
+    if str((model_cfg.get("head") or {}).get("type")) == "EDPoseHead":
+        predict = m.make_predict(flip_test=False, jit=False)
+        preds = predict(m.variables, jnp.zeros((1, h, w, 3)))
+        assert "pred_logits" in preds
+        return
+    predict = m.make_predict(flip_test=False, jit=False)
+    preds = predict(m.variables, jnp.zeros((1, h, w, 3)))
+    assert isinstance(preds, dict) and preds, type(preds)

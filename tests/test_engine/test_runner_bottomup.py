@@ -233,3 +233,44 @@ def test_runner_onestage_val(mini_coco, tmp_path):
     metrics = runner.val()
     assert "COCO/AP" in metrics and np.isfinite(metrics["COCO/AP"])
 
+
+
+def test_runner_edpose_tpu_train_and_val(mini_coco, tmp_path):
+    """The trainable EDPoseTPUHead through the full Runner: one-stage-style
+    padded collate -> edpose_loss train epoch -> device predict -> the
+    one-stage attach tail -> COCO metrics."""
+    model = dict(
+        type="BottomupPoseEstimator",
+        data_preprocessor=dict(type="PoseDataPreprocessor",
+                               mean=[0, 0, 0], std=[1, 1, 1]),
+        backbone=dict(type="ResNet", depth=18, out_indices=(3,)),
+        head=dict(type="EDPoseTPUHead", in_channels=512, num_keypoints=17,
+                  embed_dims=64, num_queries=20, num_human_layers=1,
+                  num_keypoint_layers=1, num_heads=4, ffn_dim=128),
+        test_cfg=dict(input_size=(128, 128), score_thr=0.0, nms_thr=0.65),
+    )
+    pipeline = [
+        dict(type="LoadImage"),
+        dict(type="BottomupResize", input_size=(128, 128)),
+        dict(type="PackOneStageInputs"),
+    ]
+    dataset = dict(
+        type="CocoDataset", ann_file=mini_coco["ann_file"], data_mode="bottomup",
+        data_prefix=dict(img=mini_coco["img_dir"]), pipeline=pipeline,
+    )
+    cfg = Config.fromdict(dict(
+        work_dir=str(tmp_path / "edpose_tpu"),
+        model=model,
+        train_cfg=dict(max_epochs=1, val_interval=1),
+        optim_wrapper=dict(optimizer=dict(type="AdamW", lr=1e-4), clip_grad=dict(max_norm=0.1)),
+        env_cfg=dict(mesh=dict(data=2, model=1)),
+        default_hooks=dict(logger=dict(interval=1), checkpoint=dict(interval=10)),
+        train_dataloader=dict(batch_size=2, num_workers=2, dataset=dataset),
+        val_dataloader=dict(batch_size=2, num_workers=2, dataset={**dataset, "test_mode": True}),
+        val_evaluator=dict(type="CocoMetric", ann_file=mini_coco["ann_file"],
+                           prefix="COCO", score_mode="bbox", nms_mode="none"),
+    ))
+    runner = Runner.from_cfg(cfg)
+    runner.train()
+    metrics = runner.val()
+    assert "COCO/AP" in metrics and np.isfinite(metrics["COCO/AP"])
