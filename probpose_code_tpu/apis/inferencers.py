@@ -158,7 +158,19 @@ class Pose2DInferencer:
                     dets = dets[dets[:, 4] >= bbox_thr][:, :4]
                 img_bboxes = dets if dets is not None and len(dets) else None
 
-            results = inference_topdown(self.model, img, img_bboxes)
+            bottomup = (
+                getattr(self.model, "onestage", False)
+                or getattr(self.model, "head_type", None)
+                in ("DEKRHead", "AssociativeEmbeddingHead", "CIDHead", "EDPoseHead", "EDPoseTPUHead")
+            )
+            if bottomup:
+                # whole-image models ignore detector boxes (reference
+                # pose2d_inferencer.py: data_mode == 'bottomup' branch)
+                from .inference import inference_bottomup
+
+                results = inference_bottomup(self.model, img)
+            else:
+                results = inference_topdown(self.model, img, img_bboxes)
             merged = merge_data_samples(results)
 
             if use_nms and len(results) > 1:

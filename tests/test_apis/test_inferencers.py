@@ -127,3 +127,29 @@ def test_webcam_input_bad_spec():
 
     with pytest.raises(ValueError):
         list(_webcam_inputs("webcam:abc"))
+
+
+def test_pose2d_inferencer_routes_bottomup_models(tmp_path):
+    """A whole-image (bottomup) model must NOT be forced through the
+    single-crop topdown path (reference pose2d_inferencer data_mode
+    routing)."""
+    import cv2
+    import numpy as np
+
+    from probpose_code_tpu.apis import Pose2DInferencer
+
+    img_path = str(tmp_path / "img.jpg")
+    cv2.imwrite(img_path, (np.random.RandomState(0).rand(96, 96, 3) * 255).astype(np.uint8))
+
+    codec = dict(type="SPR", input_size=(64, 64), heatmap_size=(2, 2), sigma=(1, 1),
+                 generate_keypoint_heatmaps=True)
+    cfg = dict(model=dict(
+        type="BottomupPoseEstimator",
+        data_preprocessor=dict(type="PoseDataPreprocessor", mean=[0, 0, 0], std=[1, 1, 1]),
+        backbone=dict(type="ResNet", depth=18),
+        head=dict(type="DEKRHead", in_channels=512, num_keypoints=17, decoder=codec),
+        test_cfg=dict(flip_test=False, nms_dist_thr=0.05),
+    ))
+    inf = Pose2DInferencer(cfg)
+    res = inf(img_path)
+    assert len(res) == 1 and "predictions" in res[0]
