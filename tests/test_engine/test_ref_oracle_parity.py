@@ -311,3 +311,32 @@ def test_dekr_rescore_net_matches_reference_source():
     rescore = converted["params"]["head"]["rescore"]
     got = rescore_dekr_instances(kpts, scores, skeleton, (5, 6), rescore)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_flip_heatmaps_modes_match_reference_source():
+    """All three flip modes (heatmap / udp_combined / offset) plus
+    shift_heatmap must match the reference's own ``models/utils/tta.py``
+    (path-loaded genuine source) — the offset mode carries the DEKR
+    displacement flip semantics."""
+    import numpy as np
+
+    from ref_loader import load_ref_models_utils
+
+    import jax.numpy as jnp
+
+    from probpose_code_tpu.ops.tta import flip_heatmaps
+
+    ref_tta = load_ref_models_utils("tta")
+    rng = np.random.RandomState(0)
+    flip_indices = [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15]
+    for mode, C in (("heatmap", 17), ("udp_combined", 51), ("offset", 34)):
+        for shift in (False, True):
+            if mode == "offset" and shift:
+                continue  # reference offset flip is always unshifted
+            hm = rng.rand(2, C, 8, 6).astype(np.float32)
+            expected = ref_tta.flip_heatmaps(
+                torch.from_numpy(hm), flip_mode=mode,
+                flip_indices=torch.tensor(flip_indices), shift_heatmap=shift,
+            ).numpy()
+            got = np.asarray(flip_heatmaps(jnp.asarray(hm), flip_indices, mode, shift))
+            np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-6, err_msg=f"{mode} shift={shift}")
