@@ -49,7 +49,8 @@ model = dict(
                           checkpoint="https://download.openmmlab.com/mmpose/pretrain_models/kpt_rescore_coco-33d58c5c.pth"),
         ),
     ),
-    test_cfg=dict(flip_test=True),
+    test_cfg=dict(multiscale_test=False, flip_test=True, nms_dist_thr=0.05,
+                  shift_heatmap=True, align_corners=False),
 )
 
 train_pipeline = [

@@ -206,37 +206,9 @@ def inference_bottomup(model: PoseModel, img: Union[str, np.ndarray]) -> List[Po
     if not getattr(model, "onestage", False) and getattr(model, "head_type", None) != "EDPoseTPUHead":
         return inference_topdown(model, img, bboxes=None)
 
-    import cv2
-    import jax.numpy as jnp
-
     from probpose_code_tpu.models.heads.yoloxpose_head import postprocess_onestage
 
-    if isinstance(img, str):
-        image = cv2.imread(img)
-        img_path = img
-        assert image is not None, f"cannot read {img}"
-    else:
-        image = img
-        img_path = None
-    h, w = image.shape[:2]
-
-    metainfo = model.metainfo or parse_pose_metainfo({"dataset_name": "coco"})
-    # reuse the config's resize step but pack as a PoseDataSample (the config
-    # test pipeline packs flat one-stage training arrays instead)
-    resize_cfg = next(
-        (t for t in _default_val_pipeline(model) if t.get("type") == "BottomupResize"),
-        dict(type="BottomupResize", input_size=tuple(model.input_size)),
-    )
-    pipeline = Compose([resize_cfg, dict(type="PackPoseInputs")])
-
-    data_info = dict(
-        img=image.copy(), img_path=img_path, img_shape=(h, w), ori_shape=(h, w),
-        dataset_name=metainfo["dataset_name"], id=0, img_id=0,
-    )
-    out = pipeline(data_info)
-    sample = out["data_samples"]
-    inputs = jnp.asarray(np.asarray(out["inputs"], dtype=np.float32)[None])
-
+    sample, inputs = _prepare_whole_image_input(model, img)
     predict = _cached_predict(model)
     device_out = predict(model.variables, inputs)
     score_thr = float(model.aux["test_cfg"].get("score_thr", 0.1))
@@ -266,15 +238,12 @@ def inference_bottomup(model: PoseModel, img: Union[str, np.ndarray]) -> List[Po
     return [sample]
 
 
-def _inference_bottomup_dense(model: PoseModel, img: Union[str, np.ndarray]) -> List[PoseDataSample]:
-    """Whole-image inference for dense bottomup heads (DEKR / AE / CID):
-    BottomupResize -> jitted dense predict (flip-TTA merged on device) ->
-    the same codec host decode + rescore + NMS tail the runner val loop
-    uses (reference ``BottomupPoseEstimator.predict``)."""
+def _prepare_whole_image_input(model: PoseModel, img: Union[str, np.ndarray]):
+    """Shared whole-image preprocessing for the bottomup-family inference
+    paths: load -> the config's BottomupResize -> PackPoseInputs -> a (1, H,
+    W, 3) device batch + its PoseDataSample (carrying the restore geometry)."""
     import cv2
     import jax.numpy as jnp
-
-    from probpose_code_tpu.engine.runner import attach_bottomup_predictions
 
     if isinstance(img, str):
         image = cv2.imread(img)
@@ -286,6 +255,8 @@ def _inference_bottomup_dense(model: PoseModel, img: Union[str, np.ndarray]) -> 
     h, w = image.shape[:2]
 
     metainfo = model.metainfo or parse_pose_metainfo({"dataset_name": "coco"})
+    # reuse the config's resize step but pack as a PoseDataSample (one-stage
+    # test pipelines pack flat training arrays instead)
     resize_cfg = next(
         (t for t in _default_val_pipeline(model) if t.get("type") == "BottomupResize"),
         dict(type="BottomupResize", input_size=tuple(model.input_size)),
@@ -294,12 +265,22 @@ def _inference_bottomup_dense(model: PoseModel, img: Union[str, np.ndarray]) -> 
     data_info = dict(
         img=image.copy(), img_path=img_path, img_shape=(h, w), ori_shape=(h, w),
         dataset_name=metainfo["dataset_name"], id=0, img_id=0,
-        flip_indices=metainfo["flip_indices"],
+        flip_indices=metainfo.get("flip_indices"),
     )
     out = pipeline(data_info)
     sample = out["data_samples"]
     inputs = jnp.asarray(np.asarray(out["inputs"], dtype=np.float32)[None])
+    return sample, inputs
 
+
+def _inference_bottomup_dense(model: PoseModel, img: Union[str, np.ndarray]) -> List[PoseDataSample]:
+    """Whole-image inference for dense bottomup heads (DEKR / AE / CID):
+    BottomupResize -> jitted dense predict (flip-TTA merged on device) ->
+    the same codec host decode + rescore + NMS tail the runner val loop
+    uses (reference ``BottomupPoseEstimator.predict``)."""
+    from probpose_code_tpu.engine.runner import attach_bottomup_predictions
+
+    sample, inputs = _prepare_whole_image_input(model, img)
     predict = _cached_predict(model)
     preds = predict(model.variables, inputs)
     preds = {k: np.asarray(v) for k, v in preds.items()}

@@ -145,31 +145,31 @@ class Pose2DInferencer:
         pred_out_dir: Optional[str] = None,
         kpt_thr: float = 0.3,
     ) -> List[dict]:
+        # whole-image models ignore detector boxes entirely (reference
+        # pose2d_inferencer.py: data_mode == 'bottomup' branch) — decide
+        # once, and never pay a detector forward for them
+        bottomup = (
+            getattr(self.model, "onestage", False)
+            or getattr(self.model, "head_type", None)
+            in ("DEKRHead", "AssociativeEmbeddingHead", "CIDHead", "EDPoseHead", "EDPoseTPUHead")
+        )
         outputs = []
         for name, img in _enumerate_inputs(inputs):
             if img is None:
                 continue
-            img_bboxes = None
-            if bboxes is not None:
-                img_bboxes = np.asarray(bboxes.get(name, bboxes.get("*", None)))
-            elif self.detector is not None:
-                dets = np.asarray(self.detector(img))
-                if dets.size:
-                    dets = dets[dets[:, 4] >= bbox_thr][:, :4]
-                img_bboxes = dets if dets is not None and len(dets) else None
-
-            bottomup = (
-                getattr(self.model, "onestage", False)
-                or getattr(self.model, "head_type", None)
-                in ("DEKRHead", "AssociativeEmbeddingHead", "CIDHead", "EDPoseHead", "EDPoseTPUHead")
-            )
             if bottomup:
-                # whole-image models ignore detector boxes (reference
-                # pose2d_inferencer.py: data_mode == 'bottomup' branch)
                 from .inference import inference_bottomup
 
                 results = inference_bottomup(self.model, img)
             else:
+                img_bboxes = None
+                if bboxes is not None:
+                    img_bboxes = np.asarray(bboxes.get(name, bboxes.get("*", None)))
+                elif self.detector is not None:
+                    dets = np.asarray(self.detector(img))
+                    if dets.size:
+                        dets = dets[dets[:, 4] >= bbox_thr][:, :4]
+                    img_bboxes = dets if dets is not None and len(dets) else None
                 results = inference_topdown(self.model, img, img_bboxes)
             merged = merge_data_samples(results)
 

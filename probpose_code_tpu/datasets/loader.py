@@ -70,12 +70,32 @@ def collate_pose_samples(samples: List[dict]) -> Dict:
         return v
 
     is_cid = "instance_heatmaps" in ds0.gt_fields
+    is_ae = "keypoint_indices" in ds0.gt_instance_labels
     for name in (
         "keypoint_weights", "keypoint_labels", "keypoint_x_labels", "keypoint_y_labels",
+        "keypoints_visible_weights",
         "lifting_target_label", "lifting_target_weight", "trajectory_weights",
     ):
-        if name in ds0.gt_instance_labels and not (is_cid and name == "keypoint_weights"):
+        if name in ds0.gt_instance_labels and not ((is_cid or is_ae) and name == "keypoint_weights"):
             batch[name] = stack_label(name).astype(np.float32)
+
+    if is_ae:
+        # AE: per-instance (N, K, 2) tag indices and (N, K) weights vary per
+        # image — pad indices to the batch max (the [..., 1] valid flag is 0
+        # on padding) and reduce weights to per-channel for the dense MSE
+        idx_list = [np.asarray(d.gt_instance_labels.keypoint_indices).reshape(-1, *np.asarray(d.gt_instance_labels.keypoint_indices).shape[-2:]) for d in data_samples]
+        kw_list = [np.asarray(d.gt_instance_labels.keypoint_weights).reshape(len(i), -1) if "keypoint_weights" in d.gt_instance_labels else np.ones(i.shape[:2], np.float32) for d, i in zip(data_samples, idx_list)]
+        M = max(1, max(len(i) for i in idx_list))
+        K = idx_list[0].shape[1]
+        idx_pad = np.zeros((len(idx_list), M, K, 2), np.int64)
+        kw_batch = np.zeros((len(idx_list), K), np.float32)
+        for b, (ii, ww) in enumerate(zip(idx_list, kw_list)):
+            n = len(ii)
+            if n:
+                idx_pad[b, :n] = ii
+                kw_batch[b] = ww.max(axis=0)
+        batch["keypoint_indices"] = idx_pad
+        batch["keypoint_weights"] = kw_batch
 
     if "heatmaps" in ds0.gt_fields:
         batch["heatmaps"] = np.stack([np.asarray(d.gt_fields.heatmaps) for d in data_samples]).astype(np.float32)

@@ -449,6 +449,11 @@ def attach_bottomup_predictions(preds: Dict[str, np.ndarray], data_samples: List
         rescore_params = None
         if rcfg is not None:
             rescore_params = variables["params"].get("head", {}).get("rescore")
+            if rescore_params is not None and not np.any(np.asarray(rescore_params["l1"]["kernel"])):
+                # zero-init sentinel: no pretrained rescore weights were
+                # loaded (RescoreMLP docstring) — skip rescoring rather than
+                # multiply scores by an untrained net
+                rescore_params = None
         skeleton = metainfo.get("skeleton_links")
         for i, sample in enumerate(data_samples):
             kpts, (root_scores, kpt_scores) = model.decoder.decode(

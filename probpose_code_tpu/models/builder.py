@@ -187,6 +187,9 @@ class PoseModel:
             # the reference-schema EDPose head carries a transformer
             # 'decoder' cfg; its codec lives under 'data_decoder'
             self.decoder_cfg = head_cfg.get("data_decoder")
+        elif self.head_type == "VisPredictHead":
+            # the wrapper's codec lives on the wrapped pose head
+            self.decoder_cfg = dict(head_cfg.get("pose_cfg", {})).get("decoder")
         else:
             self.decoder_cfg = head_cfg.get("decoder")
         self.decoder = KEYPOINT_CODECS.build(self.decoder_cfg) if self.decoder_cfg else None
@@ -490,13 +493,21 @@ class PoseModel:
 
             losses = edpose_loss(outputs, batch, input_size=tuple(self.input_size))
         elif self.head_type == "VisPredictHead":
-            # wrapped-head loss + visibility BCE on the annotated flags
-            # (reference hybrid_heads/vis_head.py:loss)
+            # wrapped-head loss + visibility BCE; reference
+            # hybrid_heads/vis_head.py:195-210: the visibility TARGET is
+            # keypoint_weights, weighted by keypoints_visible_weights (ones
+            # when absent) iff the loss uses target weights
             pose_out, vis = outputs
             losses = heatmap_head_loss(pose_out, batch, self.loss_modules["keypoint"])
-            vis_target = batch.get("keypoints_visibility", batch.get("annotated"))
+            vis_target = batch.get("keypoint_weights", batch.get("annotated"))
             if vis_target is not None:
-                losses["loss_vis"] = self.loss_modules["vis"](vis, vis_target)
+                vis_mod = self.loss_modules["vis"]
+                if getattr(vis_mod, "use_target_weight", False):
+                    w = batch.get("keypoints_visible_weights")
+                    w = jnp.ones_like(vis_target) if w is None else w
+                    losses["loss_vis"] = vis_mod(vis, vis_target, w)
+                else:
+                    losses["loss_vis"] = vis_mod(vis, vis_target)
         elif self.head_type in ("TemporalRegressionHead", "TrajectoryRegressionHead", "MotionRegressionHead"):
             # PoseLifter training (reference ``pose_lifter.py:loss`` ->
             # temporal_regression_head.loss: MPJPE on root-centered labels)
@@ -674,7 +685,11 @@ class PoseModel:
         if self.head_type == "CIDHead":
             # instance-conditioned bottomup: the whole detect->GFD->decode
             # chain is one jitted program (reference cid_head.py:491-564)
-            fi = list(self.metainfo["flip_indices"]) if self.metainfo else None
+            if self.metainfo:
+                fi = list(self.metainfo["flip_indices"])
+            else:  # identity fallback, same as the generic branch below
+                nk = self.aux["head_cfg"].get("num_keypoints", 17)
+                fi = list(range(nk))
             max_instances = int(test_cfg.get("max_instances", 30))
             score_threshold = float(test_cfg.get("score_threshold", 0.01))
             blur = int(test_cfg.get("blur_kernel_size", 3))

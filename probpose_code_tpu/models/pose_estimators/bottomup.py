@@ -72,15 +72,19 @@ class RescoreMLP(nn.Module):
     pose-geometry features predicting an instance OKS score. The forward at
     decode time runs HOST-side on the decoded (variable-count) instances —
     this module only materializes the params in the flax tree so torch
-    checkpoints convert and orbax save/restore carries them."""
+    checkpoints convert and orbax save/restore carries them. Params are
+    ZERO-initialized: the net is pretrained-or-nothing (no gradient reaches
+    it), and the decode tail skips rescoring while the kernels are all-zero
+    (a random init would silently corrupt every instance score)."""
 
     hidden: int = 256
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Dense(self.hidden, name="l1")(x))
-        x = nn.relu(nn.Dense(self.hidden, name="l2")(x))
-        return nn.Dense(1, name="l3")(x)[..., 0]
+        zeros = nn.initializers.zeros
+        x = nn.relu(nn.Dense(self.hidden, kernel_init=zeros, name="l1")(x))
+        x = nn.relu(nn.Dense(self.hidden, kernel_init=zeros, name="l2")(x))
+        return nn.Dense(1, kernel_init=zeros, name="l3")(x)[..., 0]
 
 
 @MODELS.register_module()
@@ -120,9 +124,14 @@ class DEKRHead(nn.Module):
 
 
 def ae_head_loss(outputs, batch, keypoint_loss, tag_loss) -> Dict[str, jnp.ndarray]:
-    """AE head losses: heatmap MSE + push/pull over padded keypoint indices."""
+    """AE head losses: heatmap MSE (+ valid-region mask, reference
+    ``ae_head.py:294-299``) + push/pull over padded keypoint indices."""
+    hm_mask = batch.get("heatmap_mask")
     losses = {
-        "loss_kpt": keypoint_loss(outputs["heatmaps"], batch["heatmaps"], batch.get("keypoint_weights"))
+        "loss_kpt": keypoint_loss(
+            outputs["heatmaps"], batch["heatmaps"], batch.get("keypoint_weights"),
+            mask=hm_mask[:, None] if hm_mask is not None else None,
+        )
     }
     if "keypoint_indices" in batch:
         pull, push = tag_loss(outputs["tags"], batch["keypoint_indices"])

@@ -158,7 +158,11 @@ def test_runner_ae_val(mini_coco, tmp_path):
     )
     cfg = _make_cfg(mini_coco, tmp_path / "ae", model, codec)
     runner = Runner.from_cfg(cfg)
-    runner.setup_training()
+    runner.train()  # exercises the padded keypoint_indices collate + tag loss
+    # the tag (pull/push) losses actually computed — not silently dropped
+    batch = next(iter(runner.train_loader))
+    assert "keypoint_indices" in batch and batch["keypoint_indices"].ndim == 4
+    assert batch["keypoint_weights"].ndim == 2  # per-channel for the dense MSE
     metrics = _assert_val_metrics(runner)
     assert np.isfinite(metrics["COCO/AP"])
 
