@@ -83,6 +83,13 @@ class DecoupledHeatmap(BaseKeypointCodec):
             bbox = get_instance_bbox(keypoints, keypoints_visible)
             bbox = np.tile(bbox, 2).reshape(-1, 4, 2)
             bbox[:, 1:3, 0] = bbox[:, 0:2, 0]
+        elif np.asarray(bbox).ndim == 2 and np.asarray(bbox).shape[-1] == 4:
+            # plain xyxy (a pipeline without bbox_keep_corner) -> 4 corners;
+            # the reference contract is (N, 8)/(N, 4, 2) corner boxes
+            b = np.asarray(bbox, np.float32)
+            bbox = np.stack(
+                [b[:, [0, 1]], b[:, [0, 3]], b[:, [2, 1]], b[:, [2, 3]]], axis=1
+            )
 
         _keypoints = keypoints / self.scale_factor
         _bbox = bbox.reshape(-1, 4, 2) / self.scale_factor

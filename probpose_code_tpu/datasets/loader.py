@@ -108,28 +108,32 @@ def collate_pose_samples(samples: List[dict]) -> Dict:
     if is_cid:
         # CID: per-image instance counts vary — pad to the batch max and
         # carry a validity mask (cid_head_loss masks on instance_valid)
+        # codec contract (reference decoupled_heatmap.py encode): flat
+        # (N*K, H, W) decoupled heatmaps + (N*K,) weights + (N, 2) roots
+        coords = [np.asarray(d.gt_instance_labels.instance_coords).reshape(-1, 2)
+                  for d in data_samples]
         hms = [np.asarray(d.gt_fields.instance_heatmaps) for d in data_samples]
-        coords = [np.asarray(d.gt_instances.instance_coords) for d in data_samples]
         kws = [
-            np.asarray(d.gt_instance_labels.keypoint_weights)
+            np.asarray(d.gt_instance_labels.keypoint_weights).reshape(-1)
             if "keypoint_weights" in d.gt_instance_labels
-            else np.ones(h.shape[:2], np.float32)
+            else np.ones(h.shape[0], np.float32)
             for d, h in zip(data_samples, hms)
         ]
-        M = max(1, max(h.shape[0] for h in hms))
         B = len(hms)
-        K, Hh, Wh = hms[0].shape[1:]
+        M = max(1, max(len(c) for c in coords))
+        Hh, Wh = hms[0].shape[-2:]
+        K = max(1, max(h.shape[0] // max(1, len(c)) for h, c in zip(hms, coords)))
         inst_hms = np.zeros((B, M, K, Hh, Wh), np.float32)
         inst_coords = np.zeros((B, M, 2), np.int64)
         inst_valid = np.zeros((B, M), np.float32)
-        inst_kw = np.zeros((B, M, kws[0].shape[-1] if kws[0].ndim == 2 else K), np.float32)
+        inst_kw = np.zeros((B, M, K), np.float32)
         for b, (h, c, w) in enumerate(zip(hms, coords, kws)):
-            n = h.shape[0]
+            n = len(c)
             if n:
-                inst_hms[b, :n] = h
-                inst_coords[b, :n] = c.reshape(n, 2)
+                inst_hms[b, :n] = h.reshape(n, K, Hh, Wh)
+                inst_coords[b, :n] = c
                 inst_valid[b, :n] = 1.0
-                inst_kw[b, :n] = w.reshape(n, -1)
+                inst_kw[b, :n] = w.reshape(n, K)
         batch["instance_heatmaps"] = inst_hms
         batch["instance_coords"] = inst_coords
         batch["instance_valid"] = inst_valid

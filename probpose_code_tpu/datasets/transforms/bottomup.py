@@ -153,12 +153,22 @@ class BottomupRandomAffine:
                     results["keypoints"], results["keypoints_visible"], (w, h)
                 )
         if results.get("bbox", None) is not None:
-            bbox = np.asarray(results["bbox"], np.float32).reshape(-1, 4)
-            corners = np.stack(
-                [bbox[:, [0, 1]], bbox[:, [2, 1]], bbox[:, [2, 3]], bbox[:, [0, 3]]], axis=1
-            )  # (N, 4, 2)
+            bbox = np.asarray(results["bbox"], np.float32)
+            if bbox.ndim == 3 or bbox.shape[-1] == 8:  # already corner form
+                corners = bbox.reshape(-1, 4, 2)
+            else:
+                bbox = bbox.reshape(-1, 4)
+                corners = np.stack(
+                    [bbox[:, [0, 1]], bbox[:, [2, 1]], bbox[:, [2, 3]], bbox[:, [0, 3]]], axis=1
+                )  # (N, 4, 2)
             corners = _apply(corners)
-            bbox = np.concatenate([corners.min(1), corners.max(1)], axis=-1)
+            if self.bbox_keep_corner:
+                # reference bottomup_transforms.py:376-380 default: keep the
+                # warped 4-corner form — DecoupledHeatmap's instance-wise
+                # sigmas depend on true (possibly rotated) corner boxes
+                bbox = corners
+            else:
+                bbox = np.concatenate([corners.min(1), corners.max(1)], axis=-1)
             if self.clip_border:
                 bbox = bbox_clip_border(bbox, (w, h))
             results["bbox"] = bbox

@@ -186,7 +186,9 @@ def test_runner_cid_val(mini_coco, tmp_path):
     )
     cfg = _make_cfg(mini_coco, tmp_path / "cid", model, codec)
     runner = Runner.from_cfg(cfg)
-    runner.setup_training()
+    runner.train()  # exercises the padded-instance CID collate + GFD loss
+    batch = next(iter(runner.train_loader))
+    assert batch["instance_heatmaps"].ndim == 5 and batch["instance_valid"].ndim == 2
     metrics = _assert_val_metrics(runner)
     assert np.isfinite(metrics["COCO/AP"])
 
