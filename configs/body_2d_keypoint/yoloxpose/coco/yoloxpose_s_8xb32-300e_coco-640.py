@@ -89,7 +89,7 @@ model = dict(
         loss_oks=dict(type="OKSLoss", metainfo=metafile, loss_weight=30.0),
         loss_vis=dict(type="BCELoss", use_target_weight=True, loss_weight=1.0),
     ),
-    test_cfg=dict(input_size=input_size, score_thr=0.1, nms_thr=0.65, nms_pre=300),
+    test_cfg=dict(input_size=input_size, score_thr=0.01, nms_thr=0.65, nms_pre=300),
 )
 
 # hooks (RTMO two-stage training schedule)

@@ -53,6 +53,11 @@ SCOPED_CHECKS = [
     ("val_evaluator", r"use_area=(\w+)", "use_area"),
     ("default_hooks", r'save_best="([\w/\- @.]+)"', "save_best"),
     ("test_cfg=dict", r"flip_test=(\w+)", "flip_test"),
+    ("test_cfg=dict", r"nms_dist_thr=([\d.]+)", "nms_dist_thr"),
+    ("test_cfg=dict", r"shift_heatmap=(\w+)", "shift_heatmap"),
+    ("test_cfg=dict", r"score_thr=([\d.]+)", "score_thr"),
+    ("test_cfg=dict", r"nms_thr=([\d.]+)", "nms_thr"),
+    ("head=dict", r"rescore_cfg=dict\(\s*in_channels=(\d+)", "rescore_in_channels"),
 ]
 
 
