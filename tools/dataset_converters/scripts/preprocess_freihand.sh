@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# Unpack the OpenDataLab FreiHAND archive into the mmpose-style data layout
+# (counterpart of the reference script of the same name; used with
+# `mim download --dataset` style downloads).
+#
+# Usage: bash tools/dataset_converters/scripts/preprocess_freihand.sh DOWNLOAD_DIR DATA_ROOT
+
+set -e
+DOWNLOAD_DIR=$1
+DATA_ROOT=$2
+
+tar -zxvf $DOWNLOAD_DIR/OpenDataLab___FreiHAND/raw/FreiHAND.tar.gz -C $DATA_ROOT
+rm -rf $DOWNLOAD_DIR/OpenDataLab___FreiHAND

@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# Unpack the OpenDataLab MPII Human Pose archive into the mmpose-style data layout
+# (counterpart of the reference script of the same name; used with
+# `mim download --dataset` style downloads).
+#
+# Usage: bash tools/dataset_converters/scripts/preprocess_mpii.sh DOWNLOAD_DIR DATA_ROOT
+
+set -e
+DOWNLOAD_DIR=$1
+DATA_ROOT=$2
+
+tar -zxvf $DOWNLOAD_DIR/OpenDataLab___MPII_Human_Pose/raw/MPII_Human_Pose.tar.gz -C $DATA_ROOT
+rm -rf $DOWNLOAD_DIR/OpenDataLab___MPII_Human_Pose
