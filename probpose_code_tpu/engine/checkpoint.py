@@ -530,6 +530,11 @@ def _convert_rtmo_model(sd: Dict[str, Any]) -> Dict[str, Any]:
         params["head"], stats["head"] = convert_torch_rtmo_head(sd)
     elif "head.head_module.out_kpt.0.weight" in sd:
         params["head"], stats["head"] = convert_torch_yoloxpose_head(sd)
+    elif any(k.startswith("head.") for k in sd):  # plain heatmap-style head
+        head_p, head_s = _convert_head(sd)
+        params["head"] = head_p
+        if head_s:
+            stats["head"] = head_s
     return {"params": params, "batch_stats": stats}
 
 

@@ -69,7 +69,9 @@ def install_mm_stubs() -> None:
 
     def build_activation_layer(cfg):
         t = (dict(cfg or {})).get("type", "ReLU")
-        return {"ReLU": nn.ReLU, "SiLU": nn.SiLU, "GELU": nn.GELU, "LeakyReLU": nn.LeakyReLU}[t]()
+        return {"ReLU": nn.ReLU, "SiLU": nn.SiLU, "Swish": nn.SiLU, "GELU": nn.GELU,
+                "LeakyReLU": nn.LeakyReLU, "Hardsigmoid": nn.Hardsigmoid,
+                "HSigmoid": nn.Hardsigmoid, "Sigmoid": nn.Sigmoid, "Tanh": nn.Tanh}[t]()
 
     def build_norm_layer(cfg, num_features, postfix=""):
         t = (dict(cfg or {})).get("type", "BN")
@@ -251,12 +253,35 @@ def install_mm_stubs() -> None:
                 out = out.permute(1, 0, 2)
             return self.dropout(out) + identity
 
+    class DepthwiseSeparableConvModule(nn.Module):
+        """mmcv layout: 'depthwise_conv' + 'pointwise_conv' ConvModules."""
+
+        def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, norm_cfg=None, act_cfg=dict(type="ReLU"),
+                     dw_norm_cfg="default", dw_act_cfg="default",
+                     pw_norm_cfg="default", pw_act_cfg="default", **kwargs):
+            super().__init__()
+            dw_norm_cfg = dw_norm_cfg if dw_norm_cfg != "default" else norm_cfg
+            dw_act_cfg = dw_act_cfg if dw_act_cfg != "default" else act_cfg
+            pw_norm_cfg = pw_norm_cfg if pw_norm_cfg != "default" else norm_cfg
+            pw_act_cfg = pw_act_cfg if pw_act_cfg != "default" else act_cfg
+            self.depthwise_conv = ConvModule(
+                in_channels, in_channels, kernel_size, stride=stride,
+                padding=padding, dilation=dilation, groups=in_channels,
+                norm_cfg=dw_norm_cfg, act_cfg=dw_act_cfg)
+            self.pointwise_conv = ConvModule(
+                in_channels, out_channels, 1, norm_cfg=pw_norm_cfg, act_cfg=pw_act_cfg)
+
+        def forward(self, x):
+            return self.pointwise_conv(self.depthwise_conv(x))
+
     bricks_tr.FFN = FFN
     bricks_tr.MultiheadAttention = MultiheadAttention
     mmcv_ops = _module("mmcv.ops")
     mmcv_ops.MultiScaleDeformableAttention = MultiScaleDeformableAttention
     mmcv_cnn.Linear = nn.Linear
     mmcv_cnn.ConvModule = ConvModule
+    mmcv_cnn.DepthwiseSeparableConvModule = DepthwiseSeparableConvModule
     mmcv_cnn.build_activation_layer = build_activation_layer
     mmcv_cnn.build_norm_layer = build_norm_layer
     mmcv_cnn.build_conv_layer = build_conv_layer
@@ -312,6 +337,9 @@ def install_mm_stubs() -> None:
     import torch
 
     mm_dl.TORCH_VERSION = torch.__version__
+    mm_parrots = _module("mmengine.utils.dl_utils.parrots_wrapper")
+    mm_parrots._BatchNorm = torch.nn.modules.batchnorm._BatchNorm
+    mm_dl.parrots_wrapper = mm_parrots
     mm_utils.dl_utils = mm_dl
     mmengine.model = mm_model
     mmengine.utils = mm_utils
@@ -430,6 +458,66 @@ def load_ref_losses(module_name: str = "regression_loss"):
             sp.__path__ = [os.path.join(REF, "mmpose", "models", d)]
             sys.modules[f"{pkg_name}.{sub}"] = sp
     return importlib.import_module(f"{pkg_name}.losses.{module_name}")
+
+
+def load_ref_backbone(module_name: str):
+    """Import ``mmpose/models/backbones/<module_name>.py`` from the reference
+    as genuine source (hrnet, resnet, csp_darknet, cspnext, ...).
+
+    The synthetic ``ref_backbones`` package resolves the modules' relative
+    imports (``.resnet``, ``.csp_darknet``, ``.base_backbone``); CSP-family
+    modules additionally need the reference's own ``CSPLayer``
+    (``mmpose/models/utils/csp_layer.py``), which is path-loaded — never
+    re-implemented."""
+    install_mm_stubs()
+
+    registry = _module("mmpose.registry")
+    if not hasattr(registry, "MODELS"):
+        class _MiniRegistry:
+            def __init__(self):
+                self._classes = {}
+
+            def register_module(self, *a, **k):
+                def deco(cls):
+                    self._classes[cls.__name__] = cls
+                    return cls
+
+                if a and callable(a[0]):
+                    return deco(a[0])
+                return deco
+
+            def build(self, cfg):
+                cfg = dict(cfg)
+                cls = self._classes[cfg.pop("type")]
+                return cls(**cfg)
+
+        registry.MODELS = _MiniRegistry()
+        sys.modules["mmpose"].registry = registry
+
+    mm_models = _module("mmpose.models")
+    mm_models_utils = _module("mmpose.models.utils")
+    if not hasattr(mm_models_utils, "CSPLayer"):
+        csp = load_ref_models_utils("csp_layer")
+        mm_models_utils.CSPLayer = csp.CSPLayer
+    mm_models.utils = mm_models_utils
+
+    # two-level synthetic tree so `from ..utils import CSPLayer` resolves;
+    # shares the `ref_mm_models` root with load_ref_losses.
+    pkg_name = "ref_mm_models"
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [os.path.join(REF, "mmpose", "models")]
+        sys.modules[pkg_name] = pkg
+    for sub, d in (("backbones", "backbones"), ("utils", "utils")):
+        full = f"{pkg_name}.{sub}"
+        if full not in sys.modules:
+            sp = types.ModuleType(full)
+            sp.__path__ = [os.path.join(REF, "mmpose", "models", d)]
+            sys.modules[full] = sp
+    ref_utils_pkg = sys.modules[f"{pkg_name}.utils"]
+    if not hasattr(ref_utils_pkg, "CSPLayer"):
+        ref_utils_pkg.CSPLayer = mm_models_utils.CSPLayer
+    return importlib.import_module(f"{pkg_name}.backbones.{module_name}")
 
 
 def load_ref_transformer_head(module_name: str = "edpose_head"):
