@@ -23,6 +23,7 @@ from probpose_code_tpu.structures.bbox import (
     get_warp_matrix,
 )
 from probpose_code_tpu.structures.keypoint import keypoint_clip_border
+from probpose_code_tpu.datasets.transforms.loading import materialize_image
 
 
 @TRANSFORMS.register_module()
@@ -96,6 +97,7 @@ class BottomupRandomAffine:
         return np.array([_w, _h], dtype=np.float32)
 
     def __call__(self, results: Dict) -> Optional[dict]:
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         img_h, img_w = results["img"].shape[:2]
         w, h = self.input_size
 
@@ -209,6 +211,7 @@ class BottomupResize:
         return int(np.ceil(value / factor)) * factor
 
     def __call__(self, results: Dict) -> Optional[dict]:
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         img = results["img"]
         img_h, img_w = img.shape[:2]
         w, h = self.input_size
@@ -271,6 +274,7 @@ class BottomupGetHeatmapMask:
         return mask
 
     def __call__(self, results: Dict) -> Optional[dict]:
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         invalid_segs = results.get("invalid_segs", [])
         img_shape = results.get("ori_shape") or results["img"].shape[:2]
         mask = self._segs_to_mask(invalid_segs, img_shape)
@@ -357,6 +361,7 @@ class BottomupRandomCrop:
         return int(h * crop_h + 0.5), int(w * crop_w + 0.5)
 
     def __call__(self, results: Dict) -> Optional[dict]:
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         img = results["img"]
         crop_h, crop_w = self._get_crop_size(img.shape[:2])
         margin_h = max(img.shape[0] - crop_h, 0)
@@ -425,6 +430,7 @@ class BottomupRandomChoiceResize:
         self.clip_object_border = clip_object_border
 
     def __call__(self, results: Dict) -> Optional[dict]:
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         idx = np.random.randint(len(self.scales))
         scale = self.scales[idx]
         if isinstance(scale, (int, float)):  # int scale -> square (s, s)

@@ -21,6 +21,7 @@ import numpy as np
 from probpose_code_tpu.registry import KEYPOINT_CODECS, TRANSFORMS
 from probpose_code_tpu.structures.bbox import bbox_cs2xyxy, bbox_xyxy2cs, flip_bbox
 from probpose_code_tpu.structures.keypoint import flip_keypoints
+from probpose_code_tpu.datasets.transforms.loading import materialize_image
 
 
 @TRANSFORMS.register_module()
@@ -272,6 +273,7 @@ class RandomPatchesBlackout:
         self.prob = prob
 
     def __call__(self, results: Dict) -> Optional[dict]:
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         img = results["img"]
         kpts = (results.get("transformed_keypoints", results["keypoints"])).reshape(-1, 2)
         h, w = img.shape[:2]
@@ -340,6 +342,7 @@ class RandomEdgesBlackout:
         return mask, (x, y, x + dw, y + dh)
 
     def __call__(self, results: Dict) -> Optional[dict]:
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         img = results["img"]
         kpts = (results.get("transformed_keypoints", results["keypoints"])).reshape(-1, 2)
         mask, (x1, y1, x2, y2) = self._random_mask(
@@ -379,6 +382,7 @@ class PhotometricDistortion:
         self.hue_delta = hue_delta
 
     def __call__(self, results: Dict) -> Optional[dict]:
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         img = results["img"].astype(np.float32)
 
         if np.random.randint(2):
@@ -430,6 +434,7 @@ class CoarseDropout:
     def __call__(self, results: Dict) -> Optional[dict]:
         if np.random.rand() >= self.prob:
             return results
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         img = results["img"]
         h, w = img.shape[:2]
         n = np.random.randint(self.min_holes, self.max_holes + 1)
@@ -458,6 +463,7 @@ class GridMask:
     def __call__(self, results: Dict) -> Optional[dict]:
         if np.random.rand() >= self.prob:
             return results
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         img = results["img"]
         h, w = img.shape[:2]
         d = int(np.random.uniform(*self.d_range) * min(h, w))
@@ -490,6 +496,7 @@ class YOLOXHSVRandomAug:
         self.value_delta = value_delta
 
     def __call__(self, results: Dict) -> Optional[dict]:
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         img = results["img"]
         hsv_gains = np.random.uniform(-1, 1, 3) * [self.hue_delta, self.saturation_delta, self.value_delta]
         hsv_gains *= np.random.randint(0, 2, 3)
@@ -853,6 +860,7 @@ class Albumentation:
         raise KeyError(kind)
 
     def __call__(self, results):
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         img = results["img"]
         if self._have_pkg:  # pragma: no cover - albumentations not in image
             import albumentations as A

@@ -16,6 +16,7 @@ import numpy as np
 
 from probpose_code_tpu.registry import TRANSFORMS
 from probpose_code_tpu.structures import InstanceData, PixelData, PoseDataSample
+from probpose_code_tpu.datasets.transforms.loading import materialize_image
 
 
 @TRANSFORMS.register_module()
@@ -83,6 +84,7 @@ class PackPoseInputs:
         self.pack_transformed = pack_transformed
 
     def __call__(self, results: Dict) -> Optional[dict]:
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         inputs = None
         if "img" in results:
             inputs = np.ascontiguousarray(results["img"])  # HWC (BGR)
@@ -152,6 +154,7 @@ class PackOneStageInputs:
     """
 
     def __call__(self, results: dict) -> dict:
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         img = results["img"]
         kpts = np.asarray(results.get("keypoints", np.zeros((0, 17, 2))), np.float32)
         kvis = np.asarray(results.get("keypoints_visible", np.zeros(kpts.shape[:2])), np.float32)

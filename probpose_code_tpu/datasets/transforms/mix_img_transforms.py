@@ -20,6 +20,7 @@ import numpy as np
 from probpose_code_tpu.registry import TRANSFORMS
 from probpose_code_tpu.structures.bbox import bbox_clip_border, flip_bbox
 from probpose_code_tpu.structures.keypoint import flip_keypoints, keypoint_clip_border
+from probpose_code_tpu.datasets.transforms.loading import materialize_image
 
 
 class MixImageTransform:
@@ -37,6 +38,7 @@ class MixImageTransform:
             self.pre_transform = Compose(pre_transform)
 
     def __call__(self, results: dict) -> dict:
+        materialize_image(results)  # lazy-loaded images carry bytes, not pixels
         if random.uniform(0, 1) < self.prob and results.get("dataset") is not None:
             dataset = results.pop("dataset")
             results["mixed_data_list"] = self._get_mixed_data_list(dataset)

@@ -46,6 +46,7 @@ class TopdownAffine:
         device_warp: bool = False,
         canvas_size: Tuple[int, int] = (640, 640),
         with_bbox_mask: bool = True,
+        fast_decode: bool = False,
     ):
         assert len(input_size) == 2
         self.input_size = input_size
@@ -57,6 +58,10 @@ class TopdownAffine:
         # sample but is only consumed by the DoubleProbMap family; pipelines
         # that don't need it can switch it off
         self.with_bbox_mask = with_bbox_mask
+        # lazy-loaded samples (LoadImage(lazy=True)) may additionally decode
+        # at a DCT-domain 1/2..1/8 scale when the warp downsamples >= 2x —
+        # a training-quality approximation (off = bit-parity with cv2)
+        self.fast_decode = fast_decode
 
     def _make_canvas(self, img: np.ndarray, warp_mat: np.ndarray, dst_size: Tuple[int, int]):
         """Extract the warp's source ROI into the fixed canvas and compose
@@ -115,16 +120,23 @@ class TopdownAffine:
     def __call__(self, results: Dict) -> Optional[dict]:
         w, h = self.input_size
         warp_size = (int(w), int(h))
+
+        # lazy-loaded JPEG (LoadImage(lazy=True)): the native kernel fuses
+        # region decode + flip + warp (+ bbox mask); incompatible cases
+        # (vertical/diagonal flips, multi-frame, device_warp) materialize
+        use_native = (
+            "img_bytes" in results
+            and not self.device_warp
+            and not isinstance(results["img"], list)
+            and (not results.get("flip", False) or results.get("flip_direction") == "horizontal")
+        )
+        if "img_bytes" in results and not use_native:
+            from probpose_code_tpu.datasets.transforms.loading import materialize_image
+
+            materialize_image(results)
+
         first_img = results["img"][0] if isinstance(results["img"], list) else results["img"]
         img_h, img_w = first_img.shape[:2]
-
-        if self.with_bbox_mask:
-            bbox_xyxy = np.asarray(results["bbox_xyxy_wrt_input"], dtype=np.float64).flatten().copy()
-            bbox_xyxy[:2] = np.maximum(bbox_xyxy[:2], 0)
-            bbox_xyxy[2:4] = np.minimum(bbox_xyxy[2:4], [img_w, img_h])
-            x0, y0, x1, y1 = bbox_xyxy[:4].astype(int)
-            bbox_mask = np.zeros((img_h, img_w), dtype=np.uint8)
-            bbox_mask[y0:y1, x0:x1] = 1
 
         # re-derive center/scale from the (possibly cropped) activation bbox
         _c, _s = bbox_xyxy2cs(np.asarray(results["bbox_xyxy_wrt_input"]), padding=self.input_padding)
@@ -144,7 +156,39 @@ class TopdownAffine:
             warp_mat = get_warp_matrix(center, scale, rot, output_size=(w, h))
         warp_mat = warp_mat.astype(np.float32)
 
-        if self.device_warp:
+        if use_native:
+            from probpose_code_tpu.datasets import native_decode
+            from probpose_code_tpu.datasets.transforms.loading import materialize_image
+
+            rect = (
+                np.asarray(results["bbox_xyxy_wrt_input"], np.float64).flatten()[:4]
+                if self.with_bbox_mask
+                else None
+            )
+            out = native_decode.decode_warp(
+                results["img_bytes"],
+                warp_mat,
+                (warp_size[0], warp_size[1]),
+                flip_h=bool(results.get("flip", False)),
+                fast_scale=self.fast_decode,
+                mask_rect=rect,
+                img_size=(img_w, img_h),  # probed by LoadImage(lazy=True)
+            )
+            if out is None:  # native lib unavailable / corrupt stream
+                materialize_image(results)
+                use_native = False
+            else:
+                results.pop("img_bytes", None)
+                if self.with_bbox_mask:
+                    crop, native_mask = out
+                    results["bbox_mask"] = native_mask.reshape(1, h, w)
+                else:
+                    crop = out
+                results["img"] = crop
+
+        if use_native:
+            pass  # warped above
+        elif self.device_warp:
             assert not isinstance(results["img"], list), "device_warp does not support multi-frame inputs"
             canvas, canvas_mat = self._make_canvas(results.pop("img"), warp_mat, (w, h))
             results["canvas"] = canvas
@@ -157,6 +201,14 @@ class TopdownAffine:
                 cv2.warpAffine(img, warp_mat, warp_size, flags=cv2.INTER_LINEAR) for img in results["img"]
             ]
         else:
+            if self.with_bbox_mask:
+                img_h, img_w = results["img"].shape[:2]
+                bbox_xyxy = np.asarray(results["bbox_xyxy_wrt_input"], dtype=np.float64).flatten().copy()
+                bbox_xyxy[:2] = np.maximum(bbox_xyxy[:2], 0)
+                bbox_xyxy[2:4] = np.minimum(bbox_xyxy[2:4], [img_w, img_h])
+                x0, y0, x1, y1 = bbox_xyxy[:4].astype(int)
+                bbox_mask = np.zeros((img_h, img_w), dtype=np.uint8)
+                bbox_mask[y0:y1, x0:x1] = 1
             results["img"] = cv2.warpAffine(results["img"], warp_mat, warp_size, flags=cv2.INTER_LINEAR)
             if self.with_bbox_mask:
                 bbox_mask = cv2.warpAffine(bbox_mask, warp_mat, warp_size, flags=cv2.INTER_LINEAR)

@@ -47,7 +47,11 @@ class ScalarBranchTower(nn.Module):
         for i, pool in enumerate(self.pool_sizes):
             x = nn.Conv(self.channels, kernel_size=(3, 3), padding="SAME", dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=f"bn{i}")(x)
-            x = nn.max_pool(x, window_shape=tuple(pool), strides=tuple(pool), padding="VALID")
+            # clamp the window to the remaining extent: feature grids smaller
+            # than the canonical 16x12 (inputs < 256x192) would otherwise
+            # produce an EMPTY tensor whose mean is silently nan
+            window = (min(pool[0], x.shape[1]), min(pool[1], x.shape[2]))
+            x = nn.max_pool(x, window_shape=window, strides=window, padding="VALID")
             x = nn.relu(x)
         x = nn.Conv(self.out_channels, kernel_size=(1, 1), name="final")(x)
         # pool the (possibly > 1x1) residual grid to a scalar per channel
