@@ -106,6 +106,60 @@ def generate(ref_root: str, repo_root: str):
     return files
 
 
+def render_model_zoo_doc(files: dict) -> str:
+    """docs/en/model_zoo.md: one browsable table per metafile, grouped by
+    task tree — generated from the shipped metafile data (the reference
+    spreads the same tables over per-recipe ``*.md`` files)."""
+    by_tree = {}
+    for rel, text in sorted(files.items()):
+        if rel == "model-index.yml":
+            continue
+        meta = yaml.safe_load(text)
+        tree = rel.split("/")[1] if rel.count("/") >= 2 else "misc"
+        by_tree.setdefault(tree, []).append((rel, meta))
+
+    lines = [
+        "# Model Zoo",
+        "",
+        "Generated from the shipped metafile tree (`model-index.yml` + "
+        "`configs/**/*.yml`) by `tools/misc/generate_metafiles.py` — do not "
+        "edit by hand. Results are the reference zoo's published numbers; "
+        "Weights are torch releases that `init_model` converts on load. "
+        "Aliased entries resolve by short name, e.g. `init_model(\"human\")`.",
+        "",
+    ]
+    for tree, metas in sorted(by_tree.items()):
+        lines += [f"## {tree}", ""]
+        for rel, meta in metas:
+            title = osp.splitext(osp.basename(rel))[0]
+            lines += [f"### {title}", ""]
+            papers = [c.get("Paper", {}).get("Title") for c in meta.get("Collections") or [] if isinstance(c, dict)]
+            papers = [p for p in papers if p]
+            if papers:
+                lines += ["Paper: " + "; ".join(papers), ""]
+            lines += ["| Model | Results | Weights |", "|---|---|---|"]
+            for m in meta.get("Models") or []:
+                name = m.get("Name", "")
+                alias = m.get("Alias")
+                if alias:
+                    alias = [alias] if isinstance(alias, str) else list(alias)
+                    name += " (alias: " + ", ".join(alias) + ")"
+                results = m.get("Results") or []
+                if isinstance(results, dict):
+                    results = [results]
+                cells = []
+                for r in results:
+                    metrics = r.get("Metrics") or {}
+                    cells.append(
+                        r.get("Dataset", "") + ": " + ", ".join(f"{k} {v}" for k, v in list(metrics.items())[:3])
+                    )
+                weights = m.get("Weights") or ""
+                wlink = f"[ckpt]({weights})" if weights else ""
+                lines.append(f"| [{name}]({m.get('Config', '')}) | {'; '.join(cells)} | {wlink} |")
+            lines.append("")
+    return "\n".join(lines) + "\n"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/root/reference")
@@ -113,6 +167,7 @@ def main():
     args = ap.parse_args()
 
     files = generate(args.ref, REPO)
+    files["docs/en/model_zoo.md"] = render_model_zoo_doc(files)
     stale = []
     for rel, text in files.items():
         path = osp.join(REPO, rel)
