@@ -71,6 +71,12 @@ def _bench_decode_us():
     return dt / (iters * B * K) * 1e6
 
 
+def _native_available() -> bool:
+    from probpose_code_tpu.datasets import native_decode
+
+    return native_decode.available()
+
+
 def _check_history(metric: str, value: float) -> dict:
     """Regression guard: compare against the best recorded value for this
     metric in BENCH_HISTORY.json, warn on drops beyond the relay noise band, append the run."""
@@ -321,7 +327,9 @@ def main_train():
         "vs_baseline": round(train_crops / 1300.0, 3),  # VERDICT r2 bar: >=1.3k e2e bf16
         "dtype": dtype,
         "device_pipeline": device_pipeline,
-        "native_decode": native and not canvas,
+        # report what actually ran: requesting the native path on a host
+        # where the lib failed to build silently falls back to cv2
+        "native_decode": bool(native and not canvas and _native_available()),
         "workers": workers,
         "device_step_crops_per_sec": round(device_rate, 1),
     }

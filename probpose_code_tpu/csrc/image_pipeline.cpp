@@ -84,6 +84,9 @@ int jpeg_exif_orientation(const uint8_t* data, size_t len) {
   size_t p = 2;
   while (p + 4 <= len) {
     if (data[p] != 0xFF) return 0;
+    // consume 0xFF fill bytes before the marker id (legal per B.1.1.2)
+    while (p + 4 <= len && data[p + 1] == 0xFF) ++p;
+    if (p + 4 > len) return 0;
     uint8_t marker = data[p + 1];
     if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) { p += 2; continue; }
     if (marker == 0xDA || marker == 0xD9) return 0;  // SOS / EOI: no EXIF seen

@@ -34,15 +34,25 @@ _build_lock = threading.Lock()
 def _build_lib() -> Optional[str]:
     if not osp.isfile(_SRC):
         return None
+    # compile to a per-process temp file and os.rename (atomic on POSIX):
+    # concurrent first-touch workers must never dlopen a half-written .so
+    import os
+
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH,
+        "g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp,
         "-I/usr/include/opencv4",
         "-ljpeg", "-lopencv_core", "-lopencv_imgproc",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 

@@ -60,7 +60,9 @@ class LoadImage:
     def _try_lazy(self, results: dict) -> bool:
         """Header-only JPEG probe; stores bytes + a zero-stride dummy image.
         Returns False when the lazy fast path does not apply (non-JPEG,
-        EXIF-rotated, grayscale mode, float mode, aspect padding)."""
+        EXIF-rotated, grayscale mode, float mode, aspect padding); in that
+        case the already-read bytes are left in ``results["_img_data"]`` so
+        the eager path decodes them without a second disk read."""
         if (
             self.to_float32
             or self.color_type != "color"
@@ -77,6 +79,7 @@ class LoadImage:
         if info is None or info[2] not in (0, 1):
             # not a decodable JPEG, or EXIF-rotated (cv2.imread applies the
             # rotation; the native kernel does not) -> eager path
+            results["_img_data"] = data
             return False
         w, h, _ = info
         results["img_bytes"] = data
@@ -89,6 +92,17 @@ class LoadImage:
         try:
             if "img" not in results and self.lazy and self._try_lazy(results):
                 return results
+            if "img" not in results and "_img_data" in results:
+                # lazy probe rejected the stream: decode the bytes we already
+                # read. cv2.imdecode does NOT apply EXIF rotation, so
+                # EXIF-rotated files still go through cv2.imread below.
+                data = results.pop("_img_data")
+                info = native_decode.probe(data)
+                if info is None or info[2] in (0, 1):
+                    flag = cv2.IMREAD_COLOR if self.color_type == "color" else cv2.IMREAD_GRAYSCALE
+                    img = cv2.imdecode(np.frombuffer(data, np.uint8), flag)
+                    if img is not None:
+                        results["img"] = img
             if "img" not in results:
                 flag = cv2.IMREAD_COLOR if self.color_type == "color" else cv2.IMREAD_GRAYSCALE
                 path = results["img_path"]

@@ -56,7 +56,10 @@ class MixImageTransform:
                 out = self.pre_transform(data)
                 out.pop("dataset", None)
                 mixed[i] = out
-        return mixed
+        # aux samples are consumed by raw pixel reads (cv2.resize of
+        # results['img']) — a lazily-loaded aux image would be the all-zero
+        # dummy, silently blacking out mosaic tiles / the mixup partner
+        return [materialize_image(m) for m in mixed]
 
 
 def _ensure_fields(data: dict) -> dict:

@@ -27,14 +27,22 @@ def _build_lib() -> Optional[str]:
     src = osp.join(_CSRC, "rle_mask.cpp")
     if not osp.isfile(src):
         return None
+    # temp file + atomic rename: concurrent first-touch processes must never
+    # dlopen a half-written .so
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", src, "-o", _LIB_PATH],
+            ["g++", "-O3", "-shared", "-fPIC", src, "-o", tmp],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 

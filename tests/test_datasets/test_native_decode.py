@@ -235,3 +235,72 @@ def test_lazy_falls_back_on_exif_orientation(tmp_path):
     res = LoadImage(lazy=True)({"img_path": p})
     assert "img_bytes" not in res  # fell back to cv2.imread (applies EXIF)
     np.testing.assert_array_equal(res["img"], cv2.imread(p, cv2.IMREAD_COLOR))
+
+
+def test_exif_orientation_with_fill_bytes(tmp_path):
+    """0xFF fill bytes before the APP1 marker are legal (spec B.1.1.2); the
+    orientation scan must step over them instead of misreading the length."""
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL unavailable")
+    img = (np.random.RandomState(0).rand(40, 50, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "rot.jpg")
+    pil = Image.fromarray(img[..., ::-1])
+    exif = pil.getexif()
+    exif[0x0112] = 6
+    pil.save(p, exif=exif)
+    with open(p, "rb") as f:
+        data = f.read()
+    assert nd.probe(data)[2] == 6  # sanity: tag is readable unpadded
+    # inject two fill bytes before the APP1/Exif marker (PIL may emit APP0
+    # first, so locate it)
+    app1 = data.index(b"\xff\xe1")
+    padded = data[:app1] + b"\xff\xff" + data[app1:]
+    assert nd.probe(padded)[2] == 6
+
+
+def test_lazy_mosaic_aux_samples_materialize(tmp_path):
+    """Mosaic aux samples fetched through a lazy pre_transform must carry
+    real pixels (a missed materialize yields silent all-black tiles)."""
+    from probpose_code_tpu.registry import DATASETS, TRANSFORMS
+
+    root = _mini_dataset(tmp_path, n=4)
+    mosaic = _t(dict(
+        type="Mosaic", img_scale=(128, 128), prob=1.0,
+        pre_transform=[dict(type="LoadImage", lazy=True)],
+    ))
+    ds = DATASETS.build(dict(
+        type="CocoDataset", data_root=root, data_mode="bottomup",
+        ann_file="annotations.json", data_prefix=dict(img="images/"),
+        pipeline=[_t(dict(type="LoadImage", lazy=True))],
+    ))
+    results = ds.get_data_info(0)
+    results = _t(dict(type="LoadImage", lazy=True))(dict(results))
+    results["dataset"] = ds
+    np.random.seed(0)
+    out = mosaic(results)
+    img = np.asarray(out["img"])
+    h, w = img.shape[:2]
+    quadrants = [img[:h // 2, :w // 2], img[:h // 2, w // 2:], img[h // 2:, :w // 2], img[h // 2:, w // 2:]]
+    for q in quadrants:
+        assert q.astype(np.int64).sum() > 0, "black mosaic tile: aux sample not materialized"
+
+
+def test_lazy_rejected_stream_decodes_from_buffer(tmp_path, monkeypatch):
+    """Non-JPEG inputs under lazy=True decode from the already-read bytes
+    (no second disk read) and match cv2.imread."""
+    img = (np.random.RandomState(1).rand(40, 50, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    cv2.imwrite(p, img)
+    calls = {"imread": 0}
+    real_imread = cv2.imread
+
+    def counting_imread(*a, **k):
+        calls["imread"] += 1
+        return real_imread(*a, **k)
+
+    monkeypatch.setattr(cv2, "imread", counting_imread)
+    res = LoadImage(lazy=True)({"img_path": p})
+    np.testing.assert_array_equal(res["img"], real_imread(p, cv2.IMREAD_COLOR))
+    assert calls["imread"] == 0, "fell back to a second disk read"

@@ -155,7 +155,8 @@ def render_model_zoo_doc(files: dict) -> str:
                     )
                 weights = m.get("Weights") or ""
                 wlink = f"[ckpt]({weights})" if weights else ""
-                lines.append(f"| [{name}]({m.get('Config', '')}) | {'; '.join(cells)} | {wlink} |")
+                # the doc lives in docs/en/; config paths are repo-relative
+                lines.append(f"| [{name}](../../{m.get('Config', '')}) | {'; '.join(cells)} | {wlink} |")
             lines.append("")
     return "\n".join(lines) + "\n"
 
