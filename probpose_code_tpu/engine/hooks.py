@@ -280,6 +280,50 @@ class PoseVisualizationHook(Hook):
 
 
 @HOOKS.register_module()
+class ProfilerHook(Hook):
+    """Capture a ``jax.profiler`` device trace over a window of train iters.
+
+    The reference has no tracer (SURVEY §5: only mmengine ``IterTimerHook``
+    timing); the TPU-native counterpart records an XLA/TPU trace viewable in
+    TensorBoard / Perfetto. The window is ``[begin_iter, begin_iter + num_iters)``
+    on global step counts; the trace lands in ``<work_dir>/profiler_trace``
+    (override with ``trace_dir``). One window per run — profiling every step
+    would serialize dispatch and distort the numbers it measures.
+    """
+
+    def __init__(self, begin_iter: int = 10, num_iters: int = 5,
+                 trace_dir: Optional[str] = None):
+        self.begin_iter = int(begin_iter)
+        self.num_iters = int(num_iters)
+        self.trace_dir = trace_dir
+        self._active = False
+        self._done = False
+
+    def after_train_iter(self, runner, step: int, metrics: Dict[str, Any]):
+        if self._done:
+            return
+        if not self._active and step >= self.begin_iter:
+            path = self.trace_dir or osp.join(runner.work_dir, "profiler_trace")
+            os.makedirs(path, exist_ok=True)
+            jax.profiler.start_trace(path)
+            self._active = True
+            self._stop_at = step + self.num_iters
+        elif self._active and step >= self._stop_at:
+            self._finish()
+
+    def _finish(self):
+        # block on the last dispatched step so its device activity is captured
+        jax.effects_barrier()
+        jax.profiler.stop_trace()
+        self._active = False
+        self._done = True
+
+    def after_run(self, runner):
+        if self._active:  # run ended inside the window
+            self._finish()
+
+
+@HOOKS.register_module()
 class SyncBuffersHook(Hook):
     """No-op on TPU: buffers (BN stats) are computed over the global batch
     inside the jitted step, so there is nothing to synchronize

@@ -186,3 +186,17 @@ def test_runner_custom_hooks_protocol(mini_coco, tmp_path):
         not np.allclose(np.asarray(l), np.asarray(e))
         for l, e in zip(live, ema_leaves)
     )
+
+
+def test_runner_profiler_hook_e2e(mini_coco, tmp_path):
+    """ProfilerHook wired through a real training run writes a device trace
+    under work_dir/profiler_trace (SURVEY §5 tracing subsystem)."""
+    import os
+
+    cfg = make_cfg(mini_coco, tmp_path / "work_prof")
+    cfg["custom_hooks"] = [dict(type="ProfilerHook", begin_iter=1, num_iters=1)]
+    runner = Runner.from_cfg(cfg)
+    runner.train()
+    trace_root = os.path.join(runner.work_dir, "profiler_trace")
+    found = [fn for _, _, fns in os.walk(trace_root) for fn in fns]
+    assert found, "profiler trace missing"

@@ -89,3 +89,44 @@ def test_build_vis_backends_from_config(tmp_path):
     backends = build_vis_backends(cfg, str(tmp_path))
     assert len(backends) == 1 and isinstance(backends[0], LocalVisBackend)
     assert build_vis_backends(Config.fromdict({}), str(tmp_path)) == []
+
+
+def test_profiler_hook_traces_window(tmp_path):
+    """ProfilerHook captures a jax.profiler trace over [begin, begin+n) and
+    writes it under work_dir/profiler_trace (SURVEY §5 tracing subsystem)."""
+    from probpose_code_tpu.engine.hooks import ProfilerHook
+
+    class _FakeRunner:
+        work_dir = str(tmp_path)
+
+    hook = ProfilerHook(begin_iter=2, num_iters=2)
+    runner = _FakeRunner()
+    x = jnp.ones((8, 8))
+    f = jax.jit(lambda a: a @ a)
+    for step in range(1, 7):
+        f(x).block_until_ready()
+        hook.after_train_iter(runner, step, {})
+    hook.after_run(runner)
+    assert hook._done and not hook._active
+    trace_root = os.path.join(str(tmp_path), "profiler_trace")
+    found = [
+        os.path.join(r, fn)
+        for r, _, fns in os.walk(trace_root)
+        for fn in fns
+    ]
+    assert found, "no trace files written"
+
+
+def test_profiler_hook_stops_on_early_end(tmp_path):
+    """A run ending inside the window still closes the trace cleanly."""
+    from probpose_code_tpu.engine.hooks import ProfilerHook
+
+    class _FakeRunner:
+        work_dir = str(tmp_path)
+
+    hook = ProfilerHook(begin_iter=0, num_iters=100)
+    runner = _FakeRunner()
+    hook.after_train_iter(runner, 1, {})
+    assert hook._active
+    hook.after_run(runner)
+    assert hook._done and not hook._active
