@@ -124,10 +124,12 @@ def main():
     from probpose_code_tpu.datasets.metainfo import parse_pose_metainfo
     from probpose_code_tpu.models import PoseModel
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    flip = os.environ.get("BENCH_FLIP", "0") == "1"
+    # swept optima on v5e: serving peaks at B=64, flip-TTA at B=32 (the
+    # fused 2B forward doubles the effective batch the chip sees)
+    batch = int(os.environ.get("BENCH_BATCH", "32" if flip else "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    flip = os.environ.get("BENCH_FLIP", "0") == "1"
 
     cfg = Config.fromfile(
         os.path.join(
@@ -162,11 +164,12 @@ def main():
     images, acc = predict(variables, images)
     _ = np.asarray(acc)
 
-    # best-of-3 timed passes: the shared relay adds up to ~10% run-to-run
+    # best-of-N timed passes: the shared relay adds up to ~10% run-to-run
     # noise (measured 5.5k-7.0k crops/s across identical runs); the fastest
-    # pass is the least-contended estimate of the chip's rate
+    # pass is the least-contended estimate of the chip's rate. Each pass is
+    # ~0.2 s, so N=6 stays cheap.
     best_dt = float("inf")
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_PASSES", "6"))):
         t0 = time.perf_counter()
         for _ in range(iters):
             images, acc = predict(variables, images)

@@ -448,15 +448,21 @@ def load_ref_losses(module_name: str = "regression_loss"):
     ds_utils = _module("mmpose.datasets.datasets.utils")
     if not hasattr(ds_utils, "parse_pose_metainfo"):
         ds_utils.parse_pose_metainfo = lambda cfg: {}
+    # the `ref_mm_models` root is shared with load_ref_backbone, so the
+    # synthetic subpackages must be created idempotently per-subpackage —
+    # otherwise the import machinery resolves `losses` against the root's
+    # __path__ and executes the reference's REAL losses/__init__.py
     pkg_name = "ref_mm_models"
     if pkg_name not in sys.modules:
         pkg = types.ModuleType(pkg_name)
         pkg.__path__ = [os.path.join(REF, "mmpose", "models")]
         sys.modules[pkg_name] = pkg
-        for sub, d in (("losses", "losses"), ("utils", "utils")):
-            sp = types.ModuleType(f"{pkg_name}.{sub}")
-            sp.__path__ = [os.path.join(REF, "mmpose", "models", d)]
-            sys.modules[f"{pkg_name}.{sub}"] = sp
+    for sub in ("losses", "utils"):
+        full = f"{pkg_name}.{sub}"
+        if full not in sys.modules:
+            sp = types.ModuleType(full)
+            sp.__path__ = [os.path.join(REF, "mmpose", "models", sub)]
+            sys.modules[full] = sp
     return importlib.import_module(f"{pkg_name}.losses.{module_name}")
 
 
