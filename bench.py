@@ -12,15 +12,22 @@ Backbone/head matmuls run in bfloat16 (params float32, decode float32).
 Methodology notes (the axon relay both memoizes identical executions and
 signals block_until_ready optimistically, so naive timing loops lie):
 - inputs are device-resident,
-- every call's input depends on the previous call's output (data chaining),
-  which forces sequential, non-deduplicated execution,
-- the clock stops at a host fetch of the final output (the only true sync),
+- default (pipelined serving): every call reads a DIFFERENT input batch
+  from a pool of BENCH_POOL distinct device-resident batches, plus a
+  per-pass scalar perturbation — every execution is unique, so the relay
+  cannot memoize, while independent dispatches pipeline like a real
+  serving loop (dispatch overlaps device execution),
+- the clock stops at a host fetch of a tally reduced over ALL outputs of
+  the pass (the only true sync — nothing can be skipped),
+- BENCH_CHAINED=1 selects the older strictly-serialized variant where
+  each call's input depends on the previous call's output; it measures
+  latency-bound (non-pipelined) throughput and reads ~12-15% lower,
 - one relay round-trip (~30 ms) is amortized over BENCH_ITERS calls.
 
 Env overrides: BENCH_BATCH (default 64 — swept optimum on v5e: 64 gives
-~6.7k crops/s vs ~5.0k at 256), BENCH_ITERS (default 20),
-BENCH_DTYPE (bfloat16|float32).
-Prints ONE JSON line.
+~6.9k chained / ~7.8k pipelined vs ~5.0k at 256), BENCH_ITERS (default
+20), BENCH_POOL (default 20), BENCH_DTYPE (bfloat16|float32),
+BENCH_CHAINED (default 0). Prints ONE JSON line.
 """
 
 import json
@@ -148,33 +155,57 @@ def main():
     variables = model.init()
     predict_raw = model.make_predict(flip_test=flip, jit=False)
 
-    def predict_step(variables, images):
-        out = predict_raw(variables, images)
-        # chain: next input depends on this output (keeps content distinct
-        # call-to-call and forces sequential execution)
-        next_images = images + out["keypoints"].mean() * 1e-3 + 0.01
-        return next_images, out["keypoint_scores"].sum()
-
-    predict = jax.jit(predict_step)
-
+    chained = os.environ.get("BENCH_CHAINED", "0") == "1"
+    passes = int(os.environ.get("BENCH_PASSES", "6"))
     rng = np.random.RandomState(0)
-    images = jax.device_put(jnp.asarray(rng.randint(0, 255, size=(batch, 256, 192, 3)).astype(np.float32)))
-
-    # compile + warmup; np.asarray is the only true sync point on this stack
-    images, acc = predict(variables, images)
-    _ = np.asarray(acc)
 
     # best-of-N timed passes: the shared relay adds up to ~10% run-to-run
     # noise (measured 5.5k-7.0k crops/s across identical runs); the fastest
     # pass is the least-contended estimate of the chip's rate. Each pass is
     # ~0.2 s, so N=6 stays cheap.
     best_dt = float("inf")
-    for _ in range(int(os.environ.get("BENCH_PASSES", "6"))):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            images, acc = predict(variables, images)
-        _ = np.asarray(acc)  # forces the whole chain
-        best_dt = min(best_dt, time.perf_counter() - t0)
+    if chained:
+        def predict_step(variables, images):
+            out = predict_raw(variables, images)
+            # chain: next input depends on this output (keeps content
+            # distinct call-to-call and forces sequential execution)
+            next_images = images + out["keypoints"].mean() * 1e-3 + 0.01
+            return next_images, out["keypoint_scores"].sum()
+
+        predict = jax.jit(predict_step)
+        images = jax.device_put(jnp.asarray(rng.randint(0, 255, size=(batch, 256, 192, 3)).astype(np.float32)))
+        # compile + warmup; np.asarray is the only true sync on this stack
+        images, acc = predict(variables, images)
+        _ = np.asarray(acc)
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                images, acc = predict(variables, images)
+            _ = np.asarray(acc)  # forces the whole chain
+            best_dt = min(best_dt, time.perf_counter() - t0)
+    else:
+        # pipelined serving: independent batches from a pool of distinct
+        # device-resident inputs; a per-pass scalar keeps every execution
+        # unique across passes (no relay memoization); the single tally
+        # fetch depends on every output, so nothing can be skipped
+        def predict_step(variables, images, t):
+            out = predict_raw(variables, images + t)
+            return out["keypoint_scores"].sum()
+
+        predict = jax.jit(predict_step)
+        tally = jax.jit(lambda xs: jnp.stack(xs).sum())
+        pool_n = int(os.environ.get("BENCH_POOL", "20"))
+        pool = [
+            jax.device_put(jnp.asarray(rng.randint(0, 255, size=(batch, 256, 192, 3)).astype(np.float32)))
+            for _ in range(pool_n)
+        ]
+        _ = np.asarray(predict(variables, pool[0], jax.device_put(jnp.float32(0.0))))
+        for p in range(passes):
+            t = jax.device_put(jnp.float32((p + 1) * 0.01))
+            t0 = time.perf_counter()
+            sums = [predict(variables, pool[j % pool_n], t) for j in range(iters)]
+            _ = np.asarray(tally(sums))
+            best_dt = min(best_dt, time.perf_counter() - t0)
 
     crops_per_sec = batch * iters / best_dt
     metric = "probpose_s_256x192_infer_throughput" if not flip else "probpose_s_256x192_flip_tta_throughput"

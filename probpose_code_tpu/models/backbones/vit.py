@@ -52,6 +52,62 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm's parameters (same tree path as ``nn.LayerNorm``)
+    without computing the normalization — used by the folded-LN fast path."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Declares Dense's kernel/bias (same tree path as ``nn.Dense``)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        return kernel, bias
+
+
+def _ln_stats(x: jnp.ndarray, eps: float = 1e-6):
+    """Per-token LayerNorm statistics in >=f32: (mean, rsqrt(var + eps))."""
+    xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    mean = xf.mean(axis=-1)
+    var = jnp.square(xf).mean(axis=-1) - jnp.square(mean)
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+def _folded_ln_dense(x, mean, sinv, ln_scale, ln_bias, kernel, bias, dtype):
+    """``Dense(LayerNorm(x))`` with the normalization folded into the matmul.
+
+    LN(x)·W + b  =  σ⁻¹·(x·(γ⊙W)) − (σ⁻¹µ)·(γᵀW) + (βᵀW + b)
+
+    The elementwise normalize pass over x (a separate VPU-bound HBM
+    round-trip that profiles at ~2.5× the cost of the matmul it feeds)
+    disappears; the per-token correction is two multiply-adds that XLA
+    fuses into the matmul epilogue, where they ride along with the MXU.
+    Algebraically identical to LN-then-Dense up to float reassociation.
+    """
+    acc = mean.dtype  # >=f32 accumulation for the per-token correction
+    folded_kernel = (ln_scale[:, None] * kernel).astype(dtype)
+    col_sums = (ln_scale[:, None] * kernel).sum(axis=0)  # γᵀW, (features,)
+    const = jnp.dot(ln_bias, kernel) + (0.0 if bias is None else bias)  # βᵀW + b
+    g = jnp.dot(x.astype(dtype), folded_kernel)
+    corr = (-mean * sinv)[..., None] * col_sums.astype(acc)
+    return (g.astype(acc) * sinv[..., None] + corr + const).astype(dtype)
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with fused qkv projection.
 
@@ -59,7 +115,9 @@ class Attention(nn.Module):
     (``ops/pallas/attention.py``) so the (B, h, N, N) matrix never touches
     HBM; elsewhere (and as the numeric reference) plain XLA einsums.
     ``quant='int8'`` runs the qkv / output projections as int8 MXU matmuls
-    (models/utils/quant.py) for the serving path.
+    (models/utils/quant.py) for the serving path. When ``ln`` params are
+    passed, the preceding LayerNorm is folded into the qkv matmul
+    (see ``_folded_ln_dense``).
     """
 
     embed_dims: int
@@ -69,13 +127,18 @@ class Attention(nn.Module):
     quant: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, ln=None) -> jnp.ndarray:
         from probpose_code_tpu.ops.pallas.attention import attention
 
         Dense = _dense_cls(self.quant)
         B, N, C = x.shape
         head_dim = C // self.num_heads
-        qkv = Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        if ln is None:
+            qkv = Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        else:
+            ln_scale, ln_bias, mean, sinv = ln
+            kernel, bias = _DenseParams(3 * C, self.qkv_bias, name="qkv")(C)
+            qkv = _folded_ln_dense(x, mean, sinv, ln_scale, ln_bias, kernel, bias, self.dtype)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, h, d)
 
@@ -103,6 +166,9 @@ class TransformerBlock(nn.Module):
     # bit-level parity with reference checkpoints matters
     approximate_gelu: bool = False
     quant: Optional[str] = None
+    # fold each pre-norm LN into the matmul it feeds (serving fast path;
+    # same params, algebraically identical up to float reassociation)
+    fold_ln: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -110,12 +176,25 @@ class TransformerBlock(nn.Module):
         # softmax accumulates in f32 inside Attention
         Dense = _dense_cls(self.quant)
         x = x.astype(self.dtype)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln1")(x)
-        h = Attention(self.embed_dims, self.num_heads, self.qkv_bias, self.dtype, self.quant, name="attn")(h)
-        x = x + DropPath(self.drop_path_rate, name="drop_path1")(h, deterministic=not train)
+        if self.fold_ln and self.quant is None:
+            s1, b1 = _LNParams(self.embed_dims, name="ln1")()
+            mean, sinv = _ln_stats(x)
+            h = Attention(self.embed_dims, self.num_heads, self.qkv_bias, self.dtype, self.quant, name="attn")(
+                x, ln=(s1, b1, mean, sinv)
+            )
+            x = x + DropPath(self.drop_path_rate, name="drop_path1")(h, deterministic=not train)
 
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln2")(x)
-        h = Dense(self.feedforward_channels, dtype=self.dtype, name="mlp_fc1")(h)
+            s2, b2 = _LNParams(self.embed_dims, name="ln2")()
+            mean, sinv = _ln_stats(x)
+            k1, bb1 = _DenseParams(self.feedforward_channels, name="mlp_fc1")(self.embed_dims)
+            h = _folded_ln_dense(x, mean, sinv, s2, b2, k1, bb1, self.dtype)
+        else:
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln1")(x)
+            h = Attention(self.embed_dims, self.num_heads, self.qkv_bias, self.dtype, self.quant, name="attn")(h)
+            x = x + DropPath(self.drop_path_rate, name="drop_path1")(h, deterministic=not train)
+
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln2")(x)
+            h = Dense(self.feedforward_channels, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=self.approximate_gelu)
         h = Dense(self.embed_dims, dtype=self.dtype, name="mlp_fc2")(h)
         x = x + DropPath(self.drop_path_rate, name="drop_path2")(h, deterministic=not train)
@@ -145,6 +224,7 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.float32
     approximate_gelu: bool = False
     quant: Optional[str] = None
+    fold_ln: bool = False
 
     def setup(self):
         arch = VIT_ARCH_ZOO[self.arch] if isinstance(self.arch, str) else dict(self.arch)
@@ -185,6 +265,7 @@ class VisionTransformer(nn.Module):
                 dtype=self.dtype,
                 approximate_gelu=self.approximate_gelu,
                 quant=self.quant,
+                fold_ln=self.fold_ln,
                 name=f"block{i}",
             )
             for i in range(self.num_layers)
