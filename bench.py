@@ -142,18 +142,23 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20" if chained_mode else "100"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
-    cfg = Config.fromfile(
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "configs/body_2d_keypoint/topdown_probmap/coco/td-pm_ProbPose-small_8xb64-210e_coco-256x192.py",
-        )
-    )
+    # secondary workloads (BENCH_MODEL): the reference publishes RTMPose-m
+    # at 430+ FPS on a GTX 1660 Ti / 90+ FPS CPU (projects/rtmpose/README.md)
+    # — measuring the same-family serving path on the v5e chip
+    workload = os.environ.get("BENCH_MODEL", "probpose-s")
+    configs = {
+        "probpose-s": "configs/body_2d_keypoint/topdown_probmap/coco/td-pm_ProbPose-small_8xb64-210e_coco-256x192.py",
+        "rtmpose-m": "configs/body_2d_keypoint/rtmpose/coco/rtmpose-m_8xb256-420e_coco-256x192.py",
+        "hrnet-w32-udp": "configs/body_2d_keypoint/topdown_heatmap/coco/td-hm_hrnet-w32_udp-8xb64-210e_coco-256x192.py",
+    }
+    cfg = Config.fromfile(os.path.join(os.path.dirname(os.path.abspath(__file__)), configs[workload]))
     model_cfg = cfg.model
-    model_cfg["backbone"]["dtype"] = dtype
-    model_cfg["backbone"]["approximate_gelu"] = dtype == "bfloat16"
-    model_cfg["head"]["dtype"] = dtype
-    if os.environ.get("BENCH_QUANT"):  # int8 MXU matmuls in the backbone
-        model_cfg["backbone"]["quant"] = os.environ["BENCH_QUANT"]
+    if workload == "probpose-s":
+        model_cfg["backbone"]["dtype"] = dtype
+        model_cfg["backbone"]["approximate_gelu"] = dtype == "bfloat16"
+        model_cfg["head"]["dtype"] = dtype
+        if os.environ.get("BENCH_QUANT"):  # int8 MXU matmuls in the backbone
+            model_cfg["backbone"]["quant"] = os.environ["BENCH_QUANT"]
 
     model = PoseModel(model_cfg, metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
     variables = model.init()
@@ -214,13 +219,19 @@ def main():
             best_dt = min(best_dt, time.perf_counter() - t0)
 
     crops_per_sec = batch * iters / best_dt
-    metric = "probpose_s_256x192_infer_throughput" if not flip else "probpose_s_256x192_flip_tta_throughput"
+    stem = workload.replace("-", "_")
+    if workload == "probpose-s":
+        stem = "probpose_s"  # keep the historical metric names
+    metric = f"{stem}_256x192_infer_throughput" if not flip else f"{stem}_256x192_flip_tta_throughput"
     record = {
         "metric": metric,
         "value": round(crops_per_sec, 1),
         "unit": "crops/sec/chip",
         "vs_baseline": round(crops_per_sec / 5000.0, 3),
     }
+    if workload != "probpose-s":
+        record["model"] = workload
+        record["dtype"] = "float32"  # secondary workloads run their configs' precision
     if os.environ.get("BENCH_DECODE", "1") == "1":
         record["decode_us_per_heatmap"] = round(_bench_decode_us(), 3)
     record.update(_check_history(metric, crops_per_sec))
