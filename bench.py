@@ -59,8 +59,9 @@ def _bench_decode_us():
     from probpose_code_tpu.ops.decode import heatmap_expected_value_batch
 
     B, K, H, W = 128, 17, 64, 48
-    rng = np.random.RandomState(0)
-    hm = jax.device_put(jnp.asarray(rng.rand(B, K, H, W).astype(np.float32)))
+    # generated on device — a 27 MB h2d transfer can dominate the run when
+    # the shared relay is contended
+    hm = jax.jit(lambda k: jax.random.uniform(k, (B, K, H, W), jnp.float32))(jax.random.PRNGKey(0))
 
     def step(hm):
         locs, scores = heatmap_expected_value_batch(hm)
@@ -166,7 +167,16 @@ def main():
 
     chained = chained_mode
     passes = int(os.environ.get("BENCH_PASSES", "6"))
-    rng = np.random.RandomState(0)
+
+    # generate bench inputs ON DEVICE: a pool of B=64 f32 crop batches is
+    # ~9.4 MB each, and h2d over the shared axon relay can run at well
+    # under 1 GB/s when contended — transferring a 100-batch pool from the
+    # host was observed to exceed the driver's bench timeout outright.
+    # jax.random on the device costs microseconds and keeps every batch
+    # unique (distinct fold_in keys), which is all the methodology needs.
+    gen_batch = jax.jit(
+        lambda key: jax.random.uniform(key, (batch, 256, 192, 3), jnp.float32, 0.0, 255.0)
+    )
 
     # best-of-N timed passes: the shared relay adds up to ~10% run-to-run
     # noise (measured 5.5k-7.0k crops/s across identical runs); the fastest
@@ -182,7 +192,7 @@ def main():
             return next_images, out["keypoint_scores"].sum()
 
         predict = jax.jit(predict_step)
-        images = jax.device_put(jnp.asarray(rng.randint(0, 255, size=(batch, 256, 192, 3)).astype(np.float32)))
+        images = gen_batch(jax.random.PRNGKey(0))
         # compile + warmup; np.asarray is the only true sync on this stack
         images, acc = predict(variables, images)
         _ = np.asarray(acc)
@@ -206,10 +216,7 @@ def main():
         # every call within a pass must see a unique (input, t) pair or the
         # relay memoizes the repeats and inflates the rate — cover all iters
         pool_n = max(int(os.environ.get("BENCH_POOL", "20")), iters)
-        pool = [
-            jax.device_put(jnp.asarray(rng.randint(0, 255, size=(batch, 256, 192, 3)).astype(np.float32)))
-            for _ in range(pool_n)
-        ]
+        pool = [gen_batch(jax.random.fold_in(jax.random.PRNGKey(0), j)) for j in range(pool_n)]
         _ = np.asarray(predict(variables, pool[0], jax.device_put(jnp.float32(0.0))))
         for p in range(passes):
             t = jax.device_put(jnp.float32((p + 1) * 0.01))
