@@ -1,0 +1,24 @@
+"""Full multi-chip dryrun loop: train step -> sharded val predict ->
+metric gather -> orbax save/restore equality, on the virtual 8-device mesh.
+
+Mirrors ``__graft_entry__.dryrun_multichip`` (the driver's multi-chip
+validation), so a regression in any stage of that loop fails here first.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+@pytest.mark.slow
+def test_dryrun_full_loop_8dev(capsys):
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    out = capsys.readouterr().out
+    assert "ok" in out
+    assert "val_score=" in out
+    assert "ckpt_restore=equal" in out
