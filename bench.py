@@ -157,9 +157,14 @@ def main():
     if workload == "probpose-s":
         model_cfg["backbone"]["dtype"] = dtype
         model_cfg["backbone"]["approximate_gelu"] = dtype == "bfloat16"
+        # whole-layer Pallas kernels (ops/pallas/vit_layer.py): both LNs, the
+        # attention matrix and the MLP hidden stay in VMEM — measured +33%
+        # on flip-TTA vs the XLA graph (r4); BENCH_FUSED=0 for the XLA path
+        model_cfg["backbone"]["fused_layers"] = os.environ.get("BENCH_FUSED", "1") == "1"
         model_cfg["head"]["dtype"] = dtype
         if os.environ.get("BENCH_QUANT"):  # int8 MXU matmuls in the backbone
             model_cfg["backbone"]["quant"] = os.environ["BENCH_QUANT"]
+            model_cfg["backbone"]["fused_layers"] = False
 
     model = PoseModel(model_cfg, metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
     variables = model.init()

@@ -80,6 +80,21 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _AttnParams(nn.Module):
+    """Declares the attention qkv/proj parameters (same tree paths as the
+    ``Attention`` module's ``nn.Dense`` children) without running them —
+    used by the fused-layer serving path."""
+
+    dim: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kq, bq = _DenseParams(3 * self.dim, self.qkv_bias, name="qkv")(self.dim)
+        kp, bp = _DenseParams(self.dim, True, name="proj")(self.dim)
+        return kq, bq, kp, bp
+
+
 def _ln_stats(x: jnp.ndarray, eps: float = 1e-6):
     """Per-token LayerNorm statistics in >=f32: (mean, rsqrt(var + eps))."""
     xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
@@ -169,6 +184,10 @@ class TransformerBlock(nn.Module):
     # fold each pre-norm LN into the matmul it feeds (serving fast path;
     # same params, algebraically identical up to float reassociation)
     fold_ln: bool = False
+    # run the WHOLE layer (LN1 -> qkv -> attention -> proj -> residual ->
+    # LN2 -> MLP -> residual) as ONE Pallas kernel (ops/pallas/vit_layer.py);
+    # inference-only serving fast path, same param tree
+    fused_layers: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -176,6 +195,45 @@ class TransformerBlock(nn.Module):
         # softmax accumulates in f32 inside Attention
         Dense = _dense_cls(self.quant)
         x = x.astype(self.dtype)
+        use_fused_layers = self.fused_layers and not train and self.quant is None
+        if use_fused_layers:
+            # serving fast path: the WHOLE layer (LN1 -> qkv -> per-head
+            # attention -> proj -> residual -> LN2 -> MLP -> residual) is one
+            # Pallas kernel — qkv, the attention matrix and the MLP hidden
+            # never touch HBM, and XLA's slow lane-dim LayerNorm reduce
+            # fusions / head-split layout copies never materialize
+            from probpose_code_tpu.ops.pallas.vit_layer import vit_layer_fused
+
+            C, F = self.embed_dims, self.feedforward_channels
+            s1, b1 = _LNParams(C, name="ln1")()
+            kq, bq, kp, bp = _AttnParams(C, self.qkv_bias, name="attn")()
+            s2, b2 = _LNParams(C, name="ln2")()
+            k1, bb1 = _DenseParams(F, name="mlp_fc1")(C)
+            k2, bb2 = _DenseParams(C, name="mlp_fc2")(F)
+            bq_ = bq if bq is not None else jnp.zeros((3 * C,), jnp.float32)
+            out = vit_layer_fused(
+                x, s1, b1, kq, bq_, kp, bp, s2, b2, k1, bb1, k2, bb2,
+                num_heads=self.num_heads,
+                approximate_gelu=self.approximate_gelu, dtype=self.dtype,
+            )
+            if out is not None:
+                return out
+            # shape has no valid image grouping: same math via XLA
+            from probpose_code_tpu.ops.pallas.attention import attention
+
+            B, N, _ = x.shape
+            D = C // self.num_heads
+            mean, sinv = _ln_stats(x)
+            qkv = _folded_ln_dense(x, mean, sinv, s1, b1, kq, bq, self.dtype)
+            qkv = qkv.reshape(B, N, 3, self.num_heads, D)
+            o = attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], D ** -0.5)
+            x = x + (jnp.dot(o.reshape(B, N, C), kp.astype(self.dtype)) + bp).astype(self.dtype)
+            mean, sinv = _ln_stats(x)
+            h = _folded_ln_dense(x, mean, sinv, s2, b2, k1, bb1, self.dtype)
+            h = nn.gelu(h, approximate=self.approximate_gelu)
+            h = jnp.dot(h.astype(self.dtype), k2.astype(self.dtype)) + bb2
+            return x + h.astype(self.dtype)
+
         if self.fold_ln and self.quant is None:
             s1, b1 = _LNParams(self.embed_dims, name="ln1")()
             mean, sinv = _ln_stats(x)
@@ -183,16 +241,17 @@ class TransformerBlock(nn.Module):
                 x, ln=(s1, b1, mean, sinv)
             )
             x = x + DropPath(self.drop_path_rate, name="drop_path1")(h, deterministic=not train)
-
-            s2, b2 = _LNParams(self.embed_dims, name="ln2")()
-            mean, sinv = _ln_stats(x)
-            k1, bb1 = _DenseParams(self.feedforward_channels, name="mlp_fc1")(self.embed_dims)
-            h = _folded_ln_dense(x, mean, sinv, s2, b2, k1, bb1, self.dtype)
         else:
             h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln1")(x)
             h = Attention(self.embed_dims, self.num_heads, self.qkv_bias, self.dtype, self.quant, name="attn")(h)
             x = x + DropPath(self.drop_path_rate, name="drop_path1")(h, deterministic=not train)
 
+        if self.fold_ln and self.quant is None:
+            s2, b2 = _LNParams(self.embed_dims, name="ln2")()
+            mean, sinv = _ln_stats(x)
+            k1, bb1 = _DenseParams(self.feedforward_channels, name="mlp_fc1")(self.embed_dims)
+            h = _folded_ln_dense(x, mean, sinv, s2, b2, k1, bb1, self.dtype)
+        else:
             h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln2")(x)
             h = Dense(self.feedforward_channels, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=self.approximate_gelu)
@@ -225,6 +284,7 @@ class VisionTransformer(nn.Module):
     approximate_gelu: bool = False
     quant: Optional[str] = None
     fold_ln: bool = False
+    fused_layers: bool = False
 
     def setup(self):
         arch = VIT_ARCH_ZOO[self.arch] if isinstance(self.arch, str) else dict(self.arch)
@@ -266,6 +326,7 @@ class VisionTransformer(nn.Module):
                 approximate_gelu=self.approximate_gelu,
                 quant=self.quant,
                 fold_ln=self.fold_ln,
+                fused_layers=self.fused_layers,
                 name=f"block{i}",
             )
             for i in range(self.num_layers)
