@@ -327,7 +327,12 @@ def main_train():
         ann_file="annotations.json", data_prefix=dict(img="images/"),
         pipeline=train_pipeline,
     ))
-    loader = DataLoader(ds, batch_size=batch, shuffle=True, num_workers=workers, prefetch=3)
+    # num_workers>1 forks persistent pipeline workers (datasets/loader.py);
+    # data_samples skipped: the train step consumes only the dense arrays
+    loader = DataLoader(
+        ds, batch_size=batch, shuffle=True, num_workers=workers, prefetch=3,
+        with_data_samples=False,
+    )
 
     cfg = Config.fromfile(
         os.path.join(

@@ -3,14 +3,25 @@
 Replaces the reference's torch DataLoader + pseudo_collate: samples from the
 pipeline are collated into one dict of dense NumPy arrays (ready for a
 single host->device transfer) plus the list of PoseDataSample metadata.
-Prefetching uses a thread pool — pipeline hot ops (cv2 warp, codec encode)
-release the GIL or are vectorized NumPy, so threads scale adequately; the
-device-side warp path can bypass most of this work entirely.
+
+Workers follow the reference's subprocess model (torch DataLoader
+``num_workers`` — every shipped recipe sets 2..10): with ``num_workers > 1``
+the pipeline runs in forked worker processes, sidestepping the GIL that made
+thread workers LOSE on pipeline-heavy Python code (measured 262 -> 216
+crops/s/core going 1 -> 2 threads). ``num_workers <= 1`` keeps the cheap
+in-process path with a prefetch thread. Workers are forked (Linux COW: no
+dataset pickling) and must never touch jax — they only run NumPy/cv2/codec
+code; batches return to the parent via a pickling queue, preserving batch
+order like torch's reordering buffer.
 """
 
 from __future__ import annotations
 
+import multiprocessing
+import os
+import random
 import threading
+import traceback
 from concurrent.futures import ThreadPoolExecutor
 from queue import Queue
 from typing import Dict, Iterator, List, Optional, Sequence
@@ -161,8 +172,84 @@ def collate_pose_samples(samples: List[dict]) -> Dict:
     return batch
 
 
+_FORK_AVAILABLE = hasattr(os, "fork")
+
+# serializes the seeded pipeline section of the in-process path so per-task
+# RNG seeding cannot interleave across prefetch threads
+_RNG_LOCK = threading.Lock()
+
+
+def _process_worker_loop(dataset, collate_fn, in_q, out_q):
+    """Worker body: pull (batch_id, index chunk, task_seed), run the
+    pipeline + collate, push (batch_id, batch, error). Runs in a forked
+    child — NumPy/cv2/codec code only, never jax."""
+    # single-threaded math libs: N workers x M BLAS threads oversubscribes
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+    import random
+
+    while True:
+        item = in_q.get()
+        if item is None:
+            return
+        bid, chunk, task_seed = item
+        try:
+            # per-TASK seeding: augmentation draws depend on (seed, epoch,
+            # batch id), not on which worker ran it — batch content is
+            # identical for any num_workers (torch reseeds per worker and
+            # loses this property)
+            np.random.seed(task_seed % (2**32))
+            random.seed(task_seed)
+            samples = [dataset[int(i)] for i in chunk]
+            out_q.put((bid, collate_fn(samples), None))
+        except Exception:
+            out_q.put((bid, None, traceback.format_exc()))
+
+
+class _WorkerPool:
+    """Persistent forked worker pool (torch persistent_workers semantics):
+    forked once, reused across epochs — fork startup is paid once, and the
+    dataset rides Linux COW with no pickling. Children hold a snapshot of
+    the dataset; per-epoch state (shuffling, augmentation seeds) flows
+    through the task tuples."""
+
+    def __init__(self, dataset, collate_fn, num_workers: int):
+        ctx = multiprocessing.get_context("fork")
+        self.in_q = ctx.SimpleQueue()
+        self.out_q = ctx.SimpleQueue()
+        self.workers = [
+            ctx.Process(
+                target=_process_worker_loop,
+                args=(dataset, collate_fn, self.in_q, self.out_q),
+                daemon=True,
+            )
+            for _ in range(num_workers)
+        ]
+        for w in self.workers:
+            w.start()
+
+    def alive(self) -> bool:
+        return all(w.is_alive() for w in self.workers)
+
+    def close(self) -> None:
+        try:
+            for _ in self.workers:
+                self.in_q.put(None)
+            for w in self.workers:
+                w.join(timeout=5.0)
+                if w.is_alive():
+                    w.terminate()
+        except Exception:
+            pass
+
+
 class DataLoader:
-    """Iterable over collated batches with shuffling and prefetch."""
+    """Iterable over collated batches with shuffling and prefetch.
+
+    ``num_workers > 1`` forks that many pipeline worker processes (reference:
+    torch DataLoader subprocess workers, ``num_workers`` in every recipe);
+    ``num_workers <= 1`` runs the pipeline in-process behind a prefetch
+    thread."""
 
     def __init__(
         self,
@@ -176,7 +263,19 @@ class DataLoader:
         collate_fn=collate_pose_samples,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        with_data_samples: bool = True,
     ):
+        # training loops consume only the dense arrays; dropping the
+        # PoseDataSample list saves its per-batch pickle cost through the
+        # process-worker queue (the dominant IPC overhead)
+        if not with_data_samples:
+            inner = collate_fn
+
+            def collate_fn(samples, _inner=inner):
+                batch = _inner(samples)
+                batch.pop("data_samples", None)
+                return batch
+
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -201,9 +300,16 @@ class DataLoader:
                 process_index, process_count = 0, 1
         self.process_index = process_index
         self.process_count = process_count
+        self._pool: Optional[_WorkerPool] = None
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+
+    def _task_seed(self, bid: int) -> int:
+        # augmentation draws depend on (seed, epoch, batch id), not on which
+        # worker ran the batch — content is identical for any num_workers
+        # (torch reseeds per worker and loses this property)
+        return ((self.seed + 1) * 1_000_003 + self.epoch) * 131_071 + bid
 
     def __len__(self) -> int:
         return len(self._index_batches())
@@ -233,17 +339,49 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict]:
         batches = self._index_batches()
+        if self.num_workers > 1 and _FORK_AVAILABLE:
+            yield from self._iter_processes(batches)
+            return
+        yield from self._iter_threads(batches)
+
+    def _iter_threads(self, batches) -> Iterator[Dict]:
+        """In-process path with a small prefetch thread pool (num_workers<=1
+        or platforms without fork).
+
+        Uses the same per-task seeding as the process workers so batch
+        content is identical whether the pipeline runs in-process or in N
+        forked workers. The seeded section is serialized under a lock (batch
+        loads were already serial through the GIL on Python-level transform
+        code) and the ambient RNG state is restored, so the loader's draws
+        are invisible to the caller's RNG stream. On non-fork platforms with
+        num_workers > 1 the sample loads of concurrent batches interleave, so
+        per-task seeding — and the worker-count-independence property — is
+        skipped there."""
+        seeded = self.num_workers <= 1
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
 
-            def load_batch(idx_chunk):
-                samples = list(pool.map(self.dataset.__getitem__, idx_chunk))
+            def load_batch(bid_chunk):
+                bid, idx_chunk = bid_chunk
+                if not seeded:
+                    samples = list(pool.map(self.dataset.__getitem__, idx_chunk))
+                    return self.collate_fn(samples)
+                with _RNG_LOCK:
+                    np_state = np.random.get_state()
+                    py_state = random.getstate()
+                    np.random.seed(self._task_seed(bid) % (2**32))
+                    random.seed(self._task_seed(bid))
+                    try:
+                        samples = [self.dataset[int(i)] for i in idx_chunk]
+                    finally:
+                        np.random.set_state(np_state)
+                        random.setstate(py_state)
                 return self.collate_fn(samples)
 
             # simple sliding-window prefetch
             from collections import deque
 
             futures = deque()
-            submitter = iter(batches)
+            submitter = iter(enumerate(batches))
             with ThreadPoolExecutor(max_workers=self.prefetch) as batch_pool:
                 for _ in range(self.prefetch):
                     chunk = next(submitter, None)
@@ -255,3 +393,61 @@ class DataLoader:
                     if chunk is not None:
                         futures.append(batch_pool.submit(load_batch, chunk))
                     yield fut.result()
+
+    def _iter_processes(self, batches) -> Iterator[Dict]:
+        """Persistent forked worker processes, one whole batch per task,
+        results reordered to the deterministic batch order (torch DataLoader
+        semantics). Workers never touch jax/TPU state."""
+        if self._pool is None or not self._pool.alive():
+            if self._pool is not None:
+                self._pool.close()
+            self._pool = _WorkerPool(self.dataset, self.collate_fn, self.num_workers)
+        pool = self._pool
+
+        def task(bid: int):
+            return (bid, np.asarray(batches[bid], np.int64), self._task_seed(bid))
+
+        drained = False
+        submitted = inflight = next_out = 0
+        stash: Dict[int, Dict] = {}
+        window = self.num_workers + max(1, self.prefetch)
+        try:
+            while submitted < len(batches) and inflight < window:
+                pool.in_q.put(task(submitted))
+                submitted += 1
+                inflight += 1
+            while next_out < len(batches):
+                if next_out in stash:
+                    batch = stash.pop(next_out)
+                    next_out += 1
+                    yield batch
+                    continue
+                bid, batch, err = pool.out_q.get()
+                inflight -= 1
+                if err is not None:
+                    raise RuntimeError(f"dataloader worker failed on batch {bid}:\n{err}")
+                if submitted < len(batches):
+                    pool.in_q.put(task(submitted))
+                    submitted += 1
+                    inflight += 1
+                stash[bid] = batch
+            drained = True
+        finally:
+            if not drained:
+                # abandoned mid-epoch (error or early break): the queues
+                # still hold tasks/results — drop the pool rather than
+                # resynchronize
+                pool.close()
+                self._pool = None
+
+    def close(self) -> None:
+        """Shut down persistent worker processes (safe to call repeatedly)."""
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
+
+    def __del__(self):  # best-effort; daemons die with the parent anyway
+        try:
+            self.close()
+        except Exception:
+            pass
