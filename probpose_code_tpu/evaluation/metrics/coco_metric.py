@@ -409,7 +409,13 @@ class CocoMetric(BaseMetric):
         dt_dict = {}
         for _, img_d in dts.items():
             for d in img_d:
-                dt_dict[(d["img_id"], d["id"])] = d
+                if not np.isscalar(d["id"]) and np.size(d["id"]) != 1:
+                    # bottomup predictions carry the image's ann-id LIST, not
+                    # a per-instance ann id — the 1:1 pred->GT-ann mapping
+                    # these diagnostics need only exists in topdown GT-bbox
+                    # mode, so skip them cleanly
+                    return []
+                dt_dict[(d["img_id"], int(np.asarray(d["id"]).reshape(())))] = d
 
         gt_vis, dt_vis, dt_probs, dt_scores = [], [], [], []
         for key, g in gt_dict.items():
@@ -484,7 +490,9 @@ class CocoMetric(BaseMetric):
         dt_dict = {}
         for _, img_d in dts.items():
             for d in img_d:
-                dt_dict[(d["img_id"], d["id"])] = d
+                if not np.isscalar(d["id"]) and np.size(d["id"]) != 1:
+                    return []  # bottomup: no per-instance ann id (see above)
+                dt_dict[(d["img_id"], int(np.asarray(d["id"]).reshape(())))] = d
 
         vecs, out_abox, out_bbox = [], [], []
         for key, g in gt_dict.items():
@@ -632,7 +640,18 @@ class CocoMetric(BaseMetric):
                 # pure topdown dts carry no detector bbox: match by
                 # annotation id, crowding = its GT's max IoU with other GTs
                 gt_index = {g["id"]: i for i, g in enumerate(image_gt)}
-                matching = np.array([gt_index.get(d.get("id"), -1) for d in image_dt], dtype=int)
+                # bottomup dts carry the image's ann-id LIST, never a
+                # per-instance ann id -> no match (same guard as the
+                # visibility diagnostics)
+                matching = np.array(
+                    [
+                        gt_index.get(int(np.asarray(d.get("id")).reshape(())), -1)
+                        if (np.isscalar(d.get("id")) or np.size(d.get("id")) == 1)
+                        else -1
+                        for d in image_dt
+                    ],
+                    dtype=int,
+                )
                 gt_ious = bbox_iou(gt_bboxes, gt_bboxes)
                 np.fill_diagonal(gt_ious, -1)
                 crowding = np.full((len(image_dt), len(image_gt)), -1.0)

@@ -133,3 +133,41 @@ def test_coco_metric_degraded_predictions(gt_file):
     metric2.process(None, make_samples(gt_file, noise=2.0))
     better = metric2.evaluate()
     assert better["COCO/AP"] > worse["COCO/AP"]
+
+
+def test_coco_metric_bottomup_list_ids(gt_file, capfd):
+    """Bottomup predictions carry the image's ann-id LIST (no per-instance
+    ann id), which used to crash the visibility/vector-field diagnostics
+    with ``TypeError: unhashable type: 'list'`` (swallowed as a printed
+    traceback inside compute_metrics). They must no-op cleanly instead."""
+    from collections import defaultdict
+
+    gt = json.loads(pathlib.Path(gt_file).read_text())
+    by_img = defaultdict(list)
+    for ann in gt["annotations"]:
+        by_img[ann["image_id"]].append(ann)
+
+    rng = np.random.RandomState(0)
+    samples = []
+    for img_id, anns in by_img.items():
+        kpts = np.stack([np.array(a["keypoints"], np.float32).reshape(-1, 3) for a in anns])
+        sample = PoseDataSample()
+        # bottomup contract: one sample per image, id = list of ann ids
+        sample.set_metainfo(dict(id=[a["id"] for a in anns], img_id=img_id, category_id=1))
+        pred = InstanceData()
+        pred.set_field(kpts[..., :2] + rng.randn(*kpts[..., :2].shape) * 2, "keypoints")
+        pred.set_field(np.full(kpts.shape[:2], 0.9, np.float32), "keypoint_scores")
+        sample.pred_instances = pred
+        gti = InstanceData()
+        gti.set_field(np.ones(len(anns), np.float32), "bbox_scores")
+        sample.gt_instances = gti
+        samples.append(sample)
+
+    metric = CocoMetric(ann_file=gt_file, extended=[False], prefix="COCO",
+                        score_mode="bbox", nms_mode="none", diagnostics=True)
+    metric.dataset_meta = parse_pose_metainfo({"dataset_name": "coco"})
+    metric.process(None, samples)
+    results = metric.evaluate()
+    captured = capfd.readouterr()
+    assert "Traceback" not in captured.err, captured.err[-2000:]
+    assert results["COCO/AP"] > 0.5  # near-perfect keypoints still score
