@@ -173,6 +173,30 @@ def main():
     chained = chained_mode
     passes = int(os.environ.get("BENCH_PASSES", "6"))
 
+    def measure_pipelined(predict_fn, batch_size, n_iters, n_passes):
+        """Pipelined throughput of one predict program: unique device-resident
+        inputs per call (relay cannot memoize), one tally fetch per pass."""
+        gen = jax.jit(
+            lambda key: jax.random.uniform(key, (batch_size, 256, 192, 3), jnp.float32, 0.0, 255.0)
+        )
+
+        def step(variables, images, t):
+            return predict_fn(variables, images + t)["keypoint_scores"].sum()
+
+        step = jax.jit(step)
+        tally = jax.jit(lambda xs: jnp.stack(xs).sum())
+        pool_n = max(20, n_iters)
+        pool = [gen(jax.random.fold_in(jax.random.PRNGKey(1), j)) for j in range(pool_n)]
+        _ = np.asarray(step(variables, pool[0], jax.device_put(jnp.float32(0.0))))
+        best = float("inf")
+        for p in range(n_passes):
+            t = jax.device_put(jnp.float32((p + 1) * 0.01))
+            t0 = time.perf_counter()
+            sums = [step(variables, pool[j % pool_n], t) for j in range(n_iters)]
+            _ = np.asarray(tally(sums))
+            best = min(best, time.perf_counter() - t0)
+        return batch_size * n_iters / best
+
     # generate bench inputs ON DEVICE: a pool of B=64 f32 crop batches is
     # ~9.4 MB each, and h2d over the shared axon relay can run at well
     # under 1 GB/s when contended — transferring a 100-batch pool from the
@@ -246,6 +270,21 @@ def main():
         record["dtype"] = "float32"  # secondary workloads run their configs' precision
     if os.environ.get("BENCH_DECODE", "1") == "1":
         record["decode_us_per_heatmap"] = round(_bench_decode_us(), 3)
+    if workload == "probpose-s" and not flip and os.environ.get("BENCH_TTA", "1") == "1":
+        # the eval protocol always flips (reference topdown.py:109-114), so
+        # the driver's record must carry the protocol-faithful number too;
+        # swept optimum for the fused 2B flip forward is B=32
+        tta_predict = model.make_predict(flip_test=True, jit=False)
+        tta_rate = measure_pipelined(
+            tta_predict,
+            int(os.environ.get("BENCH_TTA_BATCH", "32")),
+            int(os.environ.get("BENCH_TTA_ITERS", "50")),
+            int(os.environ.get("BENCH_TTA_PASSES", "4")),
+        )
+        record["flip_tta_crops_per_sec"] = round(tta_rate, 1)
+        record["tta_vs_baseline"] = round(tta_rate / 5000.0, 3)
+        record.update({f"tta_{k}": v for k, v in
+                       _check_history("probpose_s_256x192_flip_tta_throughput", tta_rate).items()})
     record.update(_check_history(metric, crops_per_sec))
     print(json.dumps(record))
 
@@ -344,6 +383,8 @@ def main_train():
         cfg.model["backbone"]["dtype"] = dtype
         cfg.model["backbone"]["approximate_gelu"] = True
         cfg.model["head"]["dtype"] = dtype
+        # whole-layer Pallas kernel with custom VJP (vit_layer_train.py)
+        cfg.model["backbone"]["fused_layers"] = os.environ.get("BENCH_FUSED", "1") == "1"
     model = PoseModel(cfg.model, metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
     variables = model.init()
     tx, _ = build_optimizer(

@@ -195,6 +195,60 @@ class TransformerBlock(nn.Module):
         # softmax accumulates in f32 inside Attention
         Dense = _dense_cls(self.quant)
         x = x.astype(self.dtype)
+        if (
+            self.fused_layers and train and self.quant is None
+            and self.approximate_gelu
+        ):
+            # training fast path: the same whole-layer kernel with a custom
+            # VJP (two remat-style backward kernels) — deletes the LN reduce
+            # fusions and head-split layout copies from BOTH passes
+            # (ops/pallas/vit_layer_train.py). Stochastic depth enters as
+            # per-image branch multipliers drawn here from the dropout rng.
+            from probpose_code_tpu.ops.pallas.vit_layer_train import vit_layer_train
+
+            C, F = self.embed_dims, self.feedforward_channels
+            s1, b1 = _LNParams(C, name="ln1")()
+            kq, bq, kp, bp = _AttnParams(C, self.qkv_bias, name="attn")()
+            s2, b2 = _LNParams(C, name="ln2")()
+            k1, bb1 = _DenseParams(F, name="mlp_fc1")(C)
+            k2, bb2 = _DenseParams(C, name="mlp_fc2")(F)
+            m1 = m2 = None
+            if self.drop_path_rate > 0.0:
+                keep = 1.0 - self.drop_path_rate
+                B = x.shape[0]
+                r1, r2 = jax.random.split(self.make_rng("dropout"))
+                m1 = jax.random.bernoulli(r1, keep, (B,)).astype(jnp.float32) / keep
+                m2 = jax.random.bernoulli(r2, keep, (B,)).astype(jnp.float32) / keep
+            out = vit_layer_train(
+                x, s1, b1, kq, bq if bq is not None else jnp.zeros((3 * C,), jnp.float32),
+                kp, bp, s2, b2, k1, bb1, k2, bb2, m1, m2,
+                num_heads=self.num_heads, dtype=self.dtype,
+            )
+            if out is not None:
+                return out
+            # ungroupable shape: same math through XLA with the params (and
+            # stochastic-depth masks) already materialized above — the named
+            # submodule path below would redeclare ln1/attn/... and collide
+            from probpose_code_tpu.ops.pallas.attention import attention
+
+            B, N, _ = x.shape
+            D = C // self.num_heads
+            mean, sinv = _ln_stats(x)
+            qkv = _folded_ln_dense(x, mean, sinv, s1, b1, kq, bq, self.dtype)
+            qkv = qkv.reshape(B, N, 3, self.num_heads, D)
+            o = attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], D ** -0.5)
+            br1 = (jnp.dot(o.reshape(B, N, C), kp.astype(self.dtype)) + bp).astype(self.dtype)
+            if m1 is not None:
+                br1 = br1 * m1[:, None, None].astype(self.dtype)
+            x = x + br1
+            mean, sinv = _ln_stats(x)
+            h = _folded_ln_dense(x, mean, sinv, s2, b2, k1, bb1, self.dtype)
+            h = nn.gelu(h, approximate=True)
+            br2 = (jnp.dot(h.astype(self.dtype), k2.astype(self.dtype)) + bb2).astype(self.dtype)
+            if m2 is not None:
+                br2 = br2 * m2[:, None, None].astype(self.dtype)
+            return x + br2
+
         use_fused_layers = self.fused_layers and not train and self.quant is None
         if use_fused_layers:
             # serving fast path: the WHOLE layer (LN1 -> qkv -> per-head
