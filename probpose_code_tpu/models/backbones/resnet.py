@@ -122,38 +122,49 @@ class ResNet(nn.Module):
     groups: int = 1
     width_per_group: int = 64
     norm_cfg: Any = None  # dict(type='FrozenBatchNorm2d') freezes all BN
+    # reference ``resnet.py:_freeze_stages``: >=0 freezes the stem, k>=1
+    # additionally freezes stages 1..k (params get zero grads via
+    # stop_gradient on the stage output; BN runs in eval mode so batch
+    # statistics never update)
+    frozen_stages: int = -1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         block_type, stage_blocks = ARCH_SETTINGS[self.depth]
         frozen = bool(self.norm_cfg) and dict(self.norm_cfg).get("type") == "FrozenBatchNorm2d"
+        stem_train = train and self.frozen_stages < 0
         if self.deep_stem:
             for i, c in enumerate([self.stem_channels // 2, self.stem_channels // 2, self.stem_channels]):
                 x = nn.Conv(c, (3, 3), strides=(2, 2) if i == 0 else (1, 1), padding=((1, 1), (1, 1)),
                             use_bias=False, dtype=self.dtype, name=f"stem_conv{i}")(x)
-                x = _bn(train, f"stem_bn{i}", frozen)(x)
+                x = _bn(stem_train, f"stem_bn{i}", frozen)(x)
                 x = nn.relu(x)
         else:
             x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                         use_bias=False, dtype=self.dtype, name="conv1")(x)
-            x = _bn(train, "bn1", frozen)(x)
+            x = _bn(stem_train, "bn1", frozen)(x)
             x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
 
         outs = []
         channels = self.base_channels
         for stage_idx in range(self.num_stages):
+            stage_frozen = stage_idx + 1 <= self.frozen_stages
             n_blocks = stage_blocks[stage_idx]
             for b in range(n_blocks):
                 stride = self.strides[stage_idx] if b == 0 else 1
                 if block_type == "basic":
                     x = ResBasicBlock(channels, stride, frozen_bn=frozen, dtype=self.dtype,
-                                      name=f"layer{stage_idx + 1}_block{b}")(x, train=train)
+                                      name=f"layer{stage_idx + 1}_block{b}")(x, train=train and not stage_frozen)
                 else:
                     x = ResBottleneck(channels, stride, self.groups, self.width_per_group,
                                       frozen_bn=frozen, dtype=self.dtype,
-                                      name=f"layer{stage_idx + 1}_block{b}")(x, train=train)
+                                      name=f"layer{stage_idx + 1}_block{b}")(x, train=train and not stage_frozen)
+            if stage_frozen:
+                x = jax.lax.stop_gradient(x)
             if stage_idx in self.out_indices:
                 outs.append(x.astype(jnp.float32))
             channels *= 2

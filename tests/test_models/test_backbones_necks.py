@@ -76,3 +76,38 @@ class TestNecks:
         assert len(outs) == 3
         assert all(o.shape[-1] == 24 for o in outs)
         assert outs[0].shape[1] == 16 and outs[2].shape[1] == 4
+
+
+def test_resnet_frozen_stages():
+    """frozen_stages semantics (reference resnet.py:_freeze_stages): >=0
+    freezes the stem, k>=1 freezes stages 1..k — zero grads for frozen
+    params, live grads beyond, and frozen-stage BN stays in eval mode."""
+    import jax
+    import jax.numpy as jnp
+    from probpose_code_tpu.registry import MODELS
+
+    m = MODELS.build(dict(type="ResNet", depth=18, out_indices=(3,), frozen_stages=2))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(params):
+        out, updates = m.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])
+        return jnp.sum(out[0] ** 2), updates
+
+    (_, updates), grads = jax.value_and_grad(loss, has_aux=True)(variables["params"])
+    gnorm = lambda tree: float(jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.abs(b).sum(), tree, jnp.float32(0)))
+    assert gnorm(grads["conv1"]) == 0.0  # stem frozen
+    assert gnorm(grads["layer1_block0"]) == 0.0
+    assert gnorm(grads["layer2_block0"]) == 0.0
+    assert gnorm(grads["layer3_block0"]) > 0.0
+    assert gnorm(grads["layer4_block0"]) > 0.0
+    # frozen-stage BN ran in eval mode: running stats unchanged
+    bs_old = variables["batch_stats"]
+    bs_new = updates["batch_stats"]
+    same = lambda k: np.allclose(np.asarray(bs_old[k]["bn1"]["mean"]),
+                                 np.asarray(bs_new[k]["bn1"]["mean"]))
+    assert same("layer1_block0") and same("layer2_block0")
+    assert not same("layer3_block0")
