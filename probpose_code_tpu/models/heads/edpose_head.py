@@ -17,9 +17,12 @@ TPU-native design:
 * denoising queries: noised GT boxes enter as an extra query group with a
   self-attention mask that hides them from the matching queries; their
   outputs are supervised directly (known correspondence, no matching);
-* the Hungarian assignment runs through ``jax.pure_callback`` on a
-  static-shape cost matrix (GT padded to ``max_gt``), keeping the whole
-  loss jittable.
+* the one-to-one assignment is an exact in-jit Hungarian
+  (``ops/lap.py:hungarian_assign``, Jonker-Volgenant with lax loops) on a
+  static-shape cost matrix (GT padded to ``max_gt``): TPU runtimes cannot
+  service host callbacks inside a jitted step, so the reference's
+  scipy-backed mmdet HungarianAssigner becomes an on-device solver
+  (scipy-oracle-tested exact).
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ import numpy as np
 from probpose_code_tpu.registry import MODELS
 from probpose_code_tpu.models.backbones.transformers import Mlp
 from probpose_code_tpu.models.utils.deform_attn import MSDeformAttention
+from probpose_code_tpu.ops.lap import hungarian_assign
 
 
 def _inv_sigmoid(x, eps=1e-5):
@@ -144,7 +148,14 @@ class EDPoseTPUHead(nn.Module):
         nq = q.shape[1]
         kq_embed = self.param("kpt_query_embed", nn.initializers.normal(0.02), (1, 1, K, self.embed_dims))
         kq = (q[:, :, None, :] + kq_embed).reshape(B, nq * K, self.embed_dims)
-        ref_kpts = jnp.broadcast_to(ref_boxes[:, :, None, :2], (B, nq, K, 2)).reshape(B, nq * K, 2)
+        # spread the initial keypoint references across the human box with a
+        # learned per-keypoint offset (all-at-center starts make deformable
+        # sampling degenerate: every keypoint query reads the same location
+        # and the refinement collapses toward the box center)
+        kpt_off = self.param("kpt_ref_offset", nn.initializers.normal(0.5), (1, 1, K, 2))
+        ctr = ref_boxes[:, :, None, :2]
+        half_wh = ref_boxes[:, :, None, 2:4] * 0.5
+        ref_kpts = jnp.clip(ctr + jnp.tanh(kpt_off) * half_wh, 1e-4, 1 - 1e-4).reshape(B, nq * K, 2)
         kpt_refine = nn.Dense(2, dtype=self.dtype, name="kpt_refine")
         kpt_mask = None
         if D > 0:
@@ -165,6 +176,7 @@ class EDPoseTPUHead(nn.Module):
             boxes=ref_boxes[:, D:].astype(jnp.float32),  # cxcywh normalized
             keypoints=kpts[:, D:].astype(jnp.float32),  # (B, Q, K, 2) normalized
             keypoint_scores=jax.nn.sigmoid(kpt_vis[:, D:]).astype(jnp.float32),
+            kpt_vis_logits=kpt_vis[:, D:].astype(jnp.float32),  # for the vis BCE
         )
         if D > 0:
             out.update(
@@ -197,16 +209,6 @@ def make_dn_queries(
     dn = jnp.clip(dn, 1e-4, 1.0)
     inert = jnp.broadcast_to(jnp.asarray([0.5, 0.5, 0.1, 0.1]), dn.shape)
     return jnp.where(gt_valid[..., None] > 0, dn, inert), gt_valid
-
-
-def _hungarian(cost: np.ndarray) -> np.ndarray:
-    """Row->col assignment (Q,) with -1 for unassigned; scipy LAP on host."""
-    from scipy.optimize import linear_sum_assignment
-
-    rows, cols = linear_sum_assignment(cost)
-    out = np.full(cost.shape[0], -1, np.int32)
-    out[rows] = cols.astype(np.int32)
-    return out
 
 
 def edpose_loss(
@@ -246,13 +248,10 @@ def edpose_loss(
     )
     cls_cost = -p_scores[..., None]
     cost = cls_weight * cls_cost + box_weight * box_cost + kpt_weight * kpt_cost
-    cost = jnp.where(gt_valid[:, None] > 0, cost, 1e6)
 
-    assign = jax.pure_callback(
-        lambda c: np.stack([_hungarian(ci) for ci in np.asarray(c)]),
-        jax.ShapeDtypeStruct((cost.shape[0], Q), np.int32),
-        jax.lax.stop_gradient(cost),
-    )  # (B, Q) gt index or -1
+    # exact one-to-one assignment fully on-device: TPU runtimes cannot
+    # service a host callback (scipy Hungarian) inside the jitted train step
+    assign = hungarian_assign(jax.lax.stop_gradient(cost), gt_valid)  # (B, Q) gt index or -1
     idx = jnp.clip(assign, 0, G - 1)
     matched_valid = jnp.take_along_axis(gt_valid, idx, 1) * (assign >= 0)
 
@@ -269,6 +268,14 @@ def edpose_loss(
     losses["loss_bbox"] = (jnp.abs(pb - tb).sum(-1) * matched_valid).sum() / num_pos * box_weight
     kd = jnp.abs(pk - tk).sum(-1) * tv
     losses["loss_keypoints"] = (kd.mean(-1) * matched_valid).sum() / num_pos * kpt_weight
+    if "kpt_vis_logits" in outputs:
+        # keypoint visibility BCE on matched queries — without it the
+        # kpt_vis branch receives zero gradient and keypoint_scores stay
+        # at their 0.5 init forever
+        vl = outputs["kpt_vis_logits"]
+        vt = (tv > 0).astype(jnp.float32)
+        vbce = jnp.clip(vl, 0, None) - vl * vt + jnp.log1p(jnp.exp(-jnp.abs(vl)))
+        losses["loss_kpt_vis"] = (vbce.mean(-1) * matched_valid).sum() / num_pos
 
     if "dn_boxes" in outputs:
         # DN queries correspond 1:1 with (padded) GT slots

@@ -379,3 +379,70 @@ def test_edpose_denoising_queries():
     grads = jax.grad(loss_fn)(vs["params"])
     gn = sum(float(jnp.abs(t).sum()) for t in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_hungarian_assign_vs_scipy_oracle():
+    """On-device Hungarian (ops/lap.py, Jonker-Volgenant in lax loops) vs
+    scipy linear_sum_assignment: total cost must be EXACTLY optimal on
+    random and structured costs, and padded GT slots must never appear in
+    the result. This solver replaced the pure_callback scipy matcher
+    because TPU runtimes reject host callbacks inside the jitted step."""
+    from scipy.optimize import linear_sum_assignment
+
+    from probpose_code_tpu.ops.lap import hungarian_assign
+
+    rng = np.random.RandomState(0)
+    # DETR-style diagonally-dominant costs with padding
+    B, Q, G = 4, 20, 6
+    cost = rng.rand(B, Q, G).astype(np.float32) + 1.0
+    for b in range(B):
+        qs = rng.permutation(Q)[:G]
+        cost[b, qs, np.arange(G)] = rng.rand(G) * 0.05
+    valid = np.ones((B, G), np.float32)
+    valid[2, 4:] = 0  # padded GT never assigned
+    got = np.asarray(hungarian_assign(jnp.asarray(cost), jnp.asarray(valid)))
+    for b in range(B):
+        g_real = int(valid[b].sum())
+        rows, cols = linear_sum_assignment(cost[b][:, :g_real])
+        opt = cost[b][rows, cols].sum()
+        qs = np.where(got[b] >= 0)[0]
+        assert len(qs) == g_real
+        assert (got[b][qs] < g_real).all()  # padding slots untouched
+        mine = cost[b][qs, got[b][qs]].sum()
+        np.testing.assert_allclose(mine, opt, rtol=1e-6)
+
+    # adversarial random costs: exact optimum required
+    cost = rng.rand(8, 30, 10).astype(np.float32)
+    valid = np.ones((8, 10), np.float32)
+    got = np.asarray(hungarian_assign(jnp.asarray(cost), jnp.asarray(valid)))
+    for b in range(8):
+        rows, cols = linear_sum_assignment(cost[b])
+        opt = cost[b][rows, cols].sum()
+        qs = np.where(got[b] >= 0)[0]
+        assert len(qs) == 10
+        assert len(set(got[b][qs].tolist())) == 10  # one-to-one
+        mine = cost[b][qs, got[b][qs]].sum()
+        np.testing.assert_allclose(mine, opt, rtol=1e-6)
+
+    # degenerate: single GT, ties
+    cost = np.ones((1, 5, 1), np.float32)
+    got = np.asarray(hungarian_assign(jnp.asarray(cost), jnp.asarray(np.ones((1, 1), np.float32))))
+    assert (got[0] == 0).sum() == 1 and (got[0] == -1).sum() == 4
+
+    # G > Q (heavily padded GT, the runner's collate shape): every valid GT
+    # covered, optimum exact, padding never assigned
+    cost = rng.rand(6, 16, 50).astype(np.float32)
+    valid = np.zeros((6, 50), np.float32)
+    for b in range(6):
+        valid[b, : rng.randint(1, 9)] = 1
+    got = np.asarray(hungarian_assign(jnp.asarray(cost), jnp.asarray(valid)))
+    for b in range(6):
+        g_real = int(valid[b].sum())
+        rows, cols = linear_sum_assignment(cost[b][:, :g_real])
+        opt = cost[b][rows, cols].sum()
+        qs = np.where(got[b] >= 0)[0]
+        assert len(qs) == g_real, (b, len(qs), g_real)
+        assert (got[b][qs] < g_real).all()
+        assert len(set(got[b][qs].tolist())) == g_real
+        mine = cost[b][qs, got[b][qs]].sum()
+        np.testing.assert_allclose(mine, opt, rtol=1e-5)
