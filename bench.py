@@ -165,6 +165,14 @@ def main():
         if os.environ.get("BENCH_QUANT"):  # int8 MXU matmuls in the backbone
             model_cfg["backbone"]["quant"] = os.environ["BENCH_QUANT"]
             model_cfg["backbone"]["fused_layers"] = False
+    else:
+        # conv-family serving precision: all backbones/heads are dtype-generic
+        # flax modules, so the deployment precision is a bench knob, not a
+        # recipe field (reference recipes state the TRAINING precision; the
+        # v5e serving sweet spot is bf16 conv + f32 decode — decode already
+        # runs f32 via make_predict's precision policy)
+        model_cfg["backbone"]["dtype"] = dtype
+        model_cfg["head"]["dtype"] = dtype
 
     model = PoseModel(model_cfg, metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
     variables = model.init()
@@ -267,7 +275,22 @@ def main():
     }
     if workload != "probpose-s":
         record["model"] = workload
-        record["dtype"] = "float32"  # secondary workloads run their configs' precision
+        record["dtype"] = dtype
+        try:
+            # serving MFU from XLA's own FLOP count for the predict program
+            # (v5e peak: 197 bf16 / 49 f32 TFLOP/s) — the bound statement
+            # the conv-family perf docs cite
+            images0 = gen_batch(jax.random.PRNGKey(0))
+            cost = jax.jit(predict_raw).lower(variables, images0).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            if flops > 0:
+                peak = 197e12 if dtype == "bfloat16" else 49e12
+                record["mfu"] = round(flops * (crops_per_sec / batch) / peak, 4)
+                record["tflops_sustained"] = round(flops * (crops_per_sec / batch) / 1e12, 1)
+        except Exception:
+            pass
     if os.environ.get("BENCH_DECODE", "1") == "1":
         record["decode_us_per_heatmap"] = round(_bench_decode_us(), 3)
     if workload == "probpose-s" and not flip and os.environ.get("BENCH_TTA", "1") == "1":
@@ -442,6 +465,20 @@ def main_train():
         "workers": workers,
         "device_step_crops_per_sec": round(device_rate, 1),
     }
+    try:
+        # MFU of the device step: XLA's own FLOP count for the compiled
+        # program / v5e peak (197 bf16 TFLOP/s). Unavailable on backends
+        # that don't surface cost analysis — omitted rather than guessed.
+        cost = train_step.lower(state, resident, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            peak = 197e12 if dtype == "bfloat16" else 49e12
+            record["device_step_mfu"] = round(flops * (device_rate / batch) / peak, 4)
+            record["device_step_tflops"] = round(flops * (device_rate / batch) / 1e12, 1)
+    except Exception:
+        pass
     record.update(_check_history(metric, train_crops))
     print(json.dumps(record))
 

@@ -377,20 +377,27 @@ def _core_bwd(num_heads, eps, dtype, tokens, res, g):
     blk = group * tokens
     interpret = jax.devices()[0].platform != "tpu"
 
+    # the MLP backward holds the (blk, F) hidden + its grad + both dW
+    # accumulators in VMEM at once: at group=2 / d=384 / F=1536 that is
+    # ~16.2 MB — 244 KB past the 16 MB scoped-vmem limit on v5e (measured).
+    # It is purely row-wise (no cross-token math), so it can block at
+    # single-image rows independently of the attention kernel's group.
+    blk_mlp = tokens * _pick_group(T // tokens, tokens, 1)
+
     mlp = functools.partial(_bwd_mlp_kernel, eps=eps)
     dx1, dl2s, dl2b, dw1, db1, dw2, db2 = pl.pallas_call(
         mlp,
-        grid=(T // blk,),
+        grid=(T // blk_mlp,),
         in_specs=[
-            pl.BlockSpec((blk, C), _row),
-            pl.BlockSpec((blk, C), _row),
-            pl.BlockSpec((blk, 1), _row),
+            pl.BlockSpec((blk_mlp, C), _row),
+            pl.BlockSpec((blk_mlp, C), _row),
+            pl.BlockSpec((blk_mlp, 1), _row),
             pl.BlockSpec((1, C), _const), pl.BlockSpec((1, C), _const),
             pl.BlockSpec((C, F), _const), pl.BlockSpec((1, F), _const),
             pl.BlockSpec((F, C), _const),
         ],
         out_specs=[
-            pl.BlockSpec((blk, C), _row),
+            pl.BlockSpec((blk_mlp, C), _row),
             pl.BlockSpec((1, C), _const), pl.BlockSpec((1, C), _const),
             pl.BlockSpec((C, F), _const), pl.BlockSpec((1, F), _const),
             pl.BlockSpec((F, C), _const), pl.BlockSpec((1, C), _const),
