@@ -155,13 +155,18 @@ def main():
     cfg = Config.fromfile(os.path.join(os.path.dirname(os.path.abspath(__file__)), configs[workload]))
     model_cfg = cfg.model
     if workload == "probpose-s":
-        model_cfg["backbone"]["dtype"] = dtype
-        model_cfg["backbone"]["approximate_gelu"] = dtype == "bfloat16"
-        # whole-layer Pallas kernels (ops/pallas/vit_layer.py): both LNs, the
-        # attention matrix and the MLP hidden stay in VMEM — measured +33%
-        # on flip-TTA vs the XLA graph (r4); BENCH_FUSED=0 for the XLA path
-        model_cfg["backbone"]["fused_layers"] = os.environ.get("BENCH_FUSED", "1") == "1"
-        model_cfg["head"]["dtype"] = dtype
+        # The shipped recipe IS the fast path since r5: it carries
+        # dtype=bfloat16 + approximate_gelu, and fused_layers defaults to
+        # auto (whole-layer Pallas kernels on TPU). The default bench run
+        # therefore measures exactly what init_model builds; env knobs below
+        # only override for A/B runs (BENCH_FUSED=0 pins the XLA graph,
+        # BENCH_DTYPE=float32 the f32 graph).
+        if "BENCH_DTYPE" in os.environ:
+            model_cfg["backbone"]["dtype"] = dtype
+            model_cfg["backbone"]["approximate_gelu"] = dtype == "bfloat16"
+            model_cfg["head"]["dtype"] = dtype
+        if "BENCH_FUSED" in os.environ:
+            model_cfg["backbone"]["fused_layers"] = os.environ["BENCH_FUSED"] == "1"
         if os.environ.get("BENCH_QUANT"):  # int8 MXU matmuls in the backbone
             model_cfg["backbone"]["quant"] = os.environ["BENCH_QUANT"]
             model_cfg["backbone"]["fused_layers"] = False
@@ -402,12 +407,15 @@ def main_train():
             "configs/body_2d_keypoint/topdown_probmap/coco/td-pm_ProbPose-small_8xb64-210e_coco-256x192.py",
         )
     )
-    if dtype != "float32":
+    # the recipe ships bf16 + tanh-GELU + auto fused_layers (the Pallas
+    # train kernel with custom VJP, vit_layer_train.py, on TPU); env knobs
+    # override only for A/B runs
+    if "BENCH_DTYPE" in os.environ:
         cfg.model["backbone"]["dtype"] = dtype
-        cfg.model["backbone"]["approximate_gelu"] = True
+        cfg.model["backbone"]["approximate_gelu"] = dtype == "bfloat16"
         cfg.model["head"]["dtype"] = dtype
-        # whole-layer Pallas kernel with custom VJP (vit_layer_train.py)
-        cfg.model["backbone"]["fused_layers"] = os.environ.get("BENCH_FUSED", "1") == "1"
+    if "BENCH_FUSED" in os.environ:
+        cfg.model["backbone"]["fused_layers"] = os.environ["BENCH_FUSED"] == "1"
     model = PoseModel(cfg.model, metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
     variables = model.init()
     tx, _ = build_optimizer(

@@ -57,9 +57,20 @@ model = dict(
         out_type="featmap",
         patch_cfg=dict(padding=2),
         init_cfg=None,
+        # TPU-native fast path, shipped ON: bf16 residual stream (params stay
+        # f32; softmax/LN accumulate f32) and tanh-GELU; fused_layers is left
+        # at its auto default, which routes every transformer layer through
+        # the whole-layer Pallas kernels (ops/pallas/vit_layer*.py) on TPU
+        # and falls back to the identical-math XLA graph elsewhere. This is
+        # the exact graph bench.py measures (5.7k flip-TTA / 12.0k no-TTA
+        # crops/s/chip on v5e, BENCH_r04) — the shipped recipe IS the fast
+        # path, mirroring the reference whose shipped config is its fast path.
+        dtype="bfloat16",
+        approximate_gelu=True,
     ),
     head=dict(
         type="ProbMapHead",
+        dtype="bfloat16",
         in_channels=384,
         out_channels=17,
         deconv_out_channels=(256, 256),

@@ -170,6 +170,16 @@ def _dense_cls(quant: Optional[str]):
     return nn.Dense
 
 
+def _tpu_is_default() -> bool:
+    """True when the default JAX backend is a real TPU (where the fused
+    whole-layer Pallas kernels compile natively; elsewhere they would run
+    in interpret mode, which is only useful for parity tests)."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 class TransformerBlock(nn.Module):
     embed_dims: int
     num_heads: int
@@ -186,8 +196,10 @@ class TransformerBlock(nn.Module):
     fold_ln: bool = False
     # run the WHOLE layer (LN1 -> qkv -> attention -> proj -> residual ->
     # LN2 -> MLP -> residual) as ONE Pallas kernel (ops/pallas/vit_layer.py);
-    # inference-only serving fast path, same param tree
-    fused_layers: bool = False
+    # same param tree either way. Tri-state: None (default) = auto — use the
+    # kernel when the default backend is a real TPU; True = force (interpret
+    # mode off-TPU, for parity tests); False = always the XLA graph.
+    fused_layers: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -195,8 +207,11 @@ class TransformerBlock(nn.Module):
         # softmax accumulates in f32 inside Attention
         Dense = _dense_cls(self.quant)
         x = x.astype(self.dtype)
+        fused_layers = (
+            self.fused_layers if self.fused_layers is not None else _tpu_is_default()
+        )
         if (
-            self.fused_layers and train and self.quant is None
+            fused_layers and train and self.quant is None
             and self.approximate_gelu
         ):
             # training fast path: the same whole-layer kernel with a custom
@@ -249,7 +264,7 @@ class TransformerBlock(nn.Module):
                 br2 = br2 * m2[:, None, None].astype(self.dtype)
             return x + br2
 
-        use_fused_layers = self.fused_layers and not train and self.quant is None
+        use_fused_layers = fused_layers and not train and self.quant is None
         if use_fused_layers:
             # serving fast path: the WHOLE layer (LN1 -> qkv -> per-head
             # attention -> proj -> residual -> LN2 -> MLP -> residual) is one
@@ -338,7 +353,9 @@ class VisionTransformer(nn.Module):
     approximate_gelu: bool = False
     quant: Optional[str] = None
     fold_ln: bool = False
-    fused_layers: bool = False
+    # None = auto: whole-layer Pallas kernels on TPU, XLA graph elsewhere
+    # (see TransformerBlock.fused_layers)
+    fused_layers: Optional[bool] = None
 
     def setup(self):
         arch = VIT_ARCH_ZOO[self.arch] if isinstance(self.arch, str) else dict(self.arch)

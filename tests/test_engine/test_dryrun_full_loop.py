@@ -20,5 +20,8 @@ def test_dryrun_full_loop_8dev(capsys):
     g.dryrun_multichip(8)
     out = capsys.readouterr().out
     assert "ok" in out
-    assert "val_score=" in out
+    # sharded val must flow through the real CocoMetric (an actual AP) and
+    # the GT-as-predictions oracle must score 1.0 through the same path
+    assert "val_AP=" in out
+    assert "GT-oracle AP=1.0000" in out
     assert "ckpt_restore=equal" in out
