@@ -85,9 +85,11 @@ def _native_available() -> bool:
     return native_decode.available()
 
 
-def _check_history(metric: str, value: float) -> dict:
+def _check_history(metric: str, value: float, **tags) -> dict:
     """Regression guard: compare against the best recorded value for this
-    metric in BENCH_HISTORY.json, warn on drops beyond the relay noise band, append the run."""
+    metric in BENCH_HISTORY.json, warn on drops beyond the relay noise band,
+    append the run. Extra ``tags`` (dtype, fused, ...) are stored with the
+    history entry so entries are attributable to their configuration."""
     hist = []
     if os.path.exists(_HISTORY):
         try:
@@ -113,7 +115,8 @@ def _check_history(metric: str, value: float) -> dict:
     if jax.devices()[0].platform == "cpu":
         # CPU dry-runs (bench health checks) must not pollute the TPU history
         return out
-    hist.append({"metric": metric, "value": round(value, 1), "ts": time.strftime("%Y-%m-%d %H:%M:%S")})
+    hist.append({"metric": metric, "value": round(value, 1),
+                 "ts": time.strftime("%Y-%m-%d %H:%M:%S"), **tags})
     try:
         with open(_HISTORY, "w") as f:
             json.dump(hist, f, indent=1)
@@ -312,8 +315,11 @@ def main():
         record["flip_tta_crops_per_sec"] = round(tta_rate, 1)
         record["tta_vs_baseline"] = round(tta_rate / 5000.0, 3)
         record.update({f"tta_{k}": v for k, v in
-                       _check_history("probpose_s_256x192_flip_tta_throughput", tta_rate).items()})
-    record.update(_check_history(metric, crops_per_sec))
+                       _check_history("probpose_s_256x192_flip_tta_throughput", tta_rate,
+                                      dtype=dtype, fused=os.environ.get("BENCH_FUSED", "auto"),
+                                      model=workload).items()})
+    record.update(_check_history(metric, crops_per_sec, dtype=dtype,
+                                 fused=os.environ.get("BENCH_FUSED", "auto"), model=workload))
     print(json.dumps(record))
 
 
@@ -487,7 +493,16 @@ def main_train():
             record["device_step_tflops"] = round(flops * (device_rate / batch) / 1e12, 1)
     except Exception:
         pass
-    record.update(_check_history(metric, train_crops))
+    fused_tag = os.environ.get("BENCH_FUSED", "auto")
+    record.update(_check_history(metric, train_crops, dtype=dtype, fused=fused_tag))
+    # device-step rate is the chip-capability number the verdicts track —
+    # record it under its own metric name (the e2e number above is host-bound
+    # on single-core hosts)
+    _check_history(
+        "probpose_s_256x192_device_train_step", device_rate,
+        dtype=dtype, fused=fused_tag,
+        mfu=record.get("device_step_mfu"), batch=batch,
+    )
     print(json.dumps(record))
 
 

@@ -4,6 +4,9 @@ num_workers, set in every shipped recipe's dataloader config)."""
 import numpy as np
 import pytest
 
+# process forks / HTTP servers: slow tier (CONTRIBUTING.md)
+pytestmark = pytest.mark.slow
+
 from probpose_code_tpu.datasets import DataLoader
 from probpose_code_tpu.registry import DATASETS
 from probpose_code_tpu.testing import make_synthetic_coco

@@ -13,6 +13,10 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# torch-oracle compiles dominate the engine bucket's wall-clock on a
+# 1-core box; conversion parity runs in the slow tier (docs: CONTRIBUTING.md)
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 REPO = Path(__file__).parent.parent.parent

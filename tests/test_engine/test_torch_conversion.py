@@ -9,6 +9,10 @@ our flax modules produce identical outputs.
 import numpy as np
 import pytest
 
+# torch-oracle compiles dominate the engine bucket's wall-clock on a
+# 1-core box; conversion parity runs in the slow tier (docs: CONTRIBUTING.md)
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 

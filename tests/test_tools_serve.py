@@ -20,6 +20,9 @@ import urllib.request
 import numpy as np
 import pytest
 
+# process forks / HTTP servers: slow tier (CONTRIBUTING.md)
+pytestmark = pytest.mark.slow
+
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 
