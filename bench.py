@@ -413,9 +413,10 @@ def main_train():
             "configs/body_2d_keypoint/topdown_probmap/coco/td-pm_ProbPose-small_8xb64-210e_coco-256x192.py",
         )
     )
-    # the recipe ships bf16 + tanh-GELU + auto fused_layers (the Pallas
-    # train kernel with custom VJP, vit_layer_train.py, on TPU); env knobs
-    # override only for A/B runs
+    # the recipe ships bf16 + tanh-GELU + auto fused_layers; for TRAINING
+    # auto means the XLA graph (the measured winner: 1,787 crops/s / 0.337
+    # MFU vs 1,759 / 0.310 with the vit_layer_train.py VJP kernel, v5e bf16
+    # B=64). BENCH_FUSED=1 forces the differentiable kernel for A/B runs.
     if "BENCH_DTYPE" in os.environ:
         cfg.model["backbone"]["dtype"] = dtype
         cfg.model["backbone"]["approximate_gelu"] = dtype == "bfloat16"

@@ -60,11 +60,14 @@ model = dict(
         # TPU-native fast path, shipped ON: bf16 residual stream (params stay
         # f32; softmax/LN accumulate f32) and tanh-GELU; fused_layers is left
         # at its auto default, which routes every transformer layer through
-        # the whole-layer Pallas kernels (ops/pallas/vit_layer*.py) on TPU
-        # and falls back to the identical-math XLA graph elsewhere. This is
-        # the exact graph bench.py measures (5.7k flip-TTA / 12.0k no-TTA
-        # crops/s/chip on v5e, BENCH_r04) — the shipped recipe IS the fast
-        # path, mirroring the reference whose shipped config is its fast path.
+        # the whole-layer SERVING Pallas kernel (ops/pallas/vit_layer.py) on
+        # TPU and falls back to the identical-math XLA graph elsewhere.
+        # Training stays on the XLA graph under auto — the differentiable
+        # kernel measured slightly slower (1,759 vs 1,787 crops/s, v5e bf16
+        # B=64); set fused_layers=True to force it. This is the exact graph
+        # bench.py measures (5.9k flip-TTA / 12.0k no-TTA crops/s/chip on
+        # v5e) — the shipped recipe IS the fast path, mirroring the
+        # reference whose shipped config is its fast path.
         dtype="bfloat16",
         approximate_gelu=True,
     ),

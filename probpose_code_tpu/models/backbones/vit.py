@@ -197,8 +197,10 @@ class TransformerBlock(nn.Module):
     # run the WHOLE layer (LN1 -> qkv -> attention -> proj -> residual ->
     # LN2 -> MLP -> residual) as ONE Pallas kernel (ops/pallas/vit_layer.py);
     # same param tree either way. Tri-state: None (default) = auto — use the
-    # kernel when the default backend is a real TPU; True = force (interpret
-    # mode off-TPU, for parity tests); False = always the XLA graph.
+    # SERVING kernel when the default backend is a real TPU, but keep
+    # TRAINING on the XLA graph (measured faster there — see the A/B note in
+    # __call__); True = force both kernels incl. the differentiable one
+    # (interpret mode off-TPU, for parity tests); False = always XLA.
     fused_layers: Optional[bool] = None
 
     @nn.compact
@@ -211,14 +213,22 @@ class TransformerBlock(nn.Module):
             self.fused_layers if self.fused_layers is not None else _tpu_is_default()
         )
         if (
-            fused_layers and train and self.quant is None
+            self.fused_layers is True and train and self.quant is None
             and self.approximate_gelu
         ):
-            # training fast path: the same whole-layer kernel with a custom
-            # VJP (two remat-style backward kernels) — deletes the LN reduce
-            # fusions and head-split layout copies from BOTH passes
-            # (ops/pallas/vit_layer_train.py). Stochastic depth enters as
-            # per-image branch multipliers drawn here from the dropout rng.
+            # training kernel path — EXPLICIT OPT-IN ONLY (fused_layers=True).
+            # The whole-layer kernel with a custom VJP (two remat-style
+            # backward kernels, ops/pallas/vit_layer_train.py) deletes the LN
+            # reduce fusions and head-split layout copies from BOTH passes,
+            # but the measured A/B on v5e (bf16, B=64, ProbPose-S) is a small
+            # LOSS: 1,759 crops/s / 0.310 MFU with the kernel vs 1,787 /
+            # 0.337 on the XLA graph — the backward recompute kernels re-pay
+            # the forward's matmuls while XLA's remat-free backward reads the
+            # saved activations from HBM, and at ViT-S scale that HBM traffic
+            # is cheaper than the extra MXU work. Auto (None) therefore
+            # routes TRAINING to the XLA graph; only predict uses the fused
+            # kernel by default. Stochastic depth enters as per-image branch
+            # multipliers drawn here from the dropout rng.
             from probpose_code_tpu.ops.pallas.vit_layer_train import vit_layer_train
 
             C, F = self.embed_dims, self.feedforward_channels

@@ -87,7 +87,9 @@ def test_predict_takes_fused_kernel_on_tpu(monkeypatch):
     assert np.isfinite(np.asarray(out["keypoints"], np.float32)).all()
 
 
-def test_train_takes_fused_train_kernel_on_tpu(monkeypatch):
+def _train_kernel_calls(monkeypatch, fused_layers):
+    """Run one loss step with the vit_layer_train kernel recorded; return the
+    number of layer calls that routed through it."""
     from probpose_code_tpu.models.backbones import vit as vit_mod
     from probpose_code_tpu.ops.pallas import vit_layer_train as kernel_mod
 
@@ -101,6 +103,8 @@ def test_train_takes_fused_train_kernel_on_tpu(monkeypatch):
     monkeypatch.setattr(kernel_mod, "vit_layer_train", recorder)
 
     cfg = _tiny_flagship_cfg()
+    if fused_layers is not None:
+        cfg.model["backbone"]["fused_layers"] = fused_layers
     model = PoseModel(cfg.model, metainfo=parse_pose_metainfo({"dataset_name": "coco"}))
     variables = model.init()
     calls.clear()  # init() may also route through the kernels
@@ -113,8 +117,23 @@ def test_train_takes_fused_train_kernel_on_tpu(monkeypatch):
         in_image=jnp.ones((2, 17), jnp.float32),
     )
     loss, _ = model.loss_fn(variables, batch, rngs={"dropout": jax.random.PRNGKey(0)})
-    assert len(calls) == cfg.model["backbone"]["arch"]["num_layers"]
     assert np.isfinite(float(loss))
+    return len(calls), cfg.model["backbone"]["arch"]["num_layers"]
+
+
+def test_train_auto_stays_on_xla_even_on_tpu(monkeypatch):
+    """Auto routes TRAINING to the XLA graph: the measured A/B on v5e (bf16,
+    B=64) is 1,787 crops/s / 0.337 MFU for XLA vs 1,759 / 0.310 with the
+    differentiable kernel — the kernel's remat-style backward re-pays the
+    forward matmuls, which at ViT-S scale costs more than XLA's HBM reads of
+    saved activations (BENCH_HISTORY 2026-08-20, fused=0 vs fused=auto)."""
+    n, _ = _train_kernel_calls(monkeypatch, fused_layers=None)
+    assert n == 0
+
+
+def test_train_forced_true_takes_fused_train_kernel(monkeypatch):
+    n, num_layers = _train_kernel_calls(monkeypatch, fused_layers=True)
+    assert n == num_layers
 
 
 def test_off_tpu_auto_stays_on_xla(monkeypatch):

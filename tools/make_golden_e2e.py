@@ -106,9 +106,26 @@ from _e2e_torch_model import build_e2e_model  # noqa: E402
 # ---------------------------------------------------------------------------
 
 
-def synth_images_and_bboxes(rng, n_images=12):
+def synth_images_and_bboxes(rng, n_images=24):
     """Textured images + person bboxes (GT keypoints are synthesized later
-    from the model's own predictions so that AP is mid-range and sensitive)."""
+    from the model's own predictions so that AP is mid-range and sensitive).
+
+    Beyond the independent boxes, every third image carries a CROWDED pair
+    (two heavily-overlapping boxes — the OKS-NMS / matching-ambiguity
+    regime) and every fourth a TRUNCATED instance whose box is clipped at
+    the image border (the CropCOCO regime: the person continues outside the
+    image, so GT keypoints synthesized around it land out-of-image and the
+    Ex-OKS activation-window penalties are exercised). VERDICT r4 next #4."""
+
+    def _draw_box(img, x, y, bw, bh, W, H):
+        cv2.rectangle(img, (int(x), int(y)), (int(x + bw), int(y + bh)),
+                      tuple(int(c) for c in rng.randint(60, 255, 3)), 2)
+        for _ in range(6):
+            cx = int(np.clip(x + rng.uniform(0, bw), 0, W - 1))
+            cy = int(np.clip(y + rng.uniform(0, bh), 0, H - 1))
+            cv2.circle(img, (cx, cy), int(rng.randint(2, 6)),
+                       tuple(int(c) for c in rng.randint(0, 255, 3)), -1)
+
     images, bboxes, arrays = [], {}, {}
     for img_id in range(1, n_images + 1):
         W = int(rng.randint(256, 420))
@@ -123,15 +140,36 @@ def synth_images_and_bboxes(rng, n_images=12):
             bh = float(rng.uniform(0.35, 0.7) * H)
             x = float(rng.uniform(0, W - bw))
             y = float(rng.uniform(0, H - bh))
-            cv2.rectangle(img, (int(x), int(y)), (int(x + bw), int(y + bh)), tuple(int(c) for c in rng.randint(60, 255, 3)), 2)
-            for _ in range(6):
-                cv2.circle(
-                    img,
-                    (int(x + rng.uniform(0, bw)), int(y + rng.uniform(0, bh))),
-                    int(rng.randint(2, 6)),
-                    tuple(int(c) for c in rng.randint(0, 255, 3)),
-                    -1,
-                )
+            _draw_box(img, x, y, bw, bh, W, H)
+            boxes.append([x, y, bw, bh])
+        if img_id % 3 == 0:
+            # crowded pair: second box shifted by < 30% of the first's size
+            x, y, bw, bh = boxes[0]
+            dx = float(rng.uniform(-0.3, 0.3) * bw)
+            dy = float(rng.uniform(-0.3, 0.3) * bh)
+            x2 = float(np.clip(x + dx, 0, W - bw))
+            y2 = float(np.clip(y + dy, 0, H - bh))
+            _draw_box(img, x2, y2, bw, bh, W, H)
+            boxes.append([x2, y2, bw, bh])
+        if img_id % 4 == 0:
+            # truncated instance: box clipped at a border (person continues
+            # outside the image). COCO convention: ann bbox stays inside.
+            bw = float(rng.uniform(0.3, 0.5) * W)
+            bh = float(rng.uniform(0.4, 0.7) * H)
+            side = int(rng.randint(4))
+            if side == 0:
+                x, y = 0.0, float(rng.uniform(0, H - bh))
+                bw *= float(rng.uniform(0.4, 0.7))  # left part cut off
+            elif side == 1:
+                x, y = float(W - bw * rng.uniform(0.4, 0.7)), float(rng.uniform(0, H - bh))
+                bw = float(W - x)
+            elif side == 2:
+                x, y = float(rng.uniform(0, W - bw)), 0.0
+                bh *= float(rng.uniform(0.4, 0.7))
+            else:
+                x, y = float(rng.uniform(0, W - bw)), float(H - bh * rng.uniform(0.4, 0.7))
+                bh = float(H - y)
+            _draw_box(img, x, y, bw, bh, W, H)
             boxes.append([x, y, bw, bh])
         bboxes[img_id] = boxes
         arrays[f"img_{img_id}"] = img
@@ -147,7 +185,7 @@ def synth_gt_from_preds(rng, pred, bbox, img_w, img_h):
     out-of-image regime) and some are marked v=0/1."""
     area = bbox[2] * bbox[3] * 0.53
     scale = np.sqrt(area)
-    level = float(rng.choice([0.3, 0.8, 1.5, 2.5]))
+    level = float(rng.choice([0.2, 0.5, 0.9, 1.6]))
     kpts, nk = [], 0
     for k in range(K):
         r = rng.rand()
