@@ -154,6 +154,13 @@ class Runner:
     # -- training ---------------------------------------------------------
 
     def setup_training(self, steps_per_epoch: Optional[int] = None):
+        if self.state is not None:
+            # in-process continuation (train() called again, e.g. chunked
+            # schedules): the live TrainState carries params + optimizer;
+            # rebuilding from model.variables would reset progress — and
+            # crash outright, since the donated init arrays were consumed
+            # by the first train step (buffer donation deletes them)
+            return
         if self.model.variables is None:
             self.model.init()
         if steps_per_epoch is None:
