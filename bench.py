@@ -507,8 +507,123 @@ def main_train():
     print(json.dumps(record))
 
 
+def main_edpose_train():
+    """EDPoseTPUHead training-step bench (BENCH_MODE=edpose).
+
+    Measures the device step rate of the trainable DETR-family head at a
+    production-ish geometry (R50 multi-scale + ChannelMapper-256, embed 256,
+    100 queries, 2+2 decoder layers, DN groups, deep supervision) and — the
+    VERDICT r4 #6 claim check — the cost share of the on-device exact
+    Hungarian assignment (ops/lap.py) inside that step.
+
+    Env: BENCH_BATCH (8), BENCH_SIZE (640), BENCH_STEPS (10).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from probpose_code_tpu.engine.optim import build_optimizer
+    from probpose_code_tpu.models import PoseModel
+    from probpose_code_tpu.ops.lap import hungarian_assign
+    from probpose_code_tpu.parallel import create_train_state, make_mesh, make_train_step, shard_batch
+
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    S = int(os.environ.get("BENCH_SIZE", "640"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    Q, G, K = 100, 14, 17
+
+    cfg_model = dict(
+        type="BottomupPoseEstimator",
+        data_preprocessor=dict(type="PoseDataPreprocessor", mean=[0, 0, 0], std=[1, 1, 1]),
+        backbone=dict(type="ResNet", depth=50, out_indices=(1, 2, 3)),
+        neck=dict(type="ChannelMapper", in_channels=[512, 1024, 2048], out_channels=256),
+        head=dict(type="EDPoseTPUHead", in_channels=256, num_keypoints=K,
+                  embed_dims=256, num_queries=Q, num_human_layers=2,
+                  num_keypoint_layers=2, num_heads=8, ffn_dim=1024),
+        test_cfg=dict(input_size=(S, S), score_thr=0.0, nms_thr=0.65),
+    )
+    model = PoseModel(cfg_model)
+    variables = model.init(input_shape=(1, S, S, 3))
+    tx, _ = build_optimizer(
+        variables["params"],
+        dict(optimizer=dict(type="AdamW", lr=1e-4), clip_grad=dict(max_norm=0.1)),
+    )
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    state = create_train_state(variables, tx)
+    train_step = make_train_step(model, tx, mesh=mesh)
+
+    rng = np.random.RandomState(0)
+    xy = rng.rand(B, G, 2) * S * 0.6
+    wh = rng.rand(B, G, 2) * S * 0.3 + 20
+    gt_bboxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    gt_kpts = (xy[:, :, None] + rng.rand(B, G, K, 2) * wh[:, :, None]).astype(np.float32)
+    valid = np.zeros((B, G), bool)
+    valid[:, :5] = True
+    batch = shard_batch({
+        "inputs": jnp.asarray(rng.rand(B, S, S, 3).astype(np.float32) * 255),
+        "gt_bboxes": jnp.asarray(gt_bboxes),
+        "gt_labels": jnp.zeros((B, G), jnp.int32),
+        "gt_keypoints": jnp.asarray(gt_kpts),
+        "gt_keypoints_visible": jnp.asarray((rng.rand(B, G, K) > 0.3).astype(np.float32)),
+        "gt_vis_weights": jnp.ones((B, G, K), jnp.float32),
+        "gt_areas": jnp.asarray((wh[..., 0] * wh[..., 1]).astype(np.float32)),
+        "gt_valid": jnp.asarray(valid),
+    }, mesh)
+    key = jax.random.PRNGKey(0)
+
+    for _ in range(2):  # compile + warmup
+        state, metrics = train_step(state, batch, key)
+        _ = np.asarray(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = train_step(state, batch, key)
+    _ = np.asarray(metrics["loss"])
+    step_ms = (time.perf_counter() - t0) / steps * 1e3
+
+    # Hungarian share: the solver alone on the step's (B, Q, G) cost shape
+    hung = jax.jit(hungarian_assign)
+    cost = jnp.asarray(rng.rand(B, Q, G).astype(np.float32))
+    gv = jnp.asarray(valid.astype(np.float32))
+    _ = np.asarray(hung(cost, gv))
+    t0 = time.perf_counter()
+    for _ in range(50):
+        out = hung(cost, gv)
+    _ = np.asarray(out)
+    hung_ms = (time.perf_counter() - t0) / 50 * 1e3
+
+    metric = "edpose_r50_640_device_train_step"
+    rate = B / (step_ms / 1e3)
+    record = {
+        "metric": metric,
+        "value": round(rate, 1),
+        "unit": "img/sec/chip",
+        "vs_baseline": 0.0,  # reference EDPose is inference-only: no train baseline
+        "step_ms": round(step_ms, 2),
+        "hungarian_ms": round(hung_ms, 3),
+        "hungarian_share": round(hung_ms / step_ms, 4),
+        "batch": B, "size": S,
+    }
+    try:
+        cost_a = train_step.lower(state, batch, key).compile().cost_analysis()
+        if isinstance(cost_a, (list, tuple)):
+            cost_a = cost_a[0]
+        flops = float(cost_a.get("flops", 0.0))
+        if flops > 0:
+            record["device_step_tflops"] = round(flops / (step_ms / 1e3) / 1e12, 1)
+    except Exception:
+        pass
+    record.update(_check_history(
+        metric, rate, batch=B, size=S,
+        hungarian_share=record["hungarian_share"]))
+    print(json.dumps(record))
+
+
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE", "infer") == "train":
+    bench_mode = os.environ.get("BENCH_MODE", "infer")
+    if bench_mode == "train":
         main_train()
+    elif bench_mode == "edpose":
+        main_edpose_train()
     else:
         main()

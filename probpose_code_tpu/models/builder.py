@@ -442,6 +442,29 @@ class PoseModel:
             )
             total = sum(v for k, v in losses.items() if k.startswith("loss"))
             return total, (losses, new_state)
+        if self.head_type == "EDPoseTPUHead" and rngs and "gt_bboxes" in batch:
+            # DETR-style denoising training (reference EDPose DN groups,
+            # edpose_head.py DN setup): noised GT boxes enter as an extra
+            # query group with known correspondence — needs a method-apply
+            # to thread dn_boxes past the estimator's __call__
+            from .heads.edpose_head import edpose_loss, make_dn_queries
+
+            dn_rng = jax.random.fold_in(next(iter(rngs.values())), 131)
+            dnb, dnv = make_dn_queries(
+                batch["gt_bboxes"], batch["gt_valid"].astype(jnp.float32),
+                tuple(self.input_size), dn_rng,
+            )
+
+            def fn(module, x):
+                feats = module.extract_feat(x, train=True)
+                return module.head(feats, train=True, dn_boxes=dnb, dn_valid=dnv)
+
+            outputs, new_state = self.module.apply(
+                variables, x, method=fn, rngs=rngs, mutable=["batch_stats"]
+            )
+            losses = edpose_loss(outputs, batch, input_size=tuple(self.input_size))
+            total = sum(v for k, v in losses.items() if k.startswith("loss"))
+            return total, (losses, new_state)
         outputs, new_state = self.module.apply(
             variables, x, train=True, rngs=rngs, mutable=["batch_stats"]
         )

@@ -115,12 +115,15 @@ class EDPoseTPUHead(nn.Module):
         q = q + self.param("human_query_embed", nn.initializers.normal(0.02), (1, 1, self.embed_dims))
 
         # denoising group: noised GT boxes as extra queries, hidden from the
-        # matching queries by the self-attention mask
+        # matching queries by the self-attention mask. DN params materialize
+        # unconditionally so init() (which runs without DN) creates them and
+        # the DN-enabled train step finds them in the same variable tree.
+        dn_embed = self.param("dn_label_embed", nn.initializers.normal(0.02), (1, 1, self.embed_dims))
+        dn_proj = nn.Dense(self.embed_dims, dtype=self.dtype, name="dn_box_proj")
         D = 0
         if dn_boxes is not None:
             D = dn_boxes.shape[1]
-            dn_embed = self.param("dn_label_embed", nn.initializers.normal(0.02), (1, 1, self.embed_dims))
-            dn_pos = nn.Dense(self.embed_dims, dtype=self.dtype, name="dn_box_proj")(dn_boxes)
+            dn_pos = dn_proj(dn_boxes)
             dn_q = jnp.broadcast_to(dn_embed, (B, D, self.embed_dims)) + dn_pos
             q = jnp.concatenate([dn_q, q], axis=1)
             ref_boxes = jnp.concatenate([dn_boxes, ref_boxes], axis=1)
@@ -130,17 +133,27 @@ class EDPoseTPUHead(nn.Module):
             mask[D:, :D] = False  # matching queries never see DN queries
             self_attn_mask = jnp.asarray(mask)[None, None]
         else:
+            _ = dn_proj(jnp.zeros((1, 1, 4), self.dtype))  # materialize params; XLA DCEs the result
             self_attn_mask = None
 
-        # human decoder with iterative box refinement
+        # human decoder with iterative box refinement; intermediate layers
+        # emit aux outputs for deep supervision (reference EDPose supervises
+        # every decoder layer, edpose_head.py loss_by_feat over all layers —
+        # here the cls head is shared across layers and aux terms reuse the
+        # final layer's Hungarian match)
         box_refine = nn.Dense(4, dtype=self.dtype, name="box_refine")
+        human_cls = nn.Dense(1, dtype=self.dtype, name="human_cls")
+        aux_boxes, aux_scores = [], []
         for i in range(self.num_human_layers):
             q = _DeformDecoderLayer(
                 self.embed_dims, self.num_heads, self.ffn_dim, self.num_points, dtype=self.dtype,
                 name=f"human_layer{i}",
             )(q, jax.lax.stop_gradient(ref_boxes), values, self_attn_mask=self_attn_mask)
             ref_boxes = jax.nn.sigmoid(box_refine(q) + _inv_sigmoid(ref_boxes))
-        scores = nn.Dense(1, dtype=self.dtype, name="human_cls")(q)[..., 0]  # logits (B, D+Q)
+            if train and i < self.num_human_layers - 1:
+                aux_boxes.append(ref_boxes)
+                aux_scores.append(human_cls(q)[..., 0])
+        scores = human_cls(q)[..., 0]  # logits (B, D+Q)
 
         # keypoint group decoder: each human query spawns K keypoint queries
         # with per-layer reference refinement
@@ -162,12 +175,15 @@ class EDPoseTPUHead(nn.Module):
             mk = np.ones((nq * K, nq * K), bool)
             mk[D * K:, : D * K] = False
             kpt_mask = jnp.asarray(mk)[None, None]
+        aux_kpts = []
         for i in range(self.num_keypoint_layers):
             kq = _DeformDecoderLayer(
                 self.embed_dims, self.num_heads, self.ffn_dim, self.num_points, dtype=self.dtype,
                 name=f"kpt_layer{i}",
             )(kq, jax.lax.stop_gradient(ref_kpts), values, self_attn_mask=kpt_mask)
             ref_kpts = jax.nn.sigmoid(kpt_refine(kq) + _inv_sigmoid(ref_kpts))
+            if train and i < self.num_keypoint_layers - 1:
+                aux_kpts.append(ref_kpts.reshape(B, nq, K, 2))
         kpts = ref_kpts.reshape(B, nq, K, 2)
         kpt_vis = nn.Dense(1, dtype=self.dtype, name="kpt_vis")(kq)[..., 0].reshape(B, nq, K)
 
@@ -184,6 +200,12 @@ class EDPoseTPUHead(nn.Module):
                 dn_boxes=ref_boxes[:, :D].astype(jnp.float32),
                 dn_keypoints=kpts[:, :D].astype(jnp.float32),
             )
+        if aux_boxes:
+            # deep supervision (matching queries only; DN aux skipped)
+            out["aux_boxes"] = jnp.stack(aux_boxes, 1)[:, :, D:].astype(jnp.float32)
+            out["aux_scores"] = jnp.stack(aux_scores, 1)[:, :, D:].astype(jnp.float32)
+        if aux_kpts:
+            out["aux_keypoints"] = jnp.stack(aux_kpts, 1)[:, :, D:].astype(jnp.float32)
         return out
 
 
@@ -277,6 +299,24 @@ def edpose_loss(
         vbce = jnp.clip(vl, 0, None) - vl * vt + jnp.log1p(jnp.exp(-jnp.abs(vl)))
         losses["loss_kpt_vis"] = (vbce.mean(-1) * matched_valid).sum() / num_pos
 
+    if "aux_boxes" in outputs:
+        # deep supervision: every intermediate decoder layer gets the full
+        # matched loss under the final layer's assignment (reference EDPose
+        # supervises all decoder layers; the shared-match simplification
+        # avoids per-layer Hungarian solves with no measured convergence cost)
+        ab, asc = outputs["aux_boxes"], outputs["aux_scores"]  # (B, A, Q, 4/-)
+        mv = matched_valid[:, None]
+        abce = jnp.clip(asc, 0, None) - asc * mv + jnp.log1p(jnp.exp(-jnp.abs(asc)))
+        losses["loss_aux_cls"] = abce.sum() / num_pos * cls_weight
+        losses["loss_aux_bbox"] = (
+            (jnp.abs(ab - tb[:, None]).sum(-1) * mv).sum() / num_pos * box_weight
+        )
+    if "aux_keypoints" in outputs:
+        ak = outputs["aux_keypoints"]  # (B, A, Q, K, 2)
+        akd = jnp.abs(ak - tk[:, None]).sum(-1) * tv[:, None]
+        losses["loss_aux_keypoints"] = (
+            (akd.mean(-1) * matched_valid[:, None]).sum() / num_pos * kpt_weight
+        )
     if "dn_boxes" in outputs:
         # DN queries correspond 1:1 with (padded) GT slots
         dnb = outputs["dn_boxes"]
