@@ -212,7 +212,10 @@ def inference_bottomup(model: PoseModel, img: Union[str, np.ndarray]) -> List[Po
     predict = _cached_predict(model)
     device_out = predict(model.variables, inputs)
     score_thr = float(model.aux["test_cfg"].get("score_thr", 0.1))
-    nms_thr = float(model.aux["test_cfg"].get("nms_thr", 0.65))
+    # no NMS for one-to-one-matched DETR heads (reference EDPose selects
+    # top-k by score; NMS would suppress overlapping true instances)
+    default_nms = 1.0 if getattr(model, "head_type", None) == "EDPoseTPUHead" else 0.65
+    nms_thr = float(model.aux["test_cfg"].get("nms_thr", default_nms))
     results = postprocess_onestage(device_out, score_thr=score_thr, nms_thr=nms_thr)
 
     inst_np = results[0]

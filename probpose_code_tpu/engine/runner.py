@@ -535,10 +535,15 @@ def attach_onestage_predictions(preds: Dict[str, np.ndarray], data_samples: List
     from probpose_code_tpu.models.heads.yoloxpose_head import postprocess_onestage
 
     test_cfg = model.aux["test_cfg"]
+    # DETR-family heads are one-to-one matched: NMS is architecturally wrong
+    # for them (the reference EDPose predict selects top-k by score with no
+    # NMS, edpose_head.py:predict) and suppresses genuinely overlapping
+    # instances — default it off unless the config explicitly asks
+    default_nms = 1.0 if getattr(model, "head_type", None) == "EDPoseTPUHead" else 0.65
     results = postprocess_onestage(
         preds,
         score_thr=float(test_cfg.get("score_thr", 0.1)),
-        nms_thr=float(test_cfg.get("nms_thr", 0.65)),
+        nms_thr=float(test_cfg.get("nms_thr", default_nms)),
         input_size=tuple(model.input_size),
     )
     for sample, r in zip(data_samples, results):

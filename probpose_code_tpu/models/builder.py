@@ -450,8 +450,13 @@ class PoseModel:
             from .heads.edpose_head import edpose_loss, make_dn_queries
 
             dn_rng = jax.random.fold_in(next(iter(rngs.values())), 131)
+            # cap the DN group at 20 slots: GT is padded to max_gt=50 but
+            # the keypoint-group decoder cost grows with (Q+D)*K tokens, and
+            # slots beyond the typical instance count are inert center boxes
+            dn_cap = 20
             dnb, dnv = make_dn_queries(
-                batch["gt_bboxes"], batch["gt_valid"].astype(jnp.float32),
+                batch["gt_bboxes"][:, :dn_cap],
+                batch["gt_valid"][:, :dn_cap].astype(jnp.float32),
                 tuple(self.input_size), dn_rng,
             )
 
