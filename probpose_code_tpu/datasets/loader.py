@@ -13,6 +13,14 @@ in-process path with a prefetch thread. Workers are forked (Linux COW: no
 dataset pickling) and must never touch jax — they only run NumPy/cv2/codec
 code; batches return to the parent via a pickling queue, preserving batch
 order like torch's reordering buffer.
+
+Fork hazard: forking after the JAX backend is initialized is not guaranteed
+safe (CPython 3.12 warns; JAX is multithreaded and a forked child can
+inherit a held lock — one deadlock observed in practice after heavy
+device use on the axon backend). The same caveat applies to torch
+DataLoader with CUDA-initialized parents. If workers hang at 0 % CPU,
+construct the loader (forcing the first fork) before the first device
+computation, or fall back to ``num_workers=0``.
 """
 
 from __future__ import annotations
